@@ -1,0 +1,190 @@
+"""Public encoder API.
+
+Reference parity: kvazaar src/kvazaar.h kvz_api (config_*, picture_*,
+encoder_open/headers/encode) and src/kvazaar.c. Shape: an `Encoder` object
+fed frames one at a time, returning encoded byte chunks — the same
+1-in/N-out contract, without the vtable indirection.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .bitstream import (BitWriter, NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS,
+                        NAL_SPS, NAL_SUFFIX_SEI, NAL_TRAIL_R, NAL_VPS,
+                        nal_unit)
+from .cabac import CabacEncoder, ContextSet
+from .cfg import Config
+from .engine.frame_encoder import IntraFrameEncoder
+from .hevc.headers import write_pps, write_slice_header, write_sps, write_vps
+from .hevc.params import PPS, SPS, SliceHeader
+from .hevc.sei import HASH_CHECKSUM, HASH_MD5, write_hash_sei
+
+
+def build_sps(cfg: Config) -> SPS:
+    import math
+    sps = SPS()
+    sps.width = cfg.width
+    sps.height = cfg.height
+    sps.bit_depth_luma = sps.bit_depth_chroma = 8
+    ctb_log2 = int(math.log2(cfg.ctu_size))
+    min_cb_log2 = int(math.log2(cfg.min_cu_size))
+    sps.log2_min_cb_size = min_cb_log2
+    sps.log2_diff_max_min_cb_size = ctb_log2 - min_cb_log2
+    sps.log2_min_tb_size = 2
+    sps.log2_diff_max_min_tb_size = cfg.max_tb_log2 - 2
+    sps.max_transform_hierarchy_depth_intra = cfg.tr_depth_intra
+    sps.max_transform_hierarchy_depth_inter = 0
+    sps.sao_enabled = 0 if cfg.sao_type == "off" else 1
+    sps.amp_enabled = 1 if cfg.amp_enable else 0
+    sps.strong_intra_smoothing = 1 if cfg.strong_intra_smoothing else 0
+    sps.temporal_mvp_enabled = 0
+    sps.max_dec_pic_buffering_minus1 = max(1, cfg.ref_frames)
+    sps.max_num_reorder_pics = 0
+    sps.vui_timing = (cfg.framerate_denom, cfg.framerate_num)
+    return sps
+
+
+def build_pps(cfg: Config) -> PPS:
+    pps = PPS()
+    pps.init_qp = cfg.qp
+    pps.sign_data_hiding_enabled = 1 if cfg.signhide_enable else 0
+    pps.transform_skip_enabled = 1 if cfg.trskip_enable else 0
+    pps.entropy_coding_sync_enabled = 1 if cfg.wpp else 0
+    pps.deblocking_filter_control_present = 1
+    pps.deblocking_filter_disabled = 0 if cfg.deblock_enable else 1
+    pps.beta_offset_div2 = cfg.deblock_beta
+    pps.tc_offset_div2 = cfg.deblock_tc
+    pps.loop_filter_across_slices = 1
+    return pps
+
+
+class Encoder:
+    """All-intra HEVC encoder (inter stages land on this same interface)."""
+
+    def __init__(self, cfg: Config) -> None:
+        cfg.validate()
+        self.cfg = cfg
+        self.sps = build_sps(cfg)
+        self.pps = build_pps(cfg)
+        self.frame_num = 0
+        self.poc = 0
+
+    # -- headers ---------------------------------------------------------------
+
+    def headers(self) -> bytes:
+        out = nal_unit(write_vps(self.sps), NAL_VPS)
+        out += nal_unit(write_sps(self.sps), NAL_SPS)
+        out += nal_unit(write_pps(self.pps), NAL_PPS)
+        return out
+
+    # -- frames ----------------------------------------------------------------
+
+    def encode_frame(self, y: np.ndarray, cb: np.ndarray,
+                     cr: np.ndarray) -> tuple[bytes, dict]:
+        """Encode one frame; returns (annexb bytes, info dict)."""
+        cfg = self.cfg
+        is_idr = (cfg.intra_period <= 1 or
+                  self.frame_num % max(1, cfg.intra_period) == 0)
+        # v0 engine: every frame is coded intra; IDR at period boundaries,
+        # CRA-style I otherwise would need POC handling — use IDR for all
+        # until the inter engine lands.
+        nal_type = NAL_IDR_W_RADL
+        sh = SliceHeader()
+        sh.pps_id = 0
+        sh.slice_type = 2
+        sh.qp = cfg.qp
+        sh.first_slice_in_pic = 1
+
+        enc = IntraFrameEncoder(self.sps, self.pps, sh, y, cb, cr, cfg)
+        n_ctu_x = self.sps.width_in_ctbs
+        n_ctu_y = self.sps.height_in_ctbs
+
+        wpp = bool(self.pps.entropy_coding_sync_enabled)
+        substreams: list[bytes] = []
+        saved_ctx: ContextSet | None = None
+        if not wpp:
+            bw = BitWriter()
+            cab = CabacEncoder(bw, ContextSet(0, sh.qp))
+            enc.cab = cab
+            for ctu_y in range(n_ctu_y):
+                for ctu_x in range(n_ctu_x):
+                    enc.encode_ctu(ctu_x, ctu_y)
+                    last = (ctu_y == n_ctu_y - 1 and ctu_x == n_ctu_x - 1)
+                    cab.encode_bin_trm(1 if last else 0)
+            cab.finish()
+            bw.byte_align_one()
+            substreams.append(bw.get_bytes())
+        else:
+            for ctu_y in range(n_ctu_y):
+                ctx = (saved_ctx.copy() if saved_ctx is not None
+                       else ContextSet(0, sh.qp))
+                bw = BitWriter()
+                cab = CabacEncoder(bw, ctx)
+                enc.cab = cab
+                for ctu_x in range(n_ctu_x):
+                    enc.encode_ctu(ctu_x, ctu_y)
+                    if ctu_x == 1 and n_ctu_x > 1:
+                        saved_ctx = ctx.copy()
+                    last = (ctu_y == n_ctu_y - 1 and ctu_x == n_ctu_x - 1)
+                    cab.encode_bin_trm(1 if last else 0)
+                    if ctu_x == n_ctu_x - 1 and not last:
+                        cab.encode_bin_trm(1)  # end_of_subset_one_bit
+                cab.finish()
+                bw.byte_align_one()
+                substreams.append(bw.get_bytes())
+
+        # entry point offsets count post-emulation (EBSP) bytes; substreams
+        # end with a non-zero byte, so per-substream emulation equals
+        # whole-slice emulation
+        from .bitstream import rbsp_to_ebsp
+        sh.entry_point_offsets = [len(rbsp_to_ebsp(s))
+                                  for s in substreams[:-1]]
+        shw = BitWriter()
+        write_slice_header(sh, self.sps, self.pps, nal_type, shw)
+        slice_rbsp = shw.get_bytes() + b"".join(substreams)
+
+        out = b""
+        if self.frame_num == 0:
+            out += self.headers()
+        out += nal_unit(slice_rbsp, nal_type)
+
+        # decoded picture hash SEI
+        rec = [enc.rec_y[:cfg.height, :cfg.width].astype(np.uint16),
+               enc.rec_cb[:cfg.height // 2, :cfg.width // 2].astype(
+                   np.uint16),
+               enc.rec_cr[:cfg.height // 2, :cfg.width // 2].astype(
+                   np.uint16)]
+        if cfg.hash != "none":
+            htype = HASH_CHECKSUM if cfg.hash == "checksum" else HASH_MD5
+            out += nal_unit(write_hash_sei(rec, htype, 8), NAL_SUFFIX_SEI)
+
+        info = {
+            "poc": self.poc,
+            "bytes": len(out),
+            "recon": rec,
+            "psnr": _psnr((y, cb, cr), rec),
+        }
+        self.frame_num += 1
+        self.poc += 1
+        return out, info
+
+
+def _psnr(src_planes, rec_planes) -> list[float]:
+    out = []
+    for s, r in zip(src_planes, rec_planes):
+        mse = np.mean((s.astype(np.float64) - r.astype(np.float64)) ** 2)
+        out.append(99.0 if mse == 0 else
+                   10.0 * np.log10(255.0 ** 2 / mse))
+    return out
+
+
+def encode_sequence(cfg: Config, frames) -> tuple[bytes, list[dict]]:
+    """Encode an iterable of (y, cb, cr) frames to an Annex-B stream."""
+    enc = Encoder(cfg)
+    out = b""
+    infos = []
+    for (y, cb, cr) in frames:
+        chunk, info = enc.encode_frame(y, cb, cr)
+        out += chunk
+        infos.append(info)
+    return out, infos

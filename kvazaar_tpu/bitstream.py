@@ -85,6 +85,23 @@ def rbsp_to_ebsp(rbsp: bytes) -> bytes:
     return bytes(out)
 
 
+def ebsp_to_rbsp_ex(ebsp: bytes) -> tuple[bytes, list[int]]:
+    """Strip emulation bytes; also return, for each ebsp byte index, the
+    count of rbsp bytes preceding it (for entry-point offset conversion)."""
+    out = bytearray()
+    pos = [0] * (len(ebsp) + 1)
+    zeros = 0
+    for i, b in enumerate(ebsp):
+        pos[i] = len(out)
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    pos[len(ebsp)] = len(out)
+    return bytes(out), pos
+
+
 def ebsp_to_rbsp(ebsp: bytes) -> bytes:
     """Strip emulation-prevention bytes."""
     out = bytearray()

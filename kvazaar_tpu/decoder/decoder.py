@@ -391,10 +391,12 @@ class HEVCDecoder:
             elif nal_type == NAL_SUFFIX_SEI:
                 self._check_hash(rbsp)
             elif nal_type < 32:
-                self._decode_slice(rbsp, nal_type)
+                self._decode_slice(ebsp, nal_type)
         return self.frames
 
-    def _decode_slice(self, rbsp: bytes, nal_type: int) -> None:
+    def _decode_slice(self, ebsp: bytes, nal_type: int) -> None:
+        from ..bitstream import ebsp_to_rbsp_ex
+        rbsp, rbsp_pos = ebsp_to_rbsp_ex(ebsp)
         br = BitReader(rbsp)
         sh, pps = parse_slice_header(br, self.sps, self.pps_map, nal_type)
         if pps.tiles_enabled:
@@ -407,14 +409,16 @@ class HEVCDecoder:
         init_type = 0 if sh.is_intra else (2 - sh.slice_type)
         data = rbsp[br.byte_pos:]
         if wpp:
-            # substreams: entry point offsets delimit CTU rows
-            offsets = sh.entry_point_offsets
-            bounds = [0]
-            for off in offsets:
-                bounds.append(bounds[-1] + off)
-            bounds.append(len(data))
-            row_data = [data[bounds[i]:bounds[i + 1]]
-                        for i in range(len(bounds) - 1)]
+            # entry point offsets are in EBSP bytes (incl. emulation
+            # prevention); convert boundaries to RBSP positions
+            start_e = rbsp_pos.index(br.byte_pos)
+            bounds_e = [start_e]
+            for off in sh.entry_point_offsets:
+                bounds_e.append(bounds_e[-1] + off)
+            bounds_r = [rbsp_pos[min(b, len(ebsp))] for b in bounds_e]
+            bounds_r.append(len(rbsp))
+            row_data = [rbsp[bounds_r[i]:bounds_r[i + 1]]
+                        for i in range(len(bounds_r) - 1)]
         else:
             row_data = None
         ctx = ContextSet(init_type, sh.qp)

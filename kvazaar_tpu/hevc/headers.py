@@ -505,12 +505,13 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS, nal_type: int,
         if pps.slice_chroma_qp_offsets_present:
             bw.se(0)
             bw.se(0)
+        deblock_disabled = sh.deblocking_filter_disabled
         if pps.deblocking_filter_control_present:
             if pps.deblocking_filter_override_enabled:
                 bw.u(0, 1)  # deblocking_filter_override_flag
+            deblock_disabled = pps.deblocking_filter_disabled
         if pps.loop_filter_across_slices and \
-                (sh.sao_luma or sh.sao_chroma
-                 or not sh.deblocking_filter_disabled):
+                (sh.sao_luma or sh.sao_chroma or not deblock_disabled):
             bw.u(sh.loop_filter_across_slices, 1)
     if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
         bw.ue(len(sh.entry_point_offsets))
