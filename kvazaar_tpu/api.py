@@ -31,7 +31,7 @@ def build_sps(cfg: Config) -> SPS:
     sps.log2_min_cb_size = min_cb_log2
     sps.log2_diff_max_min_cb_size = ctb_log2 - min_cb_log2
     sps.log2_min_tb_size = 2
-    sps.log2_diff_max_min_tb_size = cfg.max_tb_log2 - 2
+    sps.log2_diff_max_min_tb_size = min(cfg.max_tb_log2, ctb_log2) - 2
     sps.max_transform_hierarchy_depth_intra = cfg.tr_depth_intra
     sps.max_transform_hierarchy_depth_inter = 0
     sps.sao_enabled = 0 if cfg.sao_type == "off" else 1
@@ -64,10 +64,26 @@ class Encoder:
     def __init__(self, cfg: Config) -> None:
         cfg.validate()
         self.cfg = cfg
+        # device (JAX) compute path: fixed 16x16 CTU grid for now
+        self.use_device = (getattr(cfg, "device", True)
+                           and cfg.ctu_size == 16
+                           and not cfg.signhide_enable)
+        align = 16 if self.use_device else 8
+        self.pad_w = (-cfg.width) % align
+        self.pad_h = (-cfg.height) % align
         self.sps = build_sps(cfg)
+        self.sps.width = cfg.width + self.pad_w
+        self.sps.height = cfg.height + self.pad_h
+        if self.pad_w or self.pad_h:
+            self.sps.conf_win = (0, self.pad_w // 2, 0, self.pad_h // 2)
         self.pps = build_pps(cfg)
         self.frame_num = 0
         self.poc = 0
+        self._pipeline = None
+        if self.use_device:
+            from .models.intra_pipeline import IntraPipeline
+            self._pipeline = IntraPipeline(self.sps.height, self.sps.width,
+                                           cfg.qp)
 
     # -- headers ---------------------------------------------------------------
 
@@ -95,7 +111,18 @@ class Encoder:
         sh.qp = cfg.qp
         sh.first_slice_in_pic = 1
 
-        enc = IntraFrameEncoder(self.sps, self.pps, sh, y, cb, cr, cfg)
+        if self.pad_w or self.pad_h:
+            y = np.pad(y, ((0, self.pad_h), (0, self.pad_w)), mode="edge")
+            cb = np.pad(cb, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
+                        mode="edge")
+            cr = np.pad(cr, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
+                        mode="edge")
+
+        decisions = None
+        if self._pipeline is not None:
+            decisions = self._pipeline.encode_frame(y, cb, cr)
+        enc = IntraFrameEncoder(self.sps, self.pps, sh, y, cb, cr, cfg,
+                                decisions=decisions)
         n_ctu_x = self.sps.width_in_ctbs
         n_ctu_y = self.sps.height_in_ctbs
 
@@ -148,21 +175,31 @@ class Encoder:
             out += self.headers()
         out += nal_unit(slice_rbsp, nal_type)
 
-        # decoded picture hash SEI
-        rec = [enc.rec_y[:cfg.height, :cfg.width].astype(np.uint16),
-               enc.rec_cb[:cfg.height // 2, :cfg.width // 2].astype(
-                   np.uint16),
-               enc.rec_cr[:cfg.height // 2, :cfg.width // 2].astype(
-                   np.uint16)]
+        # decoded picture hash SEI covers the full (pre-crop) picture
+        w, h = self.sps.width, self.sps.height
+        if decisions is not None:
+            rec = [decisions["rec_y"].astype(np.uint16),
+                   decisions["rec_cb"].astype(np.uint16),
+                   decisions["rec_cr"].astype(np.uint16)]
+        else:
+            rec = [enc.rec_y[:h, :w].astype(np.uint16),
+                   enc.rec_cb[:h // 2, :w // 2].astype(np.uint16),
+                   enc.rec_cr[:h // 2, :w // 2].astype(np.uint16)]
         if cfg.hash != "none":
             htype = HASH_CHECKSUM if cfg.hash == "checksum" else HASH_MD5
             out += nal_unit(write_hash_sei(rec, htype, 8), NAL_SUFFIX_SEI)
 
+        crop = [rec[0][:cfg.height, :cfg.width],
+                rec[1][:cfg.height // 2, :cfg.width // 2],
+                rec[2][:cfg.height // 2, :cfg.width // 2]]
         info = {
             "poc": self.poc,
             "bytes": len(out),
             "recon": rec,
-            "psnr": _psnr((y, cb, cr), rec),
+            "recon_out": crop,
+            "psnr": _psnr((y[:cfg.height, :cfg.width],
+                           cb[:cfg.height // 2, :cfg.width // 2],
+                           cr[:cfg.height // 2, :cfg.width // 2]), crop),
         }
         self.frame_num += 1
         self.poc += 1

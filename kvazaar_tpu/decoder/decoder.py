@@ -35,6 +35,7 @@ INTER = 0
 class DecodedFrame:
     poc: int
     planes: list[np.ndarray]  # Y, Cb, Cr (cropped to conformance window)
+    full_planes: list[np.ndarray] | None = None  # pre-crop (hash domain)
     hash_ok: bool | None = None
 
 
@@ -446,6 +447,8 @@ class HEVCDecoder:
         y = fs.y[:h, :w]
         cbp = fs.cb[:h // 2, :w // 2]
         crp = fs.cr[:h // 2, :w // 2]
+        full = [y.astype(np.uint16), cbp.astype(np.uint16),
+                crp.astype(np.uint16)]
         if any(self.sps.conf_win):
             y = y[ct * 2:h - cb_ * 2, cl * 2:w - cr_ * 2]
             cbp = cbp[ct:h // 2 - cb_, cl:w // 2 - cr_]
@@ -453,7 +456,8 @@ class HEVCDecoder:
         frame = DecodedFrame(poc=sh.pic_order_cnt_lsb,
                              planes=[y.astype(np.uint16),
                                      cbp.astype(np.uint16),
-                                     crp.astype(np.uint16)])
+                                     crp.astype(np.uint16)],
+                             full_planes=full)
         self.frames.append(frame)
         self._pending_frame = frame
 
@@ -464,7 +468,7 @@ class HEVCDecoder:
             hash_type, hashes = parse_hash_sei(payload)
             frame = self._pending_frame
             ok = True
-            for plane, expect in zip(frame.planes, hashes):
+            for plane, expect in zip(frame.full_planes, hashes):
                 if hash_type == 2:
                     got = plane_checksum(plane, self.sps.bit_depth_luma).to_bytes(4, "big")
                 elif hash_type == 0:

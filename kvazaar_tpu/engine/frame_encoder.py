@@ -59,11 +59,15 @@ class IntraFrameEncoder:
 
     def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader,
                  src_y: np.ndarray, src_cb: np.ndarray,
-                 src_cr: np.ndarray, cfg=None) -> None:
+                 src_cr: np.ndarray, cfg=None, decisions=None) -> None:
         self.sps = sps
         self.pps = pps
         self.sh = sh
         self.cfg = cfg
+        # device-computed decisions (kvazaar_tpu/models/intra_pipeline.py):
+        # dict with modes[R,C], levels_{y,cb,cr}[B,..], rec_{y,cb,cr}; when
+        # present, this class only writes syntax (no sample math on host)
+        self.decisions = decisions
         ctb = sps.ctb_size
         w = sps.width_in_ctbs * ctb
         h = sps.height_in_ctbs * ctb
@@ -165,6 +169,8 @@ class IntraFrameEncoder:
 
     def search_mode(self, x0: int, y0: int, size: int) -> int:
         """Pick the luma intra mode for a PU via SATD + mode-bit cost."""
+        if self.decisions is not None:
+            return int(self.decisions["modes"][y0 // size, x0 // size])
         src = self.src_y[y0:y0 + size, x0:x0 + size].astype(np.int32)
         mpm = self.mpm_list(x0, y0)
         best_mode, best_cost = 0, None
@@ -181,6 +187,17 @@ class IntraFrameEncoder:
     def code_tu(self, x: int, y: int, size: int, c_idx: int,
                 mode: int) -> tuple[np.ndarray | None, np.ndarray]:
         """Predict+transform one TU. Returns (coeff levels or None, recon)."""
+        if self.decisions is not None:
+            d = self.decisions
+            cols = d["modes"].shape[1]
+            lsz = size * (2 if c_idx else 1)  # luma block size of this TU
+            b = (y // lsz) * cols + (x // lsz)
+            levels = d[("levels_y", "levels_cb", "levels_cr")[c_idx]][b]
+            scale = 2 if c_idx else 1
+            plane = d[("rec_y", "rec_cb", "rec_cr")[c_idx]]
+            px, py = x // scale, y // scale
+            rec = plane[py:py + size, px:px + size]
+            return (levels if levels.any() else None), rec
         plane_src = (self.src_y, self.src_cb, self.src_cr)[c_idx]
         scale = 2 if c_idx else 1
         px, py = x // scale, y // scale

@@ -1,0 +1,395 @@
+"""TPU-native all-intra frame pipeline (JAX).
+
+Two jitted stages over a fixed 16x16 CTU grid (frame dims multiples of 16;
+the API pads with a conformance window):
+
+1. `search_modes`: evaluates all 35 intra modes for every block of the
+   frame in one batch — predictions via a single constant-matrix matmul
+   (ops/intra_matrices.py), costs via Hadamard-SATD matmuls on the MXU,
+   argmin per block. Uses clamped source-pixel references (search is
+   non-normative).
+
+2. `encode_waves`: exact reconstruction in WPP-style anti-diagonal waves
+   (d = 2r + c): all blocks of a wave predict from previously reconstructed
+   neighbours (normative reference substitution), transform/quantize/
+   dequantize/inverse-transform in exact int32, and scatter recon + levels.
+   Output levels stream to the host CABAC writer.
+
+This replaces kvazaar's per-CTU threadqueue jobs (src/encoderstate.c:832)
+and SIMD kernels (src/strategies/avx2/): the wavefront lives inside one
+jitted program; XLA pipelines the waves asynchronously.
+
+Reference parity: decisions are framework-specific (search is free), but
+reconstruction/levels must decode hash-exactly — guaranteed by integer
+parity with ops/reference.py and validated end-to-end by the decoder.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.intra_matrices import (build_filter_matrix, build_pred_matrices,
+                                  ref_vec_len)
+from ..tables import DCT_MATRICES, INV_QUANT_SCALES, QUANT_SCALES
+
+LUMA_N = 16
+CHROMA_N = 8
+
+
+def _hadamard(n: int) -> np.ndarray:
+    h = np.array([[1]])
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+def _wave_structure(rows: int, cols: int) -> tuple[np.ndarray, np.ndarray,
+                                                   int]:
+    """Anti-diagonal (d = 2r + c) wave schedule over the block grid.
+    Returns (wave_blocks [n_waves, wlen] flat block ids, wave_mask, wlen)."""
+    n_waves = 2 * (rows - 1) + cols
+    waves = [[] for _ in range(n_waves)]
+    for r in range(rows):
+        for c in range(cols):
+            waves[2 * r + c].append(r * cols + c)
+    wlen = max(len(w) for w in waves)
+    blocks = np.zeros((n_waves, wlen), dtype=np.int32)
+    mask = np.zeros((n_waves, wlen), dtype=bool)
+    for i, w in enumerate(waves):
+        blocks[i, :len(w)] = w
+        mask[i, :len(w)] = True
+    return blocks, mask, wlen
+
+
+class IntraPipeline:
+    """Jit-compiled all-intra encoder compute path for one frame size."""
+
+    def __init__(self, height: int, width: int, qp: int,
+                 sign_hiding: bool = False) -> None:
+        assert height % LUMA_N == 0 and width % LUMA_N == 0
+        assert not sign_hiding, "SDH on the device path lands later"
+        self.h, self.w, self.qp = height, width, qp
+        self.rows, self.cols = height // LUMA_N, width // LUMA_N
+        self.n_blocks = self.rows * self.cols
+
+        # constant matrices
+        self.g16 = jnp.asarray(build_pred_matrices(LUMA_N))
+        self.f16 = jnp.asarray(build_filter_matrix(LUMA_N))
+        self.g8c = jnp.asarray(build_pred_matrices(CHROMA_N, chroma=True))
+        self.t16 = jnp.asarray(DCT_MATRICES[16])
+        self.t8 = jnp.asarray(DCT_MATRICES[8])
+        self.h8 = jnp.asarray(_hadamard(8))
+
+        blocks, mask, wlen = _wave_structure(self.rows, self.cols)
+        self.wave_blocks = jnp.asarray(blocks)
+        self.wave_mask = jnp.asarray(mask)
+        self.n_waves = blocks.shape[0]
+        self.wlen = wlen
+
+        # per-block geometry
+        bid = np.arange(self.n_blocks)
+        self.b_r = jnp.asarray(bid // self.cols)
+        self.b_c = jnp.asarray(bid % self.cols)
+
+        # quant constants (luma + chroma qp)
+        from ..tables import chroma_qp
+        self.qp_c = chroma_qp(qp)
+
+        self._search = jax.jit(self._search_impl)
+        self._waves = jax.jit(self._waves_impl)
+
+    # ------------------------------------------------------------------
+    # stage 1: batched mode search
+    # ------------------------------------------------------------------
+
+    def search_modes(self, src_y: np.ndarray) -> jax.Array:
+        return self._search(jnp.asarray(src_y, dtype=jnp.int32))
+
+    def _gather_search_refs(self, src: jax.Array) -> jax.Array:
+        """Clamped source references for every block: [B, rlen(16)]."""
+        n = LUMA_N
+        y0 = self.b_r * n
+        x0 = self.b_c * n
+        h, w = self.h, self.w
+        # left col: (y0 + i, x0 - 1), i in 0..2n-1
+        iy = jnp.clip(y0[:, None] + jnp.arange(2 * n)[None, :], 0, h - 1)
+        ix = jnp.clip(x0[:, None] - 1, 0, w - 1)
+        left = src[iy, jnp.broadcast_to(ix, iy.shape)]
+        ty = jnp.clip(y0[:, None] - 1, 0, h - 1)
+        tx = jnp.clip(x0[:, None] + jnp.arange(2 * n)[None, :], 0, w - 1)
+        top = src[jnp.broadcast_to(ty, tx.shape), tx]
+        cy = jnp.clip(y0 - 1, 0, h - 1)
+        cx = jnp.clip(x0 - 1, 0, w - 1)
+        corner = src[cy, cx]
+        pad = jnp.zeros((self.n_blocks, 1), jnp.int32)
+        return jnp.concatenate([left, corner[:, None], top, pad], axis=1)
+
+    def _preds_all_modes(self, refs: jax.Array, g: jax.Array,
+                         f: jax.Array, n: int) -> jax.Array:
+        """refs [B, rlen] -> preds [B, 35, n*n] (mode 1 slot garbage)."""
+        filt = (refs @ f.T + 2) >> 2
+        both = jnp.concatenate([refs, filt], axis=1)  # [B, 2*rlen]
+        # one matmul: [35*nn, 2rlen] x [2rlen, B]
+        gm = g.reshape(-1, g.shape[-1])
+        preds = (both @ gm.T + 16) >> 5  # [B, 35*nn]
+        return preds.reshape(-1, 35, n * n)
+
+    def _dc_pred(self, refs: jax.Array, n: int,
+                 is_luma: bool) -> jax.Array:
+        """DC prediction [B, n*n] (with luma edge filter for n < 32)."""
+        left = refs[:, :n]
+        top = refs[:, 2 * n + 1:3 * n + 1]
+        log2n = int(np.log2(n))
+        dc = (left.sum(1) + top.sum(1) + n) >> (log2n + 1)
+        pred = jnp.broadcast_to(dc[:, None, None], (refs.shape[0], n, n))
+        if is_luma and n < 32:
+            row0 = (top + 3 * dc[:, None] + 2) >> 2
+            col0 = (left + 3 * dc[:, None] + 2) >> 2
+            tl = (left[:, 0] + 2 * dc + top[:, 0] + 2) >> 2
+            pred = pred.at[:, 0, :].set(row0)
+            pred = pred.at[:, :, 0].set(col0)
+            pred = pred.at[:, 0, 0].set(tl)
+        return pred.reshape(refs.shape[0], n * n)
+
+    def _fix_1026(self, preds: jax.Array, refs: jax.Array,
+                  n: int) -> jax.Array:
+        """Post-filter for pure horizontal/vertical luma modes (n < 32)."""
+        left = refs[:, :n]
+        top = refs[:, 2 * n + 1:3 * n + 1]
+        corner = refs[:, 2 * n]
+        maxv = 255
+        p = preds.reshape(-1, 35, n, n)
+        col = jnp.clip(top[:, :1] + ((left - corner[:, None]) >> 1), 0, maxv)
+        p = p.at[:, 26, :, 0].set(col)
+        row = jnp.clip(left[:, :1] + ((top - corner[:, None]) >> 1), 0, maxv)
+        p = p.at[:, 10, 0, :].set(row)
+        return p.reshape(-1, 35, n * n)
+
+    def _satd8(self, diff: jax.Array) -> jax.Array:
+        """SATD over trailing [.., 16, 16] via 8x8 Hadamard; exact int32."""
+        d = diff.reshape(*diff.shape[:-2], 2, 8, 2, 8)
+        d = jnp.moveaxis(d, -2, -3)  # [..., 2, 2, 8, 8]
+        t = jnp.einsum("ij,...jk,kl->...il", self.h8, d, self.h8)
+        s = jnp.abs(t).sum(axis=(-1, -2))
+        s = (s + 2) >> 2
+        return s.sum(axis=(-1, -2))
+
+    def _search_impl(self, src: jax.Array) -> jax.Array:
+        n = LUMA_N
+        refs = self._gather_search_refs(src)
+        preds = self._preds_all_modes(refs, self.g16, self.f16, n)
+        preds = self._fix_1026(preds, refs, n)
+        preds = preds.at[:, 1, :].set(self._dc_pred(refs, n, True))
+        blocks = src.reshape(self.rows, n, self.cols, n)
+        blocks = jnp.moveaxis(blocks, 1, 2).reshape(self.n_blocks, 1, n, n)
+        diff = blocks - preds.reshape(self.n_blocks, 35, n, n)
+        cost = self._satd8(diff)  # [B, 35]
+        return jnp.argmin(cost, axis=1).astype(jnp.int32)
+
+    # ------------------------------------------------------------------
+    # stage 2: wavefront reconstruction
+    # ------------------------------------------------------------------
+
+    def encode_frame(self, src_y, src_cb, src_cr):
+        """Returns dict of numpy arrays: modes, levels, cbfs, recon."""
+        modes = self.search_modes(src_y)
+        out = self._waves(jnp.asarray(src_y, jnp.int32),
+                          jnp.asarray(src_cb, jnp.int32),
+                          jnp.asarray(src_cr, jnp.int32), modes)
+        res = {k: np.asarray(v) for k, v in out.items()}
+        res["modes"] = np.asarray(modes).reshape(self.rows, self.cols)
+        return res
+
+    def _transform_quant(self, resi: jax.Array, t: jax.Array, qp: int,
+                         n: int) -> tuple[jax.Array, jax.Array]:
+        """Forward transform + quant + dequant + inverse; exact int32.
+        resi [L, n, n] -> (levels, recon_resi)."""
+        log2n = int(np.log2(n))
+        bd = 8
+        shift1 = log2n + bd - 9
+        shift2 = log2n + 6
+        tt = t.astype(jnp.int32)
+        tmp = jnp.einsum("ij,ljk->lik", tt, jnp.swapaxes(resi, 1, 2),
+                         preferred_element_type=jnp.int32)
+        tmp = (tmp + (1 << (shift1 - 1) if shift1 > 0 else 0)) >> shift1
+        co = jnp.einsum("ij,ljk->lik", tt, jnp.swapaxes(tmp, 1, 2),
+                        preferred_element_type=jnp.int32)
+        co = (co + (1 << (shift2 - 1))) >> shift2
+        # quant
+        tshift = 15 - bd - log2n
+        qbits = 14 + qp // 6 + tshift
+        scale = int(QUANT_SCALES[qp % 6])
+        offset = 171 << (qbits - 9)
+        absq = (jnp.abs(co) * scale + offset) >> qbits  # fits int32
+        levels = (jnp.sign(co) * absq).astype(jnp.int32)
+        # dequant
+        dshift = bd + log2n - 9
+        dscale = int(INV_QUANT_SCALES[qp % 6]) << (qp // 6)
+        deq = (levels * dscale + (1 << (dshift - 1))) >> dshift
+        deq = jnp.clip(deq, -32768, 32767).astype(jnp.int32)
+        # inverse
+        ishift1, ishift2 = 7, 20 - bd
+        tmp2 = jnp.einsum("ji,ljk->lik", tt, deq,
+                          preferred_element_type=jnp.int32)
+        tmp2 = jnp.clip((tmp2 + (1 << (ishift1 - 1))) >> ishift1,
+                        -32768, 32767)
+        r2 = jnp.einsum("lij,jk->lik", tmp2, tt,
+                        preferred_element_type=jnp.int32)
+        r2 = jnp.clip((r2 + (1 << (ishift2 - 1))) >> ishift2, -32768, 32767)
+        return levels, r2
+
+    def _gather_recon_refs(self, rec: jax.Array, bids: jax.Array,
+                           n: int, cols: int) -> jax.Array:
+        """Normative refs with substitution from a padded recon plane.
+        rec is padded: [1 + H + n, 1 + W + n], offset (1, 1).
+        Returns [L, rlen]."""
+        r = bids // cols
+        c = bids % cols
+        y0 = r * n + 1
+        x0 = c * n + 1
+        w = cols * n
+        # raw gathers (in-bounds thanks to padding)
+        iy = y0[:, None] + jnp.arange(2 * n)[None, :]
+        left = rec[iy, (x0 - 1)[:, None]]
+        tx = x0[:, None] + jnp.arange(2 * n)[None, :]
+        top = rec[(y0 - 1)[:, None], tx]
+        corner = rec[y0 - 1, x0 - 1]
+        # availability (CTU raster order == block raster order)
+        has_top = (r > 0)[:, None]
+        has_left = (c > 0)[:, None]
+        has_tr = ((r > 0) & (c < cols - 1))[:, None]
+        # bottom-left never available in a flat CTU grid
+        # substitution (spec 8.4.4.2.2) specialised to segment granularity:
+        fill = jnp.full_like(left[:, :1], 128)
+        # upper-left available? -> borrow order: bl<-left[n-1];
+        # corner<-left[0] if !top&left; left&corner<-top[0] if top&!left
+        lu = jnp.where(has_left, left[:, :n],
+                       jnp.where(has_top, jnp.broadcast_to(top[:, :1],
+                                                           left[:, :n].shape),
+                                 jnp.broadcast_to(fill,
+                                                  left[:, :n].shape)))
+        bl = jnp.broadcast_to(lu[:, n - 1:n], (left.shape[0], n))
+        corner_sub = jnp.where(has_top[:, 0] & has_left[:, 0], corner,
+                               jnp.where(has_left[:, 0], lu[:, 0],
+                                         jnp.where(has_top[:, 0], top[:, 0],
+                                                   128)))
+        tmain = jnp.where(has_top, top[:, :n],
+                          jnp.broadcast_to(corner_sub[:, None],
+                                           top[:, :n].shape))
+        tr = jnp.where(has_tr, top[:, n:],
+                       jnp.broadcast_to(tmain[:, n - 1:n],
+                                        top[:, n:].shape))
+        pad = jnp.zeros((left.shape[0], 1), jnp.int32)
+        return jnp.concatenate([lu, bl, corner_sub[:, None], tmain, tr,
+                                pad], axis=1)
+
+    def _block_pred(self, refs: jax.Array, modes: jax.Array, g: jax.Array,
+                    f: jax.Array, n: int, is_luma: bool) -> jax.Array:
+        """Predict each block with its own mode. [L, n*n]."""
+        filt = (refs @ f.T + 2) >> 2 if is_luma else refs
+        both = jnp.concatenate([refs, filt], axis=1)
+        gsel = jnp.take(g, modes, axis=0)  # [L, nn, 2rlen]
+        pred = (jnp.einsum("lpr,lr->lp", gsel, both,
+                           preferred_element_type=jnp.int32) + 16) >> 5
+        dc = self._dc_pred(refs, n, is_luma)
+        pred = jnp.where((modes == 1)[:, None], dc, pred)
+        if is_luma:
+            # 10/26 edge fixup
+            left = refs[:, :n]
+            top = refs[:, 2 * n + 1:3 * n + 1]
+            corner = refs[:, 2 * n]
+            p = pred.reshape(-1, n, n)
+            col = jnp.clip(top[:, :1] + ((left - corner[:, None]) >> 1),
+                           0, 255)
+            row = jnp.clip(left[:, :1] + ((top - corner[:, None]) >> 1),
+                           0, 255)
+            p = jnp.where((modes == 26)[:, None, None],
+                          p.at[:, :, 0].set(col), p)
+            p = jnp.where((modes == 10)[:, None, None],
+                          p.at[:, 0, :].set(row), p)
+            pred = p.reshape(-1, n * n)
+        return pred
+
+    def _waves_impl(self, src_y, src_cb, src_cr, modes_flat):
+        n, nc = LUMA_N, CHROMA_N
+        h, w = self.h, self.w
+        # seed the carries from the inputs (0 * src) so that under
+        # shard_map the carry is device-varying like the inputs
+        zseed = (src_y[0, 0] * 0).astype(jnp.int32)
+        rec_y = jnp.zeros((1 + h + n, 1 + w + n), jnp.int32) + zseed
+        rec_cb = jnp.zeros((1 + h // 2 + nc, 1 + w // 2 + nc),
+                           jnp.int32) + zseed
+        rec_cr = jnp.zeros_like(rec_cb) + zseed
+        levels_y = jnp.zeros((self.n_blocks, n, n), jnp.int32) + zseed
+        levels_cb = jnp.zeros((self.n_blocks, nc, nc), jnp.int32) + zseed
+        levels_cr = jnp.zeros((self.n_blocks, nc, nc), jnp.int32) + zseed
+
+        src_blocks_y = src_y.reshape(self.rows, n, self.cols, n)
+        src_blocks_y = jnp.moveaxis(src_blocks_y, 1, 2).reshape(
+            self.n_blocks, n, n)
+        src_blocks_cb = jnp.moveaxis(src_cb.reshape(
+            self.rows, nc, self.cols, nc), 1, 2).reshape(
+            self.n_blocks, nc, nc)
+        src_blocks_cr = jnp.moveaxis(src_cr.reshape(
+            self.rows, nc, self.cols, nc), 1, 2).reshape(
+            self.n_blocks, nc, nc)
+
+        def do_plane(rec, bids, mask, modes_w, src_blocks, g, f, size, qp,
+                     t, is_luma, levels_store):
+            refs = self._gather_recon_refs(rec, bids, size, self.cols)
+            pred = self._block_pred(refs, modes_w, g, f, size, is_luma)
+            pred = pred.reshape(-1, size, size)
+            srcb = jnp.take(src_blocks, bids, axis=0)
+            resi = srcb - pred
+            levels, r2 = self._transform_quant(resi, t, qp, size)
+            cbf = jnp.any(levels != 0, axis=(1, 2))
+            rec_blk = jnp.clip(pred + jnp.where(cbf[:, None, None], r2, 0),
+                               0, 255)
+            # scatter recon into padded plane
+            r = bids // self.cols
+            c = bids % self.cols
+            y0 = r * size + 1
+            x0 = c * size + 1
+            yy = y0[:, None, None] + jnp.arange(size)[None, :, None]
+            xx = x0[:, None, None] + jnp.arange(size)[None, None, :]
+            flat = yy * rec.shape[1] + xx
+            flat = jnp.where(mask[:, None, None], flat, rec.size)
+            rec = rec.reshape(-1).at[flat.reshape(-1)].set(
+                rec_blk.reshape(-1), mode="drop").reshape(rec.shape)
+            # store levels
+            store_ids = jnp.where(mask, bids, self.n_blocks)
+            levels_store = levels_store.at[store_ids].set(
+                jnp.where(cbf[:, None, None], levels, 0), mode="drop")
+            return rec, levels_store
+
+        def wave_body(i, state):
+            rec_y, rec_cb, rec_cr, ly, lcb, lcr = state
+            bids = self.wave_blocks[i]
+            mask = self.wave_mask[i]
+            modes_w = jnp.take(modes_flat, bids)
+            rec_y, ly = do_plane(rec_y, bids, mask, modes_w, src_blocks_y,
+                                 self.g16, self.f16, n, self.qp, self.t16,
+                                 True, ly)
+            rec_cb, lcb = do_plane(rec_cb, bids, mask, modes_w,
+                                   src_blocks_cb, self.g8c, self.g8c, nc,
+                                   self.qp_c, self.t8, False, lcb)
+            rec_cr, lcr = do_plane(rec_cr, bids, mask, modes_w,
+                                   src_blocks_cr, self.g8c, self.g8c, nc,
+                                   self.qp_c, self.t8, False, lcr)
+            return rec_y, rec_cb, rec_cr, ly, lcb, lcr
+
+        state = (rec_y, rec_cb, rec_cr, levels_y, levels_cb, levels_cr)
+        state = jax.lax.fori_loop(0, self.n_waves, wave_body, state)
+        rec_y, rec_cb, rec_cr, ly, lcb, lcr = state
+        return {
+            "rec_y": rec_y[1:1 + h, 1:1 + w],
+            "rec_cb": rec_cb[1:1 + h // 2, 1:1 + w // 2],
+            "rec_cr": rec_cr[1:1 + h // 2, 1:1 + w // 2],
+            "levels_y": ly,
+            "levels_cb": lcb,
+            "levels_cr": lcr,
+        }

@@ -1,15 +1,23 @@
 import os
 import sys
 
-# Force JAX tests onto a virtual multi-device CPU mesh; sample-exact tests
-# are numpy-only and unaffected.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    "--xla_force_host_platform_device_count=8 "
-    + os.environ.get("XLA_FLAGS", ""))
+# Tests run on a local CPU backend with a virtual 8-device mesh.
+# Scrub the axon TPU hooks *before* jax is imported: with them active,
+# any XLA_FLAGS customisation routes compilation through the remote
+# compile service (minutes per program instead of seconds).
+os.environ["JAX_PLATFORMS"] = "cpu"
+# note: do NOT set XLA_FLAGS here — with the axon plugin registered,
+# custom XLA_FLAGS route compilation through the remote compile service.
+# Multi-device tests run in a subprocess with a scrubbed environment
+# (see scrubbed_multidevice_env).
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# env alone is not enough: the axon hook still routes compilation through
+# the remote compile service unless the platform is also set via config.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
@@ -25,3 +33,14 @@ def have_ref_encoder() -> bool:
 @pytest.fixture
 def rng():
     return np.random.RandomState(1234)
+
+
+def scrubbed_multidevice_env(n_devices: int = 8) -> dict:
+    """Environment for a subprocess running local JAX with N CPU devices,
+    free of the axon TPU hooks."""
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
+    env.pop("PYTHONPATH", None)  # drops the axon sitecustomize
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    return env
