@@ -1,0 +1,98 @@
+"""Command-line encoder, kvazaar-compatible flag names.
+
+Usage:  python -m kvazaar_tpu -i in.yuv --input-res 1920x1080 -o out.hevc \
+            --qp 27 [--preset fast] [--wpp] [--frames N] [--hash checksum]
+
+Reference parity: kvazaar src/encmain.c / src/cli.c (same core options;
+the full ~90-option surface grows with the engine).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .api import Encoder
+from .cfg import Config, PRESETS, apply_preset
+from .utils.yuv import YUVReader
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="kvazaar_tpu",
+                                description="TPU-native HEVC encoder")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("--input-res", default=None,
+                   help="WxH (required for raw .yuv)")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-q", "--qp", type=int, default=22)
+    p.add_argument("-p", "--period", type=int, default=64)
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    p.add_argument("--frames", "-n", type=int, default=0,
+                   help="number of frames to encode (0 = all)")
+    p.add_argument("--seek", type=int, default=0)
+    p.add_argument("--wpp", action="store_true")
+    p.add_argument("--no-wpp", dest="wpp", action="store_false")
+    p.add_argument("--signhide", action="store_true")
+    p.add_argument("--hash", choices=["checksum", "md5", "none"],
+                   default="checksum")
+    p.add_argument("--ctu", type=int, default=16, choices=[16, 64],
+                   help="CTU size (16 uses the TPU device pipeline)")
+    p.add_argument("--psnr", action="store_true", default=True)
+    p.add_argument("--no-psnr", dest="psnr", action="store_false")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    w = h = 0
+    if args.input_res:
+        w, h = (int(v) for v in args.input_res.split("x"))
+    reader = YUVReader(args.input, w, h)
+    cfg = Config(width=reader.width, height=reader.height, qp=args.qp,
+                 intra_period=args.period, wpp=args.wpp,
+                 signhide_enable=args.signhide, hash=args.hash,
+                 ctu_size=args.ctu)
+    if args.preset:
+        apply_preset(cfg, args.preset)
+    if cfg.signhide_enable and cfg.ctu_size == 16:
+        cfg.signhide_enable = False  # device path: SDH lands later
+    enc = Encoder(cfg)
+    if args.seek:
+        reader.seek(args.seek)
+
+    out = open(args.output, "wb")
+    n = 0
+    psnr_acc = np.zeros(3)
+    bits = 0
+    t0 = time.time()
+    while True:
+        if args.frames and n >= args.frames:
+            break
+        frame = reader.read_frame()
+        if frame is None:
+            break
+        chunk, info = enc.encode_frame(*frame)
+        out.write(chunk)
+        bits += len(chunk) * 8
+        psnr_acc += info["psnr"]
+        n += 1
+        print(f"POC {info['poc']:4d} ({len(chunk):6d} bytes) "
+              f"PSNR Y {info['psnr'][0]:.4f} U {info['psnr'][1]:.4f} "
+              f"V {info['psnr'][2]:.4f}", file=sys.stderr)
+    dt = time.time() - t0
+    out.close()
+    reader.close()
+    if n:
+        print(f" Processed {n} frames, {bits} bits", file=sys.stderr)
+        if args.psnr:
+            p = psnr_acc / n
+            print(f" AVG PSNR Y {p[0]:.4f} U {p[1]:.4f} V {p[2]:.4f}",
+                  file=sys.stderr)
+        print(f" FPS: {n / dt:.2f}", file=sys.stderr)
+    return 0 if n else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

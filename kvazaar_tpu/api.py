@@ -121,15 +121,32 @@ class Encoder:
         decisions = None
         if self._pipeline is not None:
             decisions = self._pipeline.encode_frame(y, cb, cr)
-        enc = IntraFrameEncoder(self.sps, self.pps, sh, y, cb, cr, cfg,
-                                decisions=decisions)
         n_ctu_x = self.sps.width_in_ctbs
         n_ctu_y = self.sps.height_in_ctbs
 
         wpp = bool(self.pps.entropy_coding_sync_enabled)
         substreams: list[bytes] = []
         saved_ctx: ContextSet | None = None
-        if not wpp:
+        native_done = False
+        if decisions is not None:
+            from . import native
+            if native.available():
+                data, sizes = native.encode_intra_grid(
+                    decisions["modes"], decisions["levels_y"],
+                    decisions["levels_cb"], decisions["levels_cr"],
+                    sh.qp, wpp)
+                off = 0
+                for s in sizes:
+                    substreams.append(data[off:off + s])
+                    off += s
+                native_done = True
+        enc = None
+        if not native_done:
+            enc = IntraFrameEncoder(self.sps, self.pps, sh, y, cb, cr, cfg,
+                                    decisions=decisions)
+        if native_done:
+            pass
+        elif not wpp:
             bw = BitWriter()
             cab = CabacEncoder(bw, ContextSet(0, sh.qp))
             enc.cab = cab

@@ -70,6 +70,11 @@ class _FrameState:
         self.decoded = np.zeros((mh, mw), dtype=bool)
         self.coded = np.zeros((mh, mw), dtype=bool)
         self.qp_map = np.full((mh, mw), self.sh.qp, dtype=np.int8)
+        # deblocking edge maps (8-aligned TU/CU edges; spec 8.7.2)
+        self.edges_ver = np.zeros((h // 4, w // 8), dtype=bool)
+        self.edges_hor = np.zeros((h // 8, w // 4), dtype=bool)
+        self.c_edges_ver = np.zeros((h // 8, w // 16), dtype=bool)
+        self.c_edges_hor = np.zeros((h // 16, w // 8), dtype=bool)
 
 
 class SliceDecoder:
@@ -185,6 +190,15 @@ class SliceDecoder:
         plane[py:py + size, px:px + size] = np.clip(pred, 0, max_val)
         if c_idx == 0:
             fs.decoded[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2] = True
+            if x > 0 and x % 8 == 0:
+                fs.edges_ver[y >> 2:(y + size) >> 2, x >> 3] = True
+            if y > 0 and y % 8 == 0:
+                fs.edges_hor[y >> 3, x >> 2:(x + size) >> 2] = True
+        elif c_idx == 1:
+            if px > 0 and px % 8 == 0:
+                fs.c_edges_ver[py >> 2:(py + size) >> 2, px >> 3] = True
+            if py > 0 and py % 8 == 0:
+                fs.c_edges_hor[py >> 3, px >> 2:(px + size) >> 2] = True
 
     # -- syntax ---------------------------------------------------------------
 
@@ -441,6 +455,23 @@ class HEVCDecoder:
                     break
                 if end and not last:
                     raise ValueError("unexpected end_of_slice")
+        if not pps.deblocking_filter_disabled and not \
+                sh.deblocking_filter_disabled:
+            from ..ops.deblock import deblock_plane
+            from ..tables import chroma_qp as _cqp
+            boff = sh.beta_offset_div2 or pps.beta_offset_div2
+            toff = sh.tc_offset_div2 or pps.tc_offset_div2
+            deblock_plane(fs.y, fs.edges_ver, fs.edges_hor, sh.qp,
+                          boff, toff, False,
+                          bit_depth=self.sps.bit_depth_luma)
+            deblock_plane(fs.cb, fs.c_edges_ver, fs.c_edges_hor, sh.qp,
+                          boff, toff, True,
+                          _cqp(sh.qp, pps.cb_qp_offset),
+                          bit_depth=self.sps.bit_depth_luma)
+            deblock_plane(fs.cr, fs.c_edges_ver, fs.c_edges_hor, sh.qp,
+                          boff, toff, True,
+                          _cqp(sh.qp, pps.cr_qp_offset),
+                          bit_depth=self.sps.bit_depth_luma)
         # crop to conformance window
         cl, cr_, ct, cb_ = self.sps.conf_win
         w, h = sps.width, sps.height

@@ -1,0 +1,427 @@
+// Native host-side entropy coder for the fixed 16x16 CTU grid.
+//
+// This is the framework's C++ runtime component: it consumes the
+// device-computed decision/coefficient tensors (modes + quantized levels)
+// and produces the CABAC-coded slice substreams. It replaces the Python
+// syntax writer on the hot path, mirroring how the reference keeps its
+// entropy coding in C (kvazaar src/cabac.c, src/encode_coding_tree.c) while
+// we keep the pixel math on the TPU.
+//
+// Scope (current grid): CTU == CU == PU == TU == 16x16 luma / 8x8 chroma,
+// diagonal scans only (mode-dependent scans apply only to TUs <= 8x8 luma /
+// 4x4 chroma), no sign-data-hiding, intra slices.
+
+#include <stdint.h>
+#include <string.h>
+
+#include "tables.h"
+
+namespace {
+
+struct BitWriter {
+  uint8_t* buf;
+  int64_t cap;
+  int64_t len = 0;   // complete bytes written
+  uint32_t cur = 0;  // bit accumulator
+  int nbits = 0;
+
+  void u(uint32_t value, int bits) {
+    cur = (cur << bits) | value;
+    nbits += bits;
+    while (nbits >= 8) {
+      nbits -= 8;
+      if (len < cap) buf[len] = (uint8_t)(cur >> nbits);
+      len++;
+    }
+    cur &= (1u << nbits) - 1;
+  }
+  void align_one() {
+    u(1, 1);
+    if (nbits) u(0, 8 - nbits);
+  }
+};
+
+struct Cabac {
+  uint32_t low = 0;
+  uint32_t range = 510;
+  int bits_left = 23;
+  int num_buffered = 0;
+  uint32_t buffered = 0xFF;
+  uint8_t state[KVZ_NUM_CTX];
+  uint8_t mps[KVZ_NUM_CTX];
+  BitWriter* bw;
+
+  void init_contexts(int qp) {
+    memcpy(state, kCtxInitState + qp * KVZ_NUM_CTX, KVZ_NUM_CTX);
+    memcpy(mps, kCtxInitMps + qp * KVZ_NUM_CTX, KVZ_NUM_CTX);
+  }
+  void copy_contexts(const Cabac& o) {
+    memcpy(state, o.state, KVZ_NUM_CTX);
+    memcpy(mps, o.mps, KVZ_NUM_CTX);
+  }
+  void reset_engine() {
+    low = 0; range = 510; bits_left = 23; num_buffered = 0; buffered = 0xFF;
+  }
+
+  void write_out() {
+    uint32_t lead = low >> (24 - bits_left);
+    bits_left += 8;
+    low &= 0xFFFFFFFFu >> bits_left;
+    if (lead == 0xFF) {
+      num_buffered++;
+    } else if (num_buffered > 0) {
+      uint32_t carry = lead >> 8;
+      bw->u((buffered + carry) & 0xFF, 8);
+      buffered = lead & 0xFF;
+      uint32_t fill = (0xFF + carry) & 0xFF;
+      while (num_buffered > 1) { bw->u(fill, 8); num_buffered--; }
+    } else {
+      num_buffered = 1;
+      buffered = lead;
+    }
+  }
+  inline void test_write() { if (bits_left < 12) write_out(); }
+
+  void encode_bin(int ctx, int binval) {
+    uint8_t s = state[ctx];
+    uint32_t lps = kLpsTable[s * 4 + ((range >> 6) & 3)];
+    range -= lps;
+    if (binval != mps[ctx]) {
+      int nbits = kRenorm[lps >> 3];
+      low = (low + range) << nbits;
+      range = lps << nbits;
+      if (s == 0) mps[ctx] ^= 1;
+      state[ctx] = kTransLps[s];
+      bits_left -= nbits;
+      test_write();
+    } else {
+      state[ctx] = kTransMps[s];
+      if (range >= 256) return;
+      low <<= 1;
+      range <<= 1;
+      bits_left -= 1;
+      test_write();
+    }
+  }
+  void encode_bin_ep(int binval) {
+    low <<= 1;
+    if (binval) low += range;
+    bits_left -= 1;
+    test_write();
+  }
+  void encode_bins_ep(uint32_t pattern, int n) {
+    while (n > 8) {
+      n -= 8;
+      low = (low << 8) + range * ((pattern >> n) & 0xFF);
+      bits_left -= 8;
+      test_write();
+    }
+    if (n > 0) {
+      low = (low << n) + range * (pattern & ((1u << n) - 1));
+      bits_left -= n;
+      test_write();
+    }
+  }
+  void encode_bin_trm(int binval) {
+    range -= 2;
+    if (binval) {
+      low += range;
+      low <<= 7;
+      range = 2 << 7;
+      bits_left -= 7;
+    } else if (range >= 256) {
+      return;
+    } else {
+      low <<= 1;
+      range <<= 1;
+      bits_left -= 1;
+    }
+    test_write();
+  }
+  void finish() {
+    if (low >> (32 - bits_left)) {
+      bw->u(buffered + 1, 8);
+      while (num_buffered > 1) { bw->u(0x00, 8); num_buffered--; }
+      low -= 1u << (32 - bits_left);
+    } else {
+      if (num_buffered > 0) bw->u(buffered, 8);
+      while (num_buffered > 1) { bw->u(0xFF, 8); num_buffered--; }
+    }
+    bw->u(low >> 8, 24 - bits_left);
+  }
+  void golomb_remaining(uint32_t value, int rice) {
+    if ((value >> rice) < 3) {
+      int len = value >> rice;
+      encode_bins_ep((1u << (len + 1)) - 2, len + 1);
+      if (rice) encode_bins_ep(value & ((1u << rice) - 1), rice);
+    } else {
+      int len = rice;
+      value -= 3u << rice;
+      while (value >= (1u << len)) {
+        value -= 1u << len;
+        len++;
+      }
+      encode_bins_ep((1u << (3 + len + 1 - rice)) - 2, 3 + len + 1 - rice);
+      encode_bins_ep(value, len);
+    }
+  }
+};
+
+void encode_residual(Cabac& cab, const int32_t* coeffs, int log2_size,
+                     int c_idx) {
+  const int size = 1 << log2_size;
+  const int nn = size * size;
+  const uint16_t* scan = (size == 16) ? kScanDiag16 : kScanDiag8;
+  const uint16_t* cg_scan = (size == 16) ? kCgScanDiag16 : kCgScanDiag8;
+  const int width_cg = size >> 2;
+
+  int32_t flat[256];
+  int last_scan_pos = -1;
+  for (int i = 0; i < nn; i++) {
+    flat[i] = coeffs[scan[i]];
+    if (flat[i]) last_scan_pos = i;
+  }
+  // last position
+  {
+    int lp = scan[last_scan_pos];
+    int lx = lp & (size - 1), ly = lp >> log2_size;
+    int offset, shift;
+    int base_x = KVZ_CTX_LAST_SIG_X, base_y = KVZ_CTX_LAST_SIG_Y;
+    if (c_idx) {
+      base_x += 15; base_y += 15;
+      offset = 0; shift = log2_size - 2;
+    } else {
+      offset = 3 * (log2_size - 2) + ((log2_size - 1) >> 2);
+      shift = (log2_size + 1) >> 2;
+    }
+    int gx = kGroupIdx[lx], gy = kGroupIdx[ly];
+    int cmax = (log2_size << 1) - 1;
+    for (int i = 0; i < gx; i++) cab.encode_bin(base_x + offset + (i >> shift), 1);
+    if (gx < cmax) cab.encode_bin(base_x + offset + (gx >> shift), 0);
+    for (int i = 0; i < gy; i++) cab.encode_bin(base_y + offset + (i >> shift), 1);
+    if (gy < cmax) cab.encode_bin(base_y + offset + (gy >> shift), 0);
+    if (gx > 3) cab.encode_bins_ep(lx - kMinInGroup[gx], (gx - 2) >> 1);
+    if (gy > 3) cab.encode_bins_ep(ly - kMinInGroup[gy], (gy - 2) >> 1);
+  }
+
+  const int last_cg = last_scan_pos >> 4;
+  uint8_t csbf_map[64];
+  memset(csbf_map, 0, sizeof(csbf_map));
+  int c1 = 1;
+
+  for (int cg = last_cg; cg >= 0; cg--) {
+    const int cg_pos = cg_scan[cg];
+    const int cgx = cg_pos % width_cg, cgy = cg_pos / width_cg;
+    const int sub_pos = cg << 4;
+    int cg_has = 0;
+    for (int i = 0; i < 16; i++) if (flat[sub_pos + i]) { cg_has = 1; break; }
+
+    int right = (cgx + 1 < width_cg) ? csbf_map[cgy * width_cg + cgx + 1] : 0;
+    int below = (cgy + 1 < width_cg) ? csbf_map[(cgy + 1) * width_cg + cgx] : 0;
+    int infer_sb_dc = 0;
+    int coded_csbf;
+    if (cg == last_cg || cg == 0) {
+      coded_csbf = 1;
+    } else {
+      int ctx = KVZ_CTX_CODED_SUB_BLOCK_FLAG + ((right || below) ? 1 : 0) +
+                (c_idx ? 2 : 0);
+      cab.encode_bin(ctx, cg_has);
+      coded_csbf = cg_has;
+      infer_sb_dc = 1;
+    }
+    csbf_map[cgy * width_cg + cgx] = coded_csbf;
+    if (!coded_csbf) continue;
+
+    // significance map (reverse scan)
+    int sig_pos[16];
+    int nsig = 0;
+    int start = (cg == last_cg) ? last_scan_pos - 1 : sub_pos + 15;
+    if (cg == last_cg) sig_pos[nsig++] = last_scan_pos;
+    const int pattern = right + 2 * below;
+    for (int pos = start; pos >= sub_pos; pos--) {
+      int val = flat[pos] != 0;
+      if (pos == sub_pos && infer_sb_dc && nsig == 0) {
+        sig_pos[nsig++] = pos;
+        continue;
+      }
+      int rp = scan[pos];
+      int x = rp & (size - 1), y = rp >> log2_size;
+      int sig;
+      if (x + y == 0) {
+        sig = 0;
+      } else {
+        int xp = x & 3, yp = y & 3;
+        int cnt;
+        if (pattern == 0)
+          cnt = (xp + yp == 0) ? 2 : (xp + yp < 3) ? 1 : 0;
+        else if (pattern == 1)
+          cnt = (yp == 0) ? 2 : (yp == 1) ? 1 : 0;
+        else if (pattern == 2)
+          cnt = (xp == 0) ? 2 : (xp == 1) ? 1 : 0;
+        else
+          cnt = 2;
+        if (c_idx == 0) {
+          if ((x >> 2) + (y >> 2) > 0) cnt += 3;
+          cnt += (log2_size == 3) ? 9 : 21;
+        } else {
+          cnt += (log2_size == 3) ? 9 : 12;
+        }
+        sig = cnt;
+      }
+      cab.encode_bin(KVZ_CTX_SIG_COEFF_FLAG + sig + (c_idx ? 27 : 0), val);
+      if (val) sig_pos[nsig++] = pos;
+    }
+    if (!nsig) continue;
+
+    // level data
+    int abs_lev[16], signs[16];
+    for (int i = 0; i < nsig; i++) {
+      int32_t v = flat[sig_pos[i]];
+      abs_lev[i] = v < 0 ? -v : v;
+      signs[i] = v < 0;
+    }
+    int ctx_set = (cg > 0 && c_idx == 0) ? 2 : 0;
+    if (c1 == 0) ctx_set++;
+    c1 = 1;
+    int first_g1 = -1;
+    int n_c1 = nsig < 8 ? nsig : 8;
+    for (int i = 0; i < n_c1; i++) {
+      int g1 = abs_lev[i] > 1;
+      cab.encode_bin(KVZ_CTX_COEFF_ABS_LEVEL_GREATER1_FLAG +
+                         (c_idx ? 16 : 0) + ctx_set * 4 + c1, g1);
+      if (g1) {
+        c1 = 0;
+        if (first_g1 < 0) first_g1 = i;
+      } else if (c1 > 0 && c1 < 3) {
+        c1++;
+      }
+    }
+    if (first_g1 >= 0) {
+      cab.encode_bin(KVZ_CTX_COEFF_ABS_LEVEL_GREATER2_FLAG +
+                         (c_idx ? 4 : 0) + ctx_set,
+                     abs_lev[first_g1] > 2);
+    }
+    uint32_t sign_pat = 0;
+    for (int i = 0; i < nsig; i++) sign_pat = (sign_pat << 1) | signs[i];
+    cab.encode_bins_ep(sign_pat, nsig);  // no SDH on this path
+    int rice = 0, first_coeff2 = 1;
+    for (int i = 0; i < nsig; i++) {
+      int base = (i < 8) ? (2 + first_coeff2) : 1;
+      if (abs_lev[i] >= base) {
+        cab.golomb_remaining(abs_lev[i] - base, rice);
+        if (abs_lev[i] > (3 << rice) && rice < 4) rice++;
+      }
+      if (abs_lev[i] >= 2) first_coeff2 = 0;
+    }
+  }
+}
+
+void encode_ctu(Cabac& cab, int r, int c, int cols, const int32_t* modes,
+                const int32_t* ly, const int32_t* lcb, const int32_t* lcr) {
+  const int b = r * cols + c;
+  // split_cu_flag at 16x16 (> min CB 8): always 0, neighbour depths all 0
+  cab.encode_bin(KVZ_CTX_SPLIT_CU_FLAG + 0, 0);
+  // intra mode: above PU is always in the CTU row above -> candB = DC(1);
+  // candA = left mode or DC
+  int mode = modes[b];
+  int a = (c > 0) ? modes[b - 1] : 1;
+  int bm = 1;
+  int mpm[3];
+  if (a == bm) {
+    if (a < 2) { mpm[0] = 0; mpm[1] = 1; mpm[2] = 26; }
+    else { mpm[0] = a; mpm[1] = 2 + ((a + 29) % 32);
+           mpm[2] = 2 + ((a - 2 + 1) % 32); }
+  } else {
+    mpm[0] = a; mpm[1] = bm;
+    if (a != 0 && bm != 0) mpm[2] = 0;
+    else if (a + bm < 2) mpm[2] = 26;
+    else mpm[2] = 1;
+  }
+  int idx = -1;
+  for (int i = 0; i < 3; i++) if (mpm[i] == mode) { idx = i; break; }
+  if (idx >= 0) {
+    cab.encode_bin(KVZ_CTX_PREV_INTRA_LUMA_PRED_FLAG, 1);
+    if (idx == 0) cab.encode_bin_ep(0);
+    else { cab.encode_bin_ep(1); cab.encode_bin_ep(idx - 1); }
+  } else {
+    cab.encode_bin(KVZ_CTX_PREV_INTRA_LUMA_PRED_FLAG, 0);
+    int rem = mode;
+    int s0 = mpm[0], s1 = mpm[1], s2 = mpm[2], t;
+    if (s0 > s1) { t = s0; s0 = s1; s1 = t; }
+    if (s1 > s2) { t = s1; s1 = s2; s2 = t; }
+    if (s0 > s1) { t = s0; s0 = s1; s1 = t; }
+    if (rem > s2) rem--;
+    if (rem > s1) rem--;
+    if (rem > s0) rem--;
+    cab.encode_bins_ep(rem, 5);
+  }
+  // chroma: derived mode
+  cab.encode_bin(KVZ_CTX_INTRA_CHROMA_PRED_MODE, 0);
+  // transform tree: TU == CU, no split flag (max depth 0)
+  const int32_t* cy = ly + b * 256;
+  const int32_t* cb_ = lcb + b * 64;
+  const int32_t* cr_ = lcr + b * 64;
+  int cbf_y = 0, cbf_cb = 0, cbf_cr = 0;
+  for (int i = 0; i < 256; i++) if (cy[i]) { cbf_y = 1; break; }
+  for (int i = 0; i < 64; i++) if (cb_[i]) { cbf_cb = 1; break; }
+  for (int i = 0; i < 64; i++) if (cr_[i]) { cbf_cr = 1; break; }
+  cab.encode_bin(KVZ_CTX_CBF_CHROMA + 0, cbf_cb);
+  cab.encode_bin(KVZ_CTX_CBF_CHROMA + 0, cbf_cr);
+  cab.encode_bin(KVZ_CTX_CBF_LUMA + 1, cbf_y);  // trafo depth 0 -> ctx 1
+  if (cbf_y) encode_residual(cab, cy, 4, 0);
+  if (cbf_cb) encode_residual(cab, cb_, 3, 1);
+  if (cbf_cr) encode_residual(cab, cr_, 3, 2);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode the slice data for a fixed 16x16 grid intra picture.
+// Returns total bytes written (or -1 on overflow). With wpp != 0,
+// entry_sizes[r] receives each row substream's byte size.
+int64_t kvz_tpu_encode_intra_grid(const int32_t* modes, const int32_t* ly,
+                                  const int32_t* lcb, const int32_t* lcr,
+                                  int rows, int cols, int qp, int wpp,
+                                  uint8_t* out, int64_t out_cap,
+                                  int64_t* entry_sizes) {
+  BitWriter bw{out, out_cap};
+  Cabac cab;
+  cab.bw = &bw;
+  Cabac saved;  // wpp context storage
+
+  if (!wpp) {
+    cab.reset_engine();
+    cab.init_contexts(qp);
+    for (int r = 0; r < rows; r++)
+      for (int c = 0; c < cols; c++) {
+        encode_ctu(cab, r, c, cols, modes, ly, lcb, lcr);
+        int last = (r == rows - 1 && c == cols - 1);
+        cab.encode_bin_trm(last);
+      }
+    cab.finish();
+    bw.align_one();
+    if (entry_sizes) entry_sizes[0] = bw.len;
+  } else {
+    int64_t prev_len = 0;
+    for (int r = 0; r < rows; r++) {
+      cab.reset_engine();
+      if (r == 0 || cols == 1) cab.init_contexts(qp);
+      else cab.copy_contexts(saved);
+      for (int c = 0; c < cols; c++) {
+        encode_ctu(cab, r, c, cols, modes, ly, lcb, lcr);
+        if (c == 1 && cols > 1) saved.copy_contexts(cab);
+        int last = (r == rows - 1 && c == cols - 1);
+        cab.encode_bin_trm(last);
+        if (c == cols - 1 && !last) cab.encode_bin_trm(1);
+      }
+      cab.finish();
+      bw.align_one();
+      if (entry_sizes) entry_sizes[r] = bw.len - prev_len;
+      prev_len = bw.len;
+    }
+  }
+  return bw.len <= out_cap ? bw.len : -1;
+}
+
+}  // extern "C"
