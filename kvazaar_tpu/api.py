@@ -85,6 +85,27 @@ class Encoder:
             self._pipeline = IntraPipeline(self.sps.height, self.sps.width,
                                            cfg.qp)
 
+    def _deblock_recon(self, rec):
+        """Apply the in-loop deblocking filter to the reconstruction
+        (static TU-grid edges; all-intra so BS=2 everywhere)."""
+        from .ops.deblock import deblock_plane
+        from .tables import chroma_qp
+        cfg = self.cfg
+        w, h = self.sps.width, self.sps.height
+        tu_l = 16 if self.use_device else min(1 << cfg.cu_log2, 32)
+        ev, eh = _grid_edges(h, w, tu_l)
+        cev, ceh = _grid_edges(h // 2, w // 2, tu_l // 2)
+        y = deblock_plane(rec[0].astype(np.int32), ev, eh, cfg.qp,
+                          cfg.deblock_beta, cfg.deblock_tc, False)
+        cb = deblock_plane(rec[1].astype(np.int32), cev, ceh, cfg.qp,
+                           cfg.deblock_beta, cfg.deblock_tc, True,
+                           chroma_qp(cfg.qp, self.pps.cb_qp_offset))
+        cr = deblock_plane(rec[2].astype(np.int32), cev, ceh, cfg.qp,
+                           cfg.deblock_beta, cfg.deblock_tc, True,
+                           chroma_qp(cfg.qp, self.pps.cr_qp_offset))
+        return [y.astype(np.uint16), cb.astype(np.uint16),
+                cr.astype(np.uint16)]
+
     # -- headers ---------------------------------------------------------------
 
     def headers(self) -> bytes:
@@ -202,6 +223,8 @@ class Encoder:
             rec = [enc.rec_y[:h, :w].astype(np.uint16),
                    enc.rec_cb[:h // 2, :w // 2].astype(np.uint16),
                    enc.rec_cr[:h // 2, :w // 2].astype(np.uint16)]
+        if cfg.deblock_enable:
+            rec = self._deblock_recon(rec)
         if cfg.hash != "none":
             htype = HASH_CHECKSUM if cfg.hash == "checksum" else HASH_MD5
             out += nal_unit(write_hash_sei(rec, htype, 8), NAL_SUFFIX_SEI)
@@ -221,6 +244,19 @@ class Encoder:
         self.frame_num += 1
         self.poc += 1
         return out, info
+
+
+def _grid_edges(h: int, w: int, tu: int):
+    """Static deblocking edge maps for a uniform TU grid (luma size tu)."""
+    ev = np.zeros((h // 4, w // 8), dtype=bool)
+    eh = np.zeros((h // 8, w // 4), dtype=bool)
+    for x8 in range(1, w // 8):
+        if (x8 * 8) % tu == 0:
+            ev[:, x8] = True
+    for y8 in range(1, h // 8):
+        if (y8 * 8) % tu == 0:
+            eh[y8, :] = True
+    return ev, eh
 
 
 def _psnr(src_planes, rec_planes) -> list[float]:

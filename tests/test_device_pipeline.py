@@ -51,3 +51,11 @@ def test_multichip_dryrun():
                        env=scrubbed_multidevice_env(8), capture_output=True,
                        text=True, timeout=600)
     assert "DRYRUN_OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_device_path_with_deblocking(rng):
+    cfg = Config(width=96, height=80, qp=30, ctu_size=16,
+                 deblock_enable=True)
+    stream, infos = encode_sequence(cfg, _frames(96, 80, 2, rng))
+    frames = HEVCDecoder().decode(stream)
+    assert all(f.hash_ok for f in frames)
