@@ -31,6 +31,10 @@ INTRA = 1
 INTER = 0
 
 
+def _clip8(v: int) -> int:
+    return min(max(int(v), -128), 127)
+
+
 @dataclass
 class DecodedFrame:
     poc: int
@@ -70,6 +74,11 @@ class _FrameState:
         self.decoded = np.zeros((mh, mw), dtype=bool)
         self.coded = np.zeros((mh, mw), dtype=bool)
         self.qp_map = np.full((mh, mw), self.sh.qp, dtype=np.int8)
+        # motion field (per 4x4, per list): mv in qpel, ref poc
+        # (-(1<<30) = unused/intra)
+        self.mv = np.zeros((mh, mw, 2, 2), dtype=np.int32)
+        self.ref_poc = np.full((mh, mw, 2), -(1 << 30), dtype=np.int64)
+        self.skip = np.zeros((mh, mw), dtype=bool)
         # deblocking edge maps (8-aligned TU/CU edges; spec 8.7.2)
         self.edges_ver = np.zeros((h // 4, w // 8), dtype=bool)
         self.edges_hor = np.zeros((h // 8, w // 4), dtype=bool)
@@ -238,13 +247,464 @@ class SliceDecoder:
                       x0 >> 2:(x0 + size) >> 2] = depth
         self.coding_unit(x0, y0, log2_size)
 
-    def coding_unit(self, x0: int, y0: int, log2_size: int) -> None:
+    # -- inter: candidate derivation (two reference lists; spec 8.5.3) ----
+
+    NO_REF = -(1 << 30)
+
+    def _mv_at(self, x: int, y: int):
+        """Motion of the 4x4 block at (x, y): (flags[2], mv[2,2], pocs[2])
+        or None if not z-coded inter."""
+        if not self._coded(x, y):
+            return None
+        if self.fs.pred_mode[y >> 2, x >> 2] != INTER:
+            return None
+        fs = self.fs
+        pocs = fs.ref_poc[y >> 2, x >> 2]
+        flags = (pocs[0] > self.NO_REF, pocs[1] > self.NO_REF)
+        return (flags, fs.mv[y >> 2, x >> 2].copy(),
+                (int(pocs[0]), int(pocs[1])))
+
+    @staticmethod
+    def _same_motion(a, b) -> bool:
+        return (a[0] == b[0] and np.array_equal(a[1], b[1])
+                and a[2] == b[2])
+
+    def _scale_mv(self, mv, cur_diff: int, ref_diff: int) -> np.ndarray:
+        """MV scaling (spec 8.5.3.2.8): scale by tb/td POC distances."""
+        tb = _clip8(cur_diff)
+        td = _clip8(ref_diff)
+        if td == tb or td == 0:
+            return mv.astype(np.int32)
+        tx = (16384 + (abs(td) >> 1)) // td
+        dsf = min(max((tb * tx + 32) >> 6, -4096), 4095)
+        prod = dsf * mv.astype(np.int64)
+        out = np.sign(prod) * ((np.abs(prod) + 127) >> 8)
+        return np.clip(out, -32768, 32767).astype(np.int32)
+
+    def _col_mv(self, x: int, y: int, w: int, h: int, lx: int,
+                ref_poc: int):
+        """Temporal MV for list lx scaled to ref_poc (spec 8.5.3.2.8/9)."""
+        col = self.col_pic
+        if col is None:
+            return None
         sps = self.sps
+        cands = []
+        cx, cy = x + w, y + h
+        if cx < sps.width and cy < sps.height and \
+                (cy >> sps.ctb_log2) == (y >> sps.ctb_log2):
+            cands.append((cx, cy))
+        cands.append((x + (w >> 1), y + (h >> 1)))
+        for (px, py) in cands:
+            pxx, pyy = (px >> 4) << 4, (py >> 4) << 4
+            pocs = col["ref_poc"][pyy >> 2, pxx >> 2]
+            f0, f1 = pocs[0] > self.NO_REF, pocs[1] > self.NO_REF
+            if not f0 and not f1:
+                continue
+            # choose the collocated list (low-delay: use target list)
+            if not f0:
+                use = 1
+            elif not f1:
+                use = 0
+            else:
+                use = lx  # NoBackwardPred (low delay) case
+            mv = col["mv"][pyy >> 2, pxx >> 2, use]
+            col_ref = int(pocs[use])
+            return self._scale_mv(mv, self.poc - ref_poc,
+                                  col["poc"] - col_ref)
+        return None
+
+    def merge_candidates(self, x0: int, y0: int, w: int, h: int,
+                         max_cand: int) -> list:
+        """Merge candidates; each is (flags, mv[2,2], pocs)."""
+        is_b = self.sh.slice_type == 0
+        a1 = self._mv_at(x0 - 1, y0 + h - 1)
+        b1 = self._mv_at(x0 + w - 1, y0 - 1)
+        b0 = self._mv_at(x0 + w, y0 - 1)
+        a0 = self._mv_at(x0 - 1, y0 + h)
+        cands = []
+        if a1 is not None:
+            cands.append(a1)
+        if b1 is not None and not (a1 is not None
+                                   and self._same_motion(b1, a1)):
+            cands.append(b1)
+        if b0 is not None and not (b1 is not None
+                                   and self._same_motion(b0, b1)):
+            cands.append(b0)
+        if a0 is not None and not (a1 is not None
+                                   and self._same_motion(a0, a1)):
+            cands.append(a0)
+        if len(cands) < 4:
+            b2 = self._mv_at(x0 - 1, y0 - 1)
+            if b2 is not None and not any(
+                    e is not None and self._same_motion(b2, e)
+                    for e in (a1, b1)):
+                cands.append(b2)
+        if self.sh.temporal_mvp_enabled and len(cands) < max_cand:
+            mv = np.zeros((2, 2), np.int32)
+            pocs = [self.NO_REF, self.NO_REF]
+            t0 = self._col_mv(x0, y0, w, h, 0, self.ref_list[0]["poc"])
+            f0 = t0 is not None
+            if f0:
+                mv[0] = t0
+                pocs[0] = self.ref_list[0]["poc"]
+            f1 = False
+            if is_b and self.ref_list1:
+                t1 = self._col_mv(x0, y0, w, h, 1, self.ref_list1[0]["poc"])
+                f1 = t1 is not None
+                if f1:
+                    mv[1] = t1
+                    pocs[1] = self.ref_list1[0]["poc"]
+            if f0 or f1:
+                cands.append(((f0, f1), mv, (pocs[0], pocs[1])))
+        # combined bi-predictive candidates (B slices, spec 8.5.3.2.4)
+        if is_b and 1 < len(cands) < max_cand:
+            order = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+                     (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2))
+            n = len(cands)
+            for (i0c, i1c) in order:
+                if len(cands) >= max_cand:
+                    break
+                if i0c >= n or i1c >= n:
+                    continue
+                c0, c1 = cands[i0c], cands[i1c]
+                if not (c0[0][0] and c1[0][1]):
+                    continue
+                if c0[2][0] == c1[2][1] and \
+                        np.array_equal(c0[1][0], c1[1][1]):
+                    continue
+                mv = np.zeros((2, 2), np.int32)
+                mv[0] = c0[1][0]
+                mv[1] = c1[1][1]
+                cands.append(((True, True), mv, (c0[2][0], c1[2][1])))
+        zi = 0
+        while len(cands) < max_cand:
+            mv = np.zeros((2, 2), np.int32)
+            p0 = self.ref_list[min(zi, len(self.ref_list) - 1)]["poc"]
+            if is_b and self.ref_list1:
+                p1 = self.ref_list1[min(zi, len(self.ref_list1) - 1)]["poc"]
+                cands.append(((True, True), mv, (p0, p1)))
+            else:
+                cands.append(((True, False), mv, (p0, self.NO_REF)))
+            zi += 1
+        return cands[:max_cand]
+
+    def amvp_candidates(self, x0: int, y0: int, w: int, h: int, lx: int,
+                        ref_poc: int) -> list:
+        """Two AMVP candidates for list lx (spec 8.5.3.2.6)."""
+        a0 = self._mv_at(x0 - 1, y0 + h)
+        a1 = self._mv_at(x0 - 1, y0 + h - 1)
+        b0 = self._mv_at(x0 + w, y0 - 1)
+        b1 = self._mv_at(x0 + w - 1, y0 - 1)
+        b2 = self._mv_at(x0 - 1, y0 - 1)
+
+        def pick(cand_list, allow_scaled):
+            # same-poc first (either list), then scaled (either list)
+            for c in cand_list:
+                if c is None:
+                    continue
+                for l in (lx, 1 - lx):
+                    if c[0][l] and c[2][l] == ref_poc:
+                        return c[1][l].astype(np.int32)
+            if allow_scaled:
+                for c in cand_list:
+                    if c is None:
+                        continue
+                    for l in (lx, 1 - lx):
+                        if c[0][l]:
+                            return self._scale_mv(
+                                c[1][l], self.poc - ref_poc,
+                                self.poc - c[2][l])
+            return None
+
+        mva = pick((a0, a1), True)
+        a_avail = a0 is not None or a1 is not None
+        mvb = pick((b0, b1, b2), not a_avail)
+        cands = []
+        if mva is not None:
+            cands.append(mva)
+        if mvb is not None and not (mva is not None
+                                    and np.array_equal(mvb, mva)):
+            cands.append(mvb)
+        if len(cands) < 2 and self.sh.temporal_mvp_enabled:
+            tm = self._col_mv(x0, y0, w, h, lx, ref_poc)
+            if tm is not None:
+                cands.append(tm)
+        while len(cands) < 2:
+            cands.append(np.zeros(2, np.int32))
+        return cands[:2]
+
+    def _ref_by_poc(self, poc: int, lx: int):
+        lst = self.ref_list if lx == 0 else self.ref_list1
+        for r in lst:
+            if r["poc"] == poc:
+                return r
+        for r in self.ref_list + self.ref_list1:
+            if r["poc"] == poc:
+                return r
+        raise ValueError(f"reference poc {poc} not found")
+
+    def _inter_pred(self, x0: int, y0: int, w: int, h: int, motion) -> None:
+        """Motion-compensated prediction written into the rec planes."""
+        from ..ops.mc import bi_average, mc_chroma, mc_chroma_hi, \
+            mc_luma, mc_luma_hi
+        flags, mv, pocs = motion
+        fs = self.fs
+        bd = self.sps.bit_depth_luma
+        cx, cy, cw, ch = x0 >> 1, y0 >> 1, w >> 1, h >> 1
+        if flags[0] and flags[1]:
+            r0 = self._ref_by_poc(pocs[0], 0)
+            r1 = self._ref_by_poc(pocs[1], 1)
+            fs.y[y0:y0 + h, x0:x0 + w] = bi_average(
+                mc_luma_hi(r0["y"], x0, y0, w, h, int(mv[0, 0]),
+                           int(mv[0, 1]), bd),
+                mc_luma_hi(r1["y"], x0, y0, w, h, int(mv[1, 0]),
+                           int(mv[1, 1]), bd), bd)
+            for pl, key in ((fs.cb, "cb"), (fs.cr, "cr")):
+                pl[cy:cy + ch, cx:cx + cw] = bi_average(
+                    mc_chroma_hi(r0[key], cx, cy, cw, ch, int(mv[0, 0]),
+                                 int(mv[0, 1]), bd),
+                    mc_chroma_hi(r1[key], cx, cy, cw, ch, int(mv[1, 0]),
+                                 int(mv[1, 1]), bd), bd)
+        else:
+            lx = 0 if flags[0] else 1
+            r = self._ref_by_poc(pocs[lx], lx)
+            fs.y[y0:y0 + h, x0:x0 + w] = mc_luma(
+                r["y"], x0, y0, w, h, int(mv[lx, 0]), int(mv[lx, 1]), bd)
+            for pl, key in ((fs.cb, "cb"), (fs.cr, "cr")):
+                pl[cy:cy + ch, cx:cx + cw] = mc_chroma(
+                    r[key], cx, cy, cw, ch, int(mv[lx, 0]),
+                    int(mv[lx, 1]), bd)
+
+    def _mark_inter(self, x0: int, y0: int, size: int, motion,
+                    skip: bool) -> None:
+        flags, mv, pocs = motion
+        fs = self.fs
+        sl = (slice(y0 >> 2, (y0 + size) >> 2),
+              slice(x0 >> 2, (x0 + size) >> 2))
+        fs.pred_mode[sl] = INTER
+        fs.intra_mode[sl] = 1
+        fs.mv[sl[0], sl[1]] = mv
+        fs.ref_poc[sl[0], sl[1], 0] = pocs[0] if flags[0] else self.NO_REF
+        fs.ref_poc[sl[0], sl[1], 1] = pocs[1] if flags[1] else self.NO_REF
+        fs.skip[sl] = skip
+        fs.coded[sl] = True
+        fs.decoded[sl] = True
+        if x0 > 0 and x0 % 8 == 0:
+            fs.edges_ver[y0 >> 2:(y0 + size) >> 2, x0 >> 3] = True
+        if y0 > 0 and y0 % 8 == 0:
+            fs.edges_hor[y0 >> 3, x0 >> 2:(x0 + size) >> 2] = True
+        px, py = x0 >> 1, y0 >> 1
+        if px > 0 and px % 8 == 0:
+            fs.c_edges_ver[py >> 2:(py + (size >> 1)) >> 2, px >> 3] = True
+        if py > 0 and py % 8 == 0:
+            fs.c_edges_hor[py >> 3, px >> 2:(px + (size >> 1)) >> 2] = True
+
+    def _decode_mvd(self) -> np.ndarray:
+        cab = self.cab
+        g0x = cab.decode_bin(ContextSet.idx("mvd", 0))
+        g0y = cab.decode_bin(ContextSet.idx("mvd", 0))
+        g1x = cab.decode_bin(ContextSet.idx("mvd", 1)) if g0x else 0
+        g1y = cab.decode_bin(ContextSet.idx("mvd", 1)) if g0y else 0
+        out = []
+        for g0, g1 in ((g0x, g1x), (g0y, g1y)):
+            if not g0:
+                out.append(0)
+                continue
+            v = 1
+            if g1:
+                q = 0
+                while cab.decode_bin_ep():
+                    q += 1
+                    if q > 30:
+                        raise ValueError("mvd overflow")
+                suffix = cab.decode_bins_ep(q + 1)
+                v = 2 + (((1 << q) - 1) << 1) + suffix
+            sign = cab.decode_bin_ep()
+            out.append(-v if sign else v)
+        return np.array(out, dtype=np.int32)
+
+    def _decode_merge_idx(self, max_merge: int) -> int:
+        if max_merge <= 1:
+            return 0
+        if not self.cab.decode_bin(ContextSet.idx("merge_idx", 0)):
+            return 0
+        v = 1
+        while v < max_merge - 1 and self.cab.decode_bin_ep():
+            v += 1
+        return v
+
+    def _decode_ref_idx(self, n_refs: int) -> int:
+        if n_refs <= 1:
+            return 0
+        cab = self.cab
+        if not cab.decode_bin(ContextSet.idx("ref_idx", 0)):
+            return 0
+        v = 1
+        if n_refs > 2 and cab.decode_bin(ContextSet.idx("ref_idx", 1)):
+            v = 2
+            while v < n_refs - 1 and cab.decode_bin_ep():
+                v += 1
+        return v
+
+    def _coding_unit_p(self, x0: int, y0: int, log2_size: int) -> None:
+        cab = self.cab
+        sh = self.sh
+        size = 1 << log2_size
+        is_b = sh.slice_type == 0
+        ctx_off = 0
+        if self._coded(x0 - 1, y0) and self.fs.skip[y0 >> 2, (x0 - 1) >> 2]:
+            ctx_off += 1
+        if self._coded(x0, y0 - 1) and self.fs.skip[(y0 - 1) >> 2, x0 >> 2]:
+            ctx_off += 1
+        skip = cab.decode_bin(ContextSet.idx("cu_skip_flag", ctx_off))
+        max_merge = 5 - sh.five_minus_max_num_merge_cand
+        if skip:
+            midx = self._decode_merge_idx(max_merge)
+            motion = self.merge_candidates(x0, y0, size, size,
+                                           max_merge)[midx]
+            self._inter_pred(x0, y0, size, size, motion)
+            self._mark_inter(x0, y0, size, motion, True)
+            return
+        if cab.decode_bin(ContextSet.idx("pred_mode_flag", 0)):
+            self._coding_unit_intra(x0, y0, log2_size)
+            return
+        if not cab.decode_bin(ContextSet.idx("part_mode", 0)):
+            raise NotImplementedError("non-2Nx2N inter partitions")
+        merge = cab.decode_bin(ContextSet.idx("merge_flag", 0))
+        if merge:
+            midx = self._decode_merge_idx(max_merge)
+            motion = self.merge_candidates(x0, y0, size, size,
+                                           max_merge)[midx]
+        else:
+            depth = int(self.fs.depth[y0 >> 2, x0 >> 2])
+            if is_b:
+                # inter_pred_idc (spec 9.3.3.7): bin0 ctx = CtDepth
+                if cab.decode_bin(ContextSet.idx("inter_pred_idc", depth)):
+                    idc = 2  # BI
+                else:
+                    idc = 1 if cab.decode_bin(
+                        ContextSet.idx("inter_pred_idc", 4)) else 0
+            else:
+                idc = 0
+            flags = [idc != 1, idc != 0]
+            mv = np.zeros((2, 2), np.int32)
+            pocs = [self.NO_REF, self.NO_REF]
+            for lx in (0, 1):
+                if not flags[lx]:
+                    continue
+                lst = self.ref_list if lx == 0 else self.ref_list1
+                n_refs = (sh.num_ref_idx_l0_active_minus1 + 1 if lx == 0
+                          else sh.num_ref_idx_l1_active_minus1 + 1)
+                ridx = self._decode_ref_idx(n_refs)
+                pocs[lx] = lst[ridx]["poc"]
+                if lx == 1 and sh.mvd_l1_zero and idc == 2:
+                    mvd = np.zeros(2, np.int32)
+                else:
+                    mvd = self._decode_mvd()
+                mvp_flag = cab.decode_bin(ContextSet.idx("mvp_flag", 0))
+                mvp = self.amvp_candidates(x0, y0, size, size, lx,
+                                           pocs[lx])[mvp_flag]
+                mv[lx] = ((mvp.astype(np.int64) + mvd + 32768) % 65536
+                          - 32768).astype(np.int32)
+            motion = ((flags[0], flags[1]), mv, (pocs[0], pocs[1]))
+        self._inter_pred(x0, y0, size, size, motion)
+        self._mark_inter(x0, y0, size, motion, False)
+        root_cbf = 1
+        if not merge:
+            root_cbf = cab.decode_bin(ContextSet.idx("rqt_root_cbf", 0))
+        if root_cbf:
+            self.transform_tree_inter(x0, y0, x0, y0, log2_size, 0, 0, 1, 1)
+
+    def coding_unit(self, x0: int, y0: int, log2_size: int) -> None:
         pps = self.pps
         if pps.transquant_bypass_enabled:
             raise NotImplementedError("transquant bypass")
         if not self.sh.is_intra:
-            raise NotImplementedError("inter slices")
+            self._coding_unit_p(x0, y0, log2_size)
+            return
+        self._coding_unit_intra(x0, y0, log2_size)
+
+    def transform_tree_inter(self, x0: int, y0: int, x_base: int,
+                             y_base: int, log2_size: int, depth: int,
+                             blk_idx: int, parent_cbf_cb: int,
+                             parent_cbf_cr: int) -> None:
+        sps = self.sps
+        cab = self.cab
+        max_depth = sps.max_transform_hierarchy_depth_inter
+        max_tb = sps.log2_min_tb_size + sps.log2_diff_max_min_tb_size
+        if sps.log2_min_tb_size < log2_size <= max_tb and depth < max_depth:
+            split = cab.decode_bin(
+                ContextSet.idx("split_transform_flag", 5 - log2_size))
+        else:
+            split = 1 if log2_size > max_tb else 0
+        cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
+        if log2_size > 2:
+            if depth == 0 or parent_cbf_cb:
+                cbf_cb = cab.decode_bin(ContextSet.idx("cbf_chroma", depth))
+            else:
+                cbf_cb = 0
+            if depth == 0 or parent_cbf_cr:
+                cbf_cr = cab.decode_bin(ContextSet.idx("cbf_chroma", depth))
+            else:
+                cbf_cr = 0
+        if split:
+            half = 1 << (log2_size - 1)
+            for i, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
+                                          (half, half))):
+                self.transform_tree_inter(x0 + dx, y0 + dy, x0, y0,
+                                          log2_size - 1, depth + 1, i,
+                                          cbf_cb, cbf_cr)
+            return
+        if depth == 0 and not cbf_cb and not cbf_cr:
+            cbf_luma = 1  # inferred (rqt_root_cbf was 1)
+        else:
+            cbf_luma = cab.decode_bin(
+                ContextSet.idx("cbf_luma", 1 if depth == 0 else 0))
+        self._transform_unit_inter(x0, y0, x_base, y_base, log2_size,
+                                   depth, blk_idx, cbf_luma, cbf_cb, cbf_cr)
+
+    def _add_residual(self, x: int, y: int, log2_size: int, c_idx: int,
+                      coeffs: np.ndarray) -> None:
+        fs = self.fs
+        plane = (fs.y, fs.cb, fs.cr)[c_idx]
+        scale = 2 if c_idx else 1
+        px, py = x // scale, y // scale
+        size = 1 << log2_size
+        qp = int(fs.qp_map[y >> 2, x >> 2])
+        if c_idx:
+            qp = chroma_qp(qp, self.pps.cb_qp_offset if c_idx == 1
+                           else self.pps.cr_qp_offset)
+        deq = ops.dequantize(coeffs, qp, self.sps.bit_depth_luma)
+        resi = ops.inverse_transform(deq, False, self.sps.bit_depth_luma)
+        max_val = (1 << self.sps.bit_depth_luma) - 1
+        plane[py:py + size, px:px + size] = np.clip(
+            plane[py:py + size, px:px + size] + resi, 0, max_val)
+
+    def _transform_unit_inter(self, x0: int, y0: int, x_base: int,
+                              y_base: int, log2_size: int, depth: int,
+                              blk_idx: int, cbf_luma: int, cbf_cb: int,
+                              cbf_cr: int) -> None:
+        pps = self.pps
+        sdh = bool(pps.sign_data_hiding_enabled)
+        tse = bool(pps.transform_skip_enabled)
+        if cbf_luma:
+            coeffs, _ = decode_residual(self.cab, log2_size, 0, 0, sdh, tse)
+            self._add_residual(x0, y0, log2_size, 0, coeffs)
+        if log2_size > 2:
+            c_log2, cx, cy = log2_size - 1, x0, y0
+        elif blk_idx == 3:
+            c_log2, cx, cy = 2, x_base, y_base
+        else:
+            return
+        for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
+            if cbf:
+                coeffs, _ = decode_residual(self.cab, c_log2, c_idx, 0,
+                                            sdh, tse)
+                self._add_residual(cx, cy, c_log2, c_idx, coeffs)
+
+    def _coding_unit_intra(self, x0: int, y0: int, log2_size: int) -> None:
+        sps = self.sps
+        pps = self.pps
         size = 1 << log2_size
         part_nxn = False
         if log2_size == sps.log2_min_cb_size:
@@ -390,6 +850,8 @@ class HEVCDecoder:
         self.pps_map: dict[int, PPS] = {}
         self.frames: list[DecodedFrame] = []
         self._pending_frame: DecodedFrame | None = None
+        self.dpb: list[dict] = []
+        self.prev_poc = 0
 
     def decode(self, stream: bytes) -> list[DecodedFrame]:
         for nal_type, _tid, ebsp in split_annexb(stream):
@@ -416,9 +878,46 @@ class HEVCDecoder:
         sh, pps = parse_slice_header(br, self.sps, self.pps_map, nal_type)
         if pps.tiles_enabled:
             raise NotImplementedError("tiles decode")
+        sps = self.sps
+        # picture order count (spec 8.3.1)
+        if nal_type in (19, 20):
+            poc = 0
+            self.dpb.clear()
+        else:
+            max_lsb = 1 << sps.log2_max_poc_lsb
+            lsb = sh.pic_order_cnt_lsb
+            prev_lsb = self.prev_poc & (max_lsb - 1)
+            prev_msb = self.prev_poc - prev_lsb
+            if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+                msb = prev_msb + max_lsb
+            elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+                msb = prev_msb - max_lsb
+            else:
+                msb = prev_msb
+            poc = msb + lsb
+        self.prev_poc = poc
+        # reference lists (spec 8.3.4)
+        ref_list: list = []
+        ref_list1: list = []
+        if not sh.is_intra:
+            rps = (sh.short_term_rps if not sh.short_term_rps_sps_flag
+                   else sps.short_term_rps[sh.short_term_rps_idx])
+            before = [poc + d for d, u in zip(rps.delta_pocs_s0, rps.used_s0)
+                      if u]
+            after = [poc + d for d, u in zip(rps.delta_pocs_s1, rps.used_s1)
+                     if u]
+            by_poc = {e["poc"]: e for e in self.dpb}
+            l0 = [by_poc[p] for p in before + after if p in by_poc]
+            l1 = [by_poc[p] for p in after + before if p in by_poc]
+            if not l0:
+                raise ValueError("no reference pictures in DPB")
+            n0 = sh.num_ref_idx_l0_active_minus1 + 1
+            ref_list = [l0[i % len(l0)] for i in range(n0)]
+            if sh.slice_type == 0:
+                n1 = sh.num_ref_idx_l1_active_minus1 + 1
+                ref_list1 = [l1[i % len(l1)] for i in range(n1)]
         fs = _FrameState(self.sps, pps, sh)
         wpp = bool(pps.entropy_coding_sync_enabled)
-        sps = self.sps
         n_ctu_x = sps.width_in_ctbs
         n_ctu_y = sps.height_in_ctbs
         init_type = 0 if sh.is_intra else (2 - sh.slice_type)
@@ -445,6 +944,16 @@ class HEVCDecoder:
                        else ContextSet(init_type, sh.qp))
                 cab = CabacDecoder(BitReader(row_data[ctu_y]), ctx)
             sd = SliceDecoder(fs, cab)
+            sd.poc = poc
+            sd.ref_list = ref_list
+            sd.ref_list1 = ref_list1
+            if ref_list and sh.temporal_mvp_enabled:
+                col_l = (ref_list if sh.collocated_from_l0 or not ref_list1
+                         else ref_list1)
+                sd.col_pic = col_l[min(sh.collocated_ref_idx,
+                                       len(col_l) - 1)]
+            else:
+                sd.col_pic = None
             for ctu_x in range(n_ctu_x):
                 sd.decode_ctu(ctu_x, ctu_y)
                 if wpp and ctu_x == 1:
@@ -484,13 +993,24 @@ class HEVCDecoder:
             y = y[ct * 2:h - cb_ * 2, cl * 2:w - cr_ * 2]
             cbp = cbp[ct:h // 2 - cb_, cl:w // 2 - cr_]
             crp = crp[ct:h // 2 - cb_, cl:w // 2 - cr_]
-        frame = DecodedFrame(poc=sh.pic_order_cnt_lsb,
+        frame = DecodedFrame(poc=poc,
                              planes=[y.astype(np.uint16),
                                      cbp.astype(np.uint16),
                                      crp.astype(np.uint16)],
                              full_planes=full)
         self.frames.append(frame)
         self._pending_frame = frame
+        # store the decoded picture + motion field in the DPB
+        self.dpb.append({
+            "poc": poc,
+            "y": fs.y[:h, :w].copy(),
+            "cb": fs.cb[:h // 2, :w // 2].copy(),
+            "cr": fs.cr[:h // 2, :w // 2].copy(),
+            "mv": fs.mv.copy(),
+            "ref_poc": fs.ref_poc.copy(),
+        })
+        if len(self.dpb) > 8:
+            self.dpb.pop(0)
 
     def _check_hash(self, rbsp: bytes) -> None:
         for ptype, payload in parse_sei_messages(rbsp):
