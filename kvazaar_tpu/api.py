@@ -80,10 +80,19 @@ class Encoder:
         self.frame_num = 0
         self.poc = 0
         self._pipeline = None
+        self._inter_pipeline = None
+        self.inter_enabled = self.use_device and cfg.intra_period != 1
         if self.use_device:
-            from .models.intra_pipeline import IntraPipeline
-            self._pipeline = IntraPipeline(self.sps.height, self.sps.width,
-                                           cfg.qp)
+            if self.inter_enabled:
+                from .models.inter_pipeline import InterPipeline
+                self._inter_pipeline = InterPipeline(
+                    self.sps.height, self.sps.width, cfg.qp)
+                self._pipeline = self._inter_pipeline
+            else:
+                from .models.intra_pipeline import IntraPipeline
+                self._pipeline = IntraPipeline(self.sps.height,
+                                               self.sps.width, cfg.qp)
+        self._prev: dict | None = None  # previous recon + poc (DPB size 1)
 
     def _deblock_recon(self, rec):
         """Apply the in-loop deblocking filter to the reconstruction
@@ -121,16 +130,23 @@ class Encoder:
         """Encode one frame; returns (annexb bytes, info dict)."""
         cfg = self.cfg
         is_idr = (cfg.intra_period <= 1 or
-                  self.frame_num % max(1, cfg.intra_period) == 0)
-        # v0 engine: every frame is coded intra; IDR at period boundaries,
-        # CRA-style I otherwise would need POC handling — use IDR for all
-        # until the inter engine lands.
-        nal_type = NAL_IDR_W_RADL
+                  self.frame_num % max(1, cfg.intra_period) == 0
+                  or self._prev is None or not self.inter_enabled)
+        if is_idr:
+            self.poc = 0
+        nal_type = NAL_IDR_W_RADL if is_idr else NAL_TRAIL_R
         sh = SliceHeader()
         sh.pps_id = 0
-        sh.slice_type = 2
+        sh.slice_type = 2 if is_idr else 1
         sh.qp = cfg.qp
         sh.first_slice_in_pic = 1
+        if not is_idr:
+            from .hevc.params import ShortTermRPS
+            sh.pic_order_cnt_lsb = self.poc & \
+                ((1 << self.sps.log2_max_poc_lsb) - 1)
+            sh.short_term_rps = ShortTermRPS(
+                delta_pocs_s0=[self._prev["poc"] - self.poc], used_s0=[1])
+            sh.short_term_rps_sps_flag = 0
 
         if self.pad_w or self.pad_h:
             y = np.pad(y, ((0, self.pad_h), (0, self.pad_w)), mode="edge")
@@ -140,7 +156,15 @@ class Encoder:
                         mode="edge")
 
         decisions = None
-        if self._pipeline is not None:
+        writer = None
+        if not is_idr:
+            decisions = self._inter_pipeline.encode_inter_frame(
+                y, cb, cr, self._prev["y"], self._prev["cb"],
+                self._prev["cr"])
+            from .engine.inter_writer import PSliceWriter
+            writer = PSliceWriter(self.sps, self.pps, sh, decisions,
+                                  self._prev, self.poc)
+        elif self._pipeline is not None:
             decisions = self._pipeline.encode_frame(y, cb, cr)
         n_ctu_x = self.sps.width_in_ctbs
         n_ctu_y = self.sps.height_in_ctbs
@@ -149,7 +173,41 @@ class Encoder:
         substreams: list[bytes] = []
         saved_ctx: ContextSet | None = None
         native_done = False
-        if decisions is not None:
+        if writer is not None:
+            if not wpp:
+                bw = BitWriter()
+                cab = CabacEncoder(bw, ContextSet(1, sh.qp))
+                writer.cab = cab
+                for ctu_y in range(n_ctu_y):
+                    for ctu_x in range(n_ctu_x):
+                        writer.write_ctu(ctu_y, ctu_x)
+                        last = (ctu_y == n_ctu_y - 1
+                                and ctu_x == n_ctu_x - 1)
+                        cab.encode_bin_trm(1 if last else 0)
+                cab.finish()
+                bw.byte_align_one()
+                substreams.append(bw.get_bytes())
+            else:
+                for ctu_y in range(n_ctu_y):
+                    ctx = (saved_ctx.copy() if saved_ctx is not None
+                           else ContextSet(1, sh.qp))
+                    bw = BitWriter()
+                    cab = CabacEncoder(bw, ctx)
+                    writer.cab = cab
+                    for ctu_x in range(n_ctu_x):
+                        writer.write_ctu(ctu_y, ctu_x)
+                        if ctu_x == 1 and n_ctu_x > 1:
+                            saved_ctx = ctx.copy()
+                        last = (ctu_y == n_ctu_y - 1
+                                and ctu_x == n_ctu_x - 1)
+                        cab.encode_bin_trm(1 if last else 0)
+                        if ctu_x == n_ctu_x - 1 and not last:
+                            cab.encode_bin_trm(1)
+                    cab.finish()
+                    bw.byte_align_one()
+                    substreams.append(bw.get_bytes())
+            native_done = True  # slice data done
+        elif decisions is not None:
             from . import native
             if native.available():
                 data, sizes = native.encode_intra_grid(
@@ -225,6 +283,11 @@ class Encoder:
                    enc.rec_cr[:h // 2, :w // 2].astype(np.uint16)]
         if cfg.deblock_enable:
             rec = self._deblock_recon(rec)
+        if self.inter_enabled:
+            self._prev = {"poc": self.poc,
+                          "y": rec[0].astype(np.int32),
+                          "cb": rec[1].astype(np.int32),
+                          "cr": rec[2].astype(np.int32)}
         if cfg.hash != "none":
             htype = HASH_CHECKSUM if cfg.hash == "checksum" else HASH_MD5
             out += nal_unit(write_hash_sei(rec, htype, 8), NAL_SUFFIX_SEI)

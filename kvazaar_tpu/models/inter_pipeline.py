@@ -1,0 +1,294 @@
+"""TPU inter (low-delay P) frame pipeline.
+
+Extends the intra pipeline with:
+- batched full-search integer motion estimation over the previous
+  reconstruction (lax.scan over rows of the search window; every block of
+  the frame searched in parallel),
+- batched motion compensation (integer luma; chroma half-pel via the 4-tap
+  filter, all four phase variants computed and selected per block),
+- per-block inter/intra decision by SATD,
+- the wavefront reconstruction pass extended to consume inter predictions
+  for inter blocks (intra blocks still predict from reconstructed
+  neighbours).
+
+Reference parity: replaces kvazaar's hexagon/TZ pattern search
+(src/search_inter.c:487-973) with an exhaustive batched sweep — on the MXU
+the exhaustive grid is cheaper than sequential pattern refinement — and the
+ipol kernels (src/strategies/avx2/ipol-avx2.c) with gather/conv variants.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.mc import CHROMA_FILTERS
+from .intra_pipeline import CHROMA_N, LUMA_N, IntraPipeline
+
+ME_RANGE = 8  # integer-pel exhaustive window [-R, R]
+
+
+class InterPipeline(IntraPipeline):
+    """Adds inter tools to the intra pipeline (same block grid)."""
+
+    def __init__(self, height: int, width: int, qp: int) -> None:
+        super().__init__(height, width, qp)
+        self._inter = jax.jit(self._inter_impl)
+
+    # -- motion estimation ---------------------------------------------------
+
+    def _me_impl(self, src_blocks, prev_pad):
+        """Full-search integer ME. src_blocks [B,16,16]; prev_pad is the
+        previous recon padded by ME_RANGE on all sides.
+        Returns (mv [B,2] in pels, best_sad [B])."""
+        n = LUMA_N
+        R = ME_RANGE
+        y0 = self.b_r * n
+        x0 = self.b_c * n
+
+        def row_scan(carry, dy):
+            best_sad, best_mv = carry
+            # candidate block rows for this dy, all dx at once:
+            # gather [B, 16, 16 + 2R]
+            iy = (y0 + dy)[:, None] + jnp.arange(n)[None, :]
+            ix = x0[:, None] + jnp.arange(n + 2 * R)[None, :]
+            strip = prev_pad[iy[:, :, None], ix[:, None, :]]
+            # SAD for each dx via sliding windows
+            def dx_sad(dx):
+                cand = jax.lax.dynamic_slice_in_dim(strip, dx, n, axis=2)
+                return jnp.abs(cand - src_blocks).sum(axis=(1, 2))
+            sads = jnp.stack([dx_sad(dx) for dx in range(2 * R + 1)],
+                             axis=1)  # [B, 2R+1]
+            dx_best = jnp.argmin(sads, axis=1)
+            sad_best = jnp.take_along_axis(sads, dx_best[:, None],
+                                           axis=1)[:, 0]
+            better = sad_best < best_sad
+            mv = jnp.stack([dx_best.astype(jnp.int32) - R,
+                            jnp.full_like(dx_best, dy,
+                                          dtype=jnp.int32) - R], axis=1)
+            best_mv = jnp.where(better[:, None], mv, best_mv)
+            best_sad = jnp.where(better, sad_best, best_sad)
+            return (best_sad, best_mv), None
+
+        init = (jnp.full((self.n_blocks,), 1 << 30, jnp.int32),
+                jnp.zeros((self.n_blocks, 2), jnp.int32))
+        (best_sad, best_mv), _ = jax.lax.scan(
+            row_scan, init, jnp.arange(2 * R + 1))
+        return best_mv, best_sad
+
+    # -- motion compensation ----------------------------------------------------
+
+    def _mc_blocks(self, prev_y, prev_cb, prev_cr, mv):
+        """Prediction blocks for integer-pel luma MVs.
+        Luma: gather. Chroma: 4-tap half-pel where the MV is odd."""
+        n, nc = LUMA_N, CHROMA_N
+        R = ME_RANGE
+        y0 = self.b_r * n
+        x0 = self.b_c * n
+        ypad = jnp.pad(prev_y, R, mode="edge")
+        iy = (y0 + mv[:, 1] + R)[:, None] + jnp.arange(n)[None, :]
+        ix = (x0 + mv[:, 0] + R)[:, None] + jnp.arange(n)[None, :]
+        pred_y = ypad[iy[:, :, None], ix[:, None, :]]
+
+        # chroma: mv/2 integer part + half-pel flags
+        cx0 = (self.b_c * nc)
+        cy0 = (self.b_r * nc)
+        cmx = mv[:, 0] >> 1
+        cmy = mv[:, 1] >> 1
+        hx = (mv[:, 0] & 1).astype(bool)
+        hy = (mv[:, 1] & 1).astype(bool)
+        CR = (R >> 1) + 2
+        f4 = CHROMA_FILTERS[4]  # half-pel filter (numpy consts)
+
+        def chroma_plane(prev_c):
+            cpad = jnp.pad(prev_c, CR, mode="edge")
+            # gather an (nc+3) x (nc+3) window starting at offset -1
+            iy = (cy0 + cmy + CR - 1)[:, None] + jnp.arange(nc + 3)[None, :]
+            ix = (cx0 + cmx + CR - 1)[:, None] + jnp.arange(nc + 3)[None, :]
+            win = cpad[iy[:, :, None], ix[:, None, :]]  # [B, nc+3, nc+3]
+            # horizontal: phase 0 (copy) and phase 4 (half)
+            h0 = win[:, :, 1:1 + nc] << 6
+            h4 = sum(int(f4[k]) * win[:, :, k:k + nc] for k in range(4))
+            hsel = jnp.where(hx[:, None, None], h4, h0)  # 14-bit rows
+            v0 = hsel[:, 1:1 + nc, :]
+            v4 = sum(int(f4[k]) * hsel[:, k:k + nc, :]
+                     for k in range(4)) >> 6
+            out = jnp.where(hy[:, None, None], v4, v0)
+            return jnp.clip((out + 32) >> 6, 0, 255)
+
+        pred_cb = chroma_plane(prev_cb)
+        pred_cr = chroma_plane(prev_cr)
+        return pred_y, pred_cb, pred_cr
+
+    # -- full inter frame step ---------------------------------------------------
+
+    def _inter_impl(self, src_y, src_cb, src_cr, prev_y, prev_cb, prev_cr):
+        n = LUMA_N
+        src_blocks = jnp.moveaxis(
+            src_y.reshape(self.rows, n, self.cols, n), 1, 2).reshape(
+            self.n_blocks, n, n).astype(jnp.int32)
+        prev_pad = jnp.pad(prev_y, ME_RANGE, mode="edge").astype(jnp.int32)
+        mv, sad_inter = self._me_impl(src_blocks, prev_pad)
+        pred_y, pred_cb, pred_cr = self._mc_blocks(
+            prev_y.astype(jnp.int32), prev_cb.astype(jnp.int32),
+            prev_cr.astype(jnp.int32), mv)
+        satd_inter = self._satd8(src_blocks - pred_y)
+        # intra candidate (source refs)
+        modes = self._search_impl(src_y.astype(jnp.int32))
+        refs = self._gather_search_refs(src_y.astype(jnp.int32))
+        gsel = jnp.take(self.g16, modes, axis=0)
+        filt = (refs @ self.f16.T + 2) >> 2
+        both = jnp.concatenate([refs, filt], axis=1)
+        ipred = (jnp.einsum("lpr,lr->lp", gsel, both,
+                            preferred_element_type=jnp.int32) + 16) >> 5
+        dc = self._dc_pred(refs, n, True)
+        ipred = jnp.where((modes == 1)[:, None], dc, ipred)
+        satd_intra = self._satd8(
+            src_blocks - ipred.reshape(self.n_blocks, n, n))
+        # decision: favour inter slightly (cheaper to signal)
+        is_inter = satd_inter.astype(jnp.int64) * 8 <= \
+            satd_intra.astype(jnp.int64) * 9
+        out = self._waves_inter(src_y.astype(jnp.int32),
+                                src_cb.astype(jnp.int32),
+                                src_cr.astype(jnp.int32),
+                                modes, is_inter, pred_y, pred_cb, pred_cr)
+        out["mv"] = mv
+        out["is_inter"] = is_inter
+        out["modes_flat"] = modes
+        return out
+
+    def _waves_inter(self, src_y, src_cb, src_cr, modes_flat, is_inter,
+                     ipred_y, ipred_cb, ipred_cr):
+        """Wavefront recon with per-block intra/inter selection."""
+        n, nc = LUMA_N, CHROMA_N
+        h, w = self.h, self.w
+        zseed = (src_y[0, 0] * 0).astype(jnp.int32)
+        rec_y = jnp.zeros((1 + h + n, 1 + w + n), jnp.int32) + zseed
+        rec_cb = jnp.zeros((1 + h // 2 + nc, 1 + w // 2 + nc),
+                           jnp.int32) + zseed
+        rec_cr = jnp.zeros_like(rec_cb) + zseed
+        levels_y = jnp.zeros((self.n_blocks, n, n), jnp.int32) + zseed
+        levels_cb = jnp.zeros((self.n_blocks, nc, nc), jnp.int32) + zseed
+        levels_cr = jnp.zeros((self.n_blocks, nc, nc), jnp.int32) + zseed
+
+        src_blocks_y = jnp.moveaxis(src_y.reshape(
+            self.rows, n, self.cols, n), 1, 2).reshape(self.n_blocks, n, n)
+        src_blocks_cb = jnp.moveaxis(src_cb.reshape(
+            self.rows, nc, self.cols, nc), 1, 2).reshape(
+            self.n_blocks, nc, nc)
+        src_blocks_cr = jnp.moveaxis(src_cr.reshape(
+            self.rows, nc, self.cols, nc), 1, 2).reshape(
+            self.n_blocks, nc, nc)
+
+        def do_plane(rec, bids, mask, modes_w, inter_w, ipred, src_blocks,
+                     g, f, size, qp, t, is_luma, levels_store):
+            refs = self._gather_recon_refs(rec, bids, size, self.cols)
+            pred = self._block_pred(refs, modes_w, g, f, size, is_luma)
+            pred = pred.reshape(-1, size, size)
+            pred = jnp.where(inter_w[:, None, None],
+                             jnp.take(ipred, bids, axis=0), pred)
+            srcb = jnp.take(src_blocks, bids, axis=0)
+            resi = srcb - pred
+            levels, r2 = self._transform_quant_sel(resi, t, qp, size,
+                                                   inter_w)
+            cbf = jnp.any(levels != 0, axis=(1, 2))
+            rec_blk = jnp.clip(pred + jnp.where(cbf[:, None, None], r2, 0),
+                               0, 255)
+            r = bids // self.cols
+            c = bids % self.cols
+            y0 = r * size + 1
+            x0 = c * size + 1
+            yy = y0[:, None, None] + jnp.arange(size)[None, :, None]
+            xx = x0[:, None, None] + jnp.arange(size)[None, None, :]
+            flat = yy * rec.shape[1] + xx
+            flat = jnp.where(mask[:, None, None], flat, rec.size)
+            rec = rec.reshape(-1).at[flat.reshape(-1)].set(
+                rec_blk.reshape(-1), mode="drop").reshape(rec.shape)
+            store_ids = jnp.where(mask, bids, self.n_blocks)
+            levels_store = levels_store.at[store_ids].set(
+                jnp.where(cbf[:, None, None], levels, 0), mode="drop")
+            return rec, levels_store
+
+        def wave_body(i, state):
+            rec_y, rec_cb, rec_cr, ly, lcb, lcr = state
+            bids = self.wave_blocks[i]
+            mask = self.wave_mask[i]
+            modes_w = jnp.take(modes_flat, bids)
+            inter_w = jnp.take(is_inter, bids)
+            rec_y, ly = do_plane(rec_y, bids, mask, modes_w, inter_w,
+                                 ipred_y, src_blocks_y, self.g16, self.f16,
+                                 n, self.qp, self.t16, True, ly)
+            rec_cb, lcb = do_plane(rec_cb, bids, mask, modes_w, inter_w,
+                                   ipred_cb, src_blocks_cb, self.g8c,
+                                   self.g8c, nc, self.qp_c, self.t8,
+                                   False, lcb)
+            rec_cr, lcr = do_plane(rec_cr, bids, mask, modes_w, inter_w,
+                                   ipred_cr, src_blocks_cr, self.g8c,
+                                   self.g8c, nc, self.qp_c, self.t8,
+                                   False, lcr)
+            return rec_y, rec_cb, rec_cr, ly, lcb, lcr
+
+        state = (rec_y, rec_cb, rec_cr, levels_y, levels_cb, levels_cr)
+        state = jax.lax.fori_loop(0, self.n_waves, wave_body, state)
+        rec_y, rec_cb, rec_cr, ly, lcb, lcr = state
+        return {
+            "rec_y": rec_y[1:1 + h, 1:1 + w],
+            "rec_cb": rec_cb[1:1 + h // 2, 1:1 + w // 2],
+            "rec_cr": rec_cr[1:1 + h // 2, 1:1 + w // 2],
+            "levels_y": ly,
+            "levels_cb": lcb,
+            "levels_cr": lcr,
+        }
+
+    def _transform_quant_sel(self, resi, t, qp, n, inter_w):
+        """Like _transform_quant but with per-block intra/inter quant
+        rounding offset."""
+        import numpy as _np
+        from ..tables import INV_QUANT_SCALES, QUANT_SCALES
+        log2n = int(_np.log2(n))
+        bd = 8
+        shift1 = log2n + bd - 9
+        shift2 = log2n + 6
+        tt = t.astype(jnp.int32)
+        tmp = jnp.einsum("ij,ljk->lik", tt, jnp.swapaxes(resi, 1, 2),
+                         preferred_element_type=jnp.int32)
+        tmp = (tmp + (1 << (shift1 - 1) if shift1 > 0 else 0)) >> shift1
+        co = jnp.einsum("ij,ljk->lik", tt, jnp.swapaxes(tmp, 1, 2),
+                        preferred_element_type=jnp.int32)
+        co = (co + (1 << (shift2 - 1))) >> shift2
+        tshift = 15 - bd - log2n
+        qbits = 14 + qp // 6 + tshift
+        scale = int(QUANT_SCALES[qp % 6])
+        off_i = 171 << (qbits - 9)
+        off_p = 85 << (qbits - 9)
+        offset = jnp.where(inter_w[:, None, None], off_p, off_i)
+        absq = (jnp.abs(co) * scale + offset) >> qbits
+        levels = (jnp.sign(co) * absq).astype(jnp.int32)
+        dshift = bd + log2n - 9
+        dscale = int(INV_QUANT_SCALES[qp % 6]) << (qp // 6)
+        deq = (levels * dscale + (1 << (dshift - 1))) >> dshift
+        deq = jnp.clip(deq, -32768, 32767).astype(jnp.int32)
+        ishift1, ishift2 = 7, 20 - bd
+        tmp2 = jnp.einsum("ji,ljk->lik", tt, deq,
+                          preferred_element_type=jnp.int32)
+        tmp2 = jnp.clip((tmp2 + (1 << (ishift1 - 1))) >> ishift1,
+                        -32768, 32767)
+        r2 = jnp.einsum("lij,jk->lik", tmp2, tt,
+                        preferred_element_type=jnp.int32)
+        r2 = jnp.clip((r2 + (1 << (ishift2 - 1))) >> ishift2, -32768, 32767)
+        return levels, r2
+
+    def encode_inter_frame(self, src_y, src_cb, src_cr, prev_y, prev_cb,
+                           prev_cr):
+        out = self._inter(jnp.asarray(src_y, jnp.int32),
+                          jnp.asarray(src_cb, jnp.int32),
+                          jnp.asarray(src_cr, jnp.int32),
+                          jnp.asarray(prev_y, jnp.int32),
+                          jnp.asarray(prev_cb, jnp.int32),
+                          jnp.asarray(prev_cr, jnp.int32))
+        res = {k: np.asarray(v) for k, v in out.items()}
+        res["modes"] = res.pop("modes_flat").reshape(self.rows, self.cols)
+        res["mv"] = res["mv"].reshape(self.rows, self.cols, 2)
+        res["is_inter"] = res["is_inter"].reshape(self.rows, self.cols)
+        return res
