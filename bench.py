@@ -41,7 +41,7 @@ def synth_frames(n, w, h):
 def bench_ours(frames):
     from kvazaar_tpu.api import Encoder
     from kvazaar_tpu.cfg import Config
-    cfg = Config(width=W, height=H, qp=QP, ctu_size=16)
+    cfg = Config(width=W, height=H, qp=QP, ctu_size=16, intra_period=1)
     enc = Encoder(cfg)
     # warmup (compile)
     enc.encode_frame(*frames[0])
@@ -67,10 +67,11 @@ def bench_reference(frames):
                 f.write(cb.tobytes())
                 f.write(cr.tobytes())
         t0 = time.time()
+        # default threading + wpp/owf: the reference gets the whole host CPU
         subprocess.run([ref, "-i", yuv, "--input-res", f"{W}x{H}", "-o",
                         os.path.join(td, "o.hevc"), "--preset", "ultrafast",
-                        "-p", "1", "--qp", str(QP), "--no-wpp",
-                        "--threads", "0"], check=True, capture_output=True)
+                        "-p", "1", "--qp", str(QP)],
+                       check=True, capture_output=True)
         dt = time.time() - t0
     return len(frames) / dt
 

@@ -282,27 +282,44 @@ class Encoder:
                    enc.rec_cb[:h // 2, :w // 2].astype(np.uint16),
                    enc.rec_cr[:h // 2, :w // 2].astype(np.uint16)]
         if cfg.deblock_enable:
+            rec = [np.asarray(p) for p in rec]
             rec = self._deblock_recon(rec)
         if self.inter_enabled:
+            # keep the reference picture on device when it came from there
             self._prev = {"poc": self.poc,
-                          "y": rec[0].astype(np.int32),
-                          "cb": rec[1].astype(np.int32),
-                          "cr": rec[2].astype(np.int32)}
+                          "y": rec[0], "cb": rec[1], "cr": rec[2]}
         if cfg.hash != "none":
             htype = HASH_CHECKSUM if cfg.hash == "checksum" else HASH_MD5
-            out += nal_unit(write_hash_sei(rec, htype, 8), NAL_SUFFIX_SEI)
+            if (htype == HASH_CHECKSUM and decisions is not None
+                    and "hash" in decisions and not cfg.deblock_enable):
+                sei = write_hash_sei([], htype, 8,
+                                     checksums=decisions["hash"])
+            else:
+                sei = write_hash_sei([np.asarray(p) for p in rec], htype, 8)
+            out += nal_unit(sei, NAL_SUFFIX_SEI)
 
         crop = [rec[0][:cfg.height, :cfg.width],
                 rec[1][:cfg.height // 2, :cfg.width // 2],
                 rec[2][:cfg.height // 2, :cfg.width // 2]]
+        if decisions is not None and "sse" in decisions \
+                and not cfg.deblock_enable:
+            npix = [self.sps.width * self.sps.height,
+                    self.sps.width * self.sps.height // 4,
+                    self.sps.width * self.sps.height // 4]
+            psnr = [99.0 if s_ == 0 else
+                    10.0 * np.log10(255.0 ** 2 * n_ / s_)
+                    for s_, n_ in zip(decisions["sse"], npix)]
+        else:
+            psnr = _psnr((y[:cfg.height, :cfg.width],
+                          cb[:cfg.height // 2, :cfg.width // 2],
+                          cr[:cfg.height // 2, :cfg.width // 2]),
+                         [np.asarray(p) for p in crop])
         info = {
             "poc": self.poc,
             "bytes": len(out),
             "recon": rec,
             "recon_out": crop,
-            "psnr": _psnr((y[:cfg.height, :cfg.width],
-                           cb[:cfg.height // 2, :cfg.width // 2],
-                           cr[:cfg.height // 2, :cfg.width // 2]), crop),
+            "psnr": psnr,
         }
         self.frame_num += 1
         self.poc += 1

@@ -59,9 +59,14 @@ def _sei_payload(payload_type: int, payload: bytes) -> bytes:
 
 
 def write_hash_sei(planes: list[np.ndarray], hash_type: int = HASH_CHECKSUM,
-                   bit_depth: int = 8) -> bytes:
-    """RBSP of a suffix SEI carrying the decoded-picture hash."""
+                   bit_depth: int = 8, checksums=None) -> bytes:
+    """RBSP of a suffix SEI carrying the decoded-picture hash.
+    `checksums` (3 uint32) may be precomputed (e.g. on device)."""
     body = bytearray([hash_type])
+    if hash_type == HASH_CHECKSUM and checksums is not None:
+        for c in checksums:
+            body.extend(int(c).to_bytes(4, "big"))
+        planes = []
     for plane in planes:
         if hash_type == HASH_CHECKSUM:
             body.extend(plane_checksum(plane, bit_depth).to_bytes(4, "big"))

@@ -34,7 +34,7 @@ class InterPipeline(IntraPipeline):
 
     def __init__(self, height: int, width: int, qp: int) -> None:
         super().__init__(height, width, qp)
-        self._inter = jax.jit(self._inter_impl)
+        self._inter = jax.jit(self._with_consts(self._inter_impl))
 
     # -- motion estimation ---------------------------------------------------
 
@@ -124,6 +124,12 @@ class InterPipeline(IntraPipeline):
     # -- full inter frame step ---------------------------------------------------
 
     def _inter_impl(self, src_y, src_cb, src_cr, prev_y, prev_cb, prev_cr):
+        src_y = src_y.astype(jnp.int32)
+        src_cb = src_cb.astype(jnp.int32)
+        src_cr = src_cr.astype(jnp.int32)
+        prev_y = prev_y.astype(jnp.int32)
+        prev_cb = prev_cb.astype(jnp.int32)
+        prev_cr = prev_cr.astype(jnp.int32)
         n = LUMA_N
         src_blocks = jnp.moveaxis(
             src_y.reshape(self.rows, n, self.cols, n), 1, 2).reshape(
@@ -232,14 +238,8 @@ class InterPipeline(IntraPipeline):
         state = (rec_y, rec_cb, rec_cr, levels_y, levels_cb, levels_cr)
         state = jax.lax.fori_loop(0, self.n_waves, wave_body, state)
         rec_y, rec_cb, rec_cr, ly, lcb, lcr = state
-        return {
-            "rec_y": rec_y[1:1 + h, 1:1 + w],
-            "rec_cb": rec_cb[1:1 + h // 2, 1:1 + w // 2],
-            "rec_cr": rec_cr[1:1 + h // 2, 1:1 + w // 2],
-            "levels_y": ly,
-            "levels_cb": lcb,
-            "levels_cr": lcr,
-        }
+        return self._outputs(rec_y, rec_cb, rec_cr, ly, lcb, lcr,
+                             src_y, src_cb, src_cr)
 
     def _transform_quant_sel(self, resi, t, qp, n, inter_w):
         """Like _transform_quant but with per-block intra/inter quant
@@ -281,13 +281,16 @@ class InterPipeline(IntraPipeline):
 
     def encode_inter_frame(self, src_y, src_cb, src_cr, prev_y, prev_cb,
                            prev_cr):
-        out = self._inter(jnp.asarray(src_y, jnp.int32),
-                          jnp.asarray(src_cb, jnp.int32),
-                          jnp.asarray(src_cr, jnp.int32),
-                          jnp.asarray(prev_y, jnp.int32),
-                          jnp.asarray(prev_cb, jnp.int32),
-                          jnp.asarray(prev_cr, jnp.int32))
-        res = {k: np.asarray(v) for k, v in out.items()}
+        out = self._inter(self.consts, jnp.asarray(src_y, jnp.uint8),
+                          jnp.asarray(src_cb, jnp.uint8),
+                          jnp.asarray(src_cr, jnp.uint8),
+                          jnp.asarray(prev_y, jnp.uint8),
+                          jnp.asarray(prev_cb, jnp.uint8),
+                          jnp.asarray(prev_cr, jnp.uint8))
+        res = {k: (np.asarray(v) if k.startswith("levels")
+                   or k in ("hash", "sse", "mv", "is_inter", "modes_flat")
+                   else v)
+               for k, v in out.items()}
         res["modes"] = res.pop("modes_flat").reshape(self.rows, self.cols)
         res["mv"] = res["mv"].reshape(self.rows, self.cols, 2)
         res["is_inter"] = res["is_inter"].reshape(self.rows, self.cols)

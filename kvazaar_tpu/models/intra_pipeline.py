@@ -95,19 +95,55 @@ class IntraPipeline:
         self.b_r = jnp.asarray(bid // self.cols)
         self.b_c = jnp.asarray(bid % self.cols)
 
+        # decoded-picture-hash xor masks (spec D.3.20), device-resident
+        def _mask(hh, ww):
+            yy, xx = np.mgrid[0:hh, 0:ww]
+            return jnp.asarray(((xx & 255) ^ (yy & 255) ^ (xx >> 8)
+                                ^ (yy >> 8)).astype(np.uint32))
+        self.hash_mask_y = _mask(height, width)
+        self.hash_mask_c = _mask(height // 2, width // 2)
+
         # quant constants (luma + chroma qp)
         from ..tables import chroma_qp
         self.qp_c = chroma_qp(qp)
 
-        self._search = jax.jit(self._search_impl)
-        self._waves = jax.jit(self._waves_impl)
+        # Big constant arrays are passed as jit ARGUMENTS, not closure
+        # constants: embedding them as HLO literals costs minutes of
+        # compile time on remote-compile backends.
+        self.consts = {k: getattr(self, k) for k in self.CONST_KEYS}
+        self._search = jax.jit(self._with_consts(self._search_impl))
+        self._waves = jax.jit(self._with_consts(self._waves_impl))
+        self._full = jax.jit(self._with_consts(self._full_impl))
+
+    CONST_KEYS = ("g16", "f16", "g8c", "t16", "t8", "h8", "wave_blocks",
+                  "wave_mask", "b_r", "b_c", "hash_mask_y", "hash_mask_c")
+
+    def _with_consts(self, fn):
+        def wrapped(consts, *args):
+            saved = {k: getattr(self, k) for k in consts}
+            for k, v in consts.items():
+                setattr(self, k, v)
+            try:
+                return fn(*args)
+            finally:
+                for k, v in saved.items():
+                    setattr(self, k, v)
+        return wrapped
 
     # ------------------------------------------------------------------
     # stage 1: batched mode search
     # ------------------------------------------------------------------
 
     def search_modes(self, src_y: np.ndarray) -> jax.Array:
-        return self._search(jnp.asarray(src_y, dtype=jnp.int32))
+        return self._search(self.consts, jnp.asarray(src_y, dtype=jnp.int32))
+
+    def _full_impl(self, src_y_u8, src_cb_u8, src_cr_u8):
+        src_y = src_y_u8.astype(jnp.int32)
+        modes = self._search_impl(src_y)
+        out = self._waves_impl(src_y, src_cb_u8.astype(jnp.int32),
+                               src_cr_u8.astype(jnp.int32), modes)
+        out["modes_flat"] = modes
+        return out
 
     def _gather_search_refs(self, src: jax.Array) -> jax.Array:
         """Clamped source references for every block: [B, rlen(16)]."""
@@ -196,12 +232,13 @@ class IntraPipeline:
 
     def encode_frame(self, src_y, src_cb, src_cr):
         """Returns dict of numpy arrays: modes, levels, cbfs, recon."""
-        modes = self.search_modes(src_y)
-        out = self._waves(jnp.asarray(src_y, jnp.int32),
-                          jnp.asarray(src_cb, jnp.int32),
-                          jnp.asarray(src_cr, jnp.int32), modes)
-        res = {k: np.asarray(v) for k, v in out.items()}
-        res["modes"] = np.asarray(modes).reshape(self.rows, self.cols)
+        out = self._full(self.consts, jnp.asarray(src_y, jnp.uint8),
+                         jnp.asarray(src_cb, jnp.uint8),
+                         jnp.asarray(src_cr, jnp.uint8))
+        res = {k: (np.asarray(v) if k.startswith("levels")
+                   or k in ("hash", "sse", "modes_flat") else v)
+               for k, v in out.items()}
+        res["modes"] = res.pop("modes_flat").reshape(self.rows, self.cols)
         return res
 
     def _transform_quant(self, resi: jax.Array, t: jax.Array, qp: int,
@@ -385,11 +422,34 @@ class IntraPipeline:
         state = (rec_y, rec_cb, rec_cr, levels_y, levels_cb, levels_cr)
         state = jax.lax.fori_loop(0, self.n_waves, wave_body, state)
         rec_y, rec_cb, rec_cr, ly, lcb, lcr = state
+        return self._outputs(rec_y, rec_cb, rec_cr, ly, lcb, lcr,
+                             src_y, src_cb, src_cr)
+
+    def _outputs(self, rec_y, rec_cb, rec_cr, ly, lcb, lcr,
+                 src_y, src_cb, src_cr):
+        n, h, w = LUMA_N, self.h, self.w
+        ry = rec_y[1:1 + h, 1:1 + w]
+        rcb = rec_cb[1:1 + h // 2, 1:1 + w // 2]
+        rcr = rec_cr[1:1 + h // 2, 1:1 + w // 2]
+
+        def cksum(plane, mask):
+            return jnp.sum((plane.astype(jnp.uint32) ^ mask),
+                           dtype=jnp.uint32)
+
+        def sse(a, b):
+            d = a - b
+            return jnp.sum(d * d, dtype=jnp.int64)
+
         return {
-            "rec_y": rec_y[1:1 + h, 1:1 + w],
-            "rec_cb": rec_cb[1:1 + h // 2, 1:1 + w // 2],
-            "rec_cr": rec_cr[1:1 + h // 2, 1:1 + w // 2],
-            "levels_y": ly,
-            "levels_cb": lcb,
-            "levels_cr": lcr,
+            "rec_y": ry.astype(jnp.uint8),
+            "rec_cb": rcb.astype(jnp.uint8),
+            "rec_cr": rcr.astype(jnp.uint8),
+            "levels_y": ly.astype(jnp.int16),
+            "levels_cb": lcb.astype(jnp.int16),
+            "levels_cr": lcr.astype(jnp.int16),
+            "hash": jnp.stack([cksum(ry, self.hash_mask_y),
+                               cksum(rcb, self.hash_mask_c),
+                               cksum(rcr, self.hash_mask_c)]),
+            "sse": jnp.stack([sse(ry, src_y), sse(rcb, src_cb),
+                              sse(rcr, src_cr)]),
         }

@@ -37,6 +37,8 @@ def tile_encode_fn(mesh: Mesh, frame_h: int, frame_w: int, qp: int):
         # shard_map passes the local tile band
         modes = pipe._search_impl(src_y)
         out = pipe._waves_impl(src_y, src_cb, src_cr, modes)
+        # (constants stay closure-embedded here: the tile program is
+        # compiled once per mesh; acceptable)
         return (modes.reshape(pipe.rows, pipe.cols), out["rec_y"],
                 out["rec_cb"], out["rec_cr"], out["levels_y"],
                 out["levels_cb"], out["levels_cr"])
