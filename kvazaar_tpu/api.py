@@ -94,24 +94,44 @@ class Encoder:
                                                self.sps.width, cfg.qp)
         self._prev: dict | None = None  # previous recon + poc (DPB size 1)
 
-    def _deblock_recon(self, rec):
-        """Apply the in-loop deblocking filter to the reconstruction
-        (static TU-grid edges; all-intra so BS=2 everywhere)."""
-        from .ops.deblock import deblock_plane
+    def _deblock_recon(self, rec, decisions=None, is_idr=True):
+        """Apply the in-loop deblocking filter to the reconstruction.
+        Intra frames: BS=2 on every TU-grid edge. P frames: boundary
+        strengths computed from the device decisions (spec 8.7.2.4)."""
+        from .ops.deblock import compute_bs, deblock_frame
         from .tables import chroma_qp
         cfg = self.cfg
         w, h = self.sps.width, self.sps.height
         tu_l = 16 if self.use_device else min(1 << cfg.cu_log2, 32)
         ev, eh = _grid_edges(h, w, tu_l)
-        cev, ceh = _grid_edges(h // 2, w // 2, tu_l // 2)
-        y = deblock_plane(rec[0].astype(np.int32), ev, eh, cfg.qp,
-                          cfg.deblock_beta, cfg.deblock_tc, False)
-        cb = deblock_plane(rec[1].astype(np.int32), cev, ceh, cfg.qp,
-                           cfg.deblock_beta, cfg.deblock_tc, True,
-                           chroma_qp(cfg.qp, self.pps.cb_qp_offset))
-        cr = deblock_plane(rec[2].astype(np.int32), cev, ceh, cfg.qp,
-                           cfg.deblock_beta, cfg.deblock_tc, True,
-                           chroma_qp(cfg.qp, self.pps.cr_qp_offset))
+        if not is_idr and decisions is not None:
+            rep = 16 // 4
+            is_intra4 = np.kron(~decisions["is_inter"],
+                                np.ones((rep, rep), bool))
+            nz_blocks = decisions["levels_y"].any(axis=(1, 2)).reshape(
+                decisions["is_inter"].shape)
+            nonzero4 = np.kron(nz_blocks, np.ones((rep, rep), bool))
+            mh, mw = h // 4, w // 4
+            mv4 = np.zeros((mh, mw, 2, 2), np.int32)
+            mv4[:, :, 0, 0] = np.kron(decisions["mv"][:, :, 0] * 4,
+                                      np.ones((rep, rep), np.int32))
+            mv4[:, :, 0, 1] = np.kron(decisions["mv"][:, :, 1] * 4,
+                                      np.ones((rep, rep), np.int32))
+            no_ref = -(1 << 30)
+            ref_poc4 = np.full((mh, mw, 2), no_ref, np.int64)
+            ref_poc4[:, :, 0] = np.where(~is_intra4, self._prev["poc"],
+                                         no_ref)
+            ev = compute_bs(ev, True, is_intra4, nonzero4, mv4, ref_poc4,
+                            no_ref)
+            eh = compute_bs(eh, False, is_intra4, nonzero4, mv4, ref_poc4,
+                            no_ref)
+        y, cb, cr = deblock_frame(
+            np.asarray(rec[0]).astype(np.int32),
+            np.asarray(rec[1]).astype(np.int32),
+            np.asarray(rec[2]).astype(np.int32),
+            ev, eh, cfg.qp, chroma_qp(cfg.qp, self.pps.cb_qp_offset),
+            chroma_qp(cfg.qp, self.pps.cr_qp_offset),
+            cfg.deblock_beta, cfg.deblock_tc)
         return [y.astype(np.uint16), cb.astype(np.uint16),
                 cr.astype(np.uint16)]
 
@@ -283,7 +303,7 @@ class Encoder:
                    enc.rec_cr[:h // 2, :w // 2].astype(np.uint16)]
         if cfg.deblock_enable:
             rec = [np.asarray(p) for p in rec]
-            rec = self._deblock_recon(rec)
+            rec = self._deblock_recon(rec, decisions, is_idr)
         if self.inter_enabled:
             # keep the reference picture on device when it came from there
             self._prev = {"poc": self.poc,

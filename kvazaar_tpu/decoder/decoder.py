@@ -79,6 +79,7 @@ class _FrameState:
         self.mv = np.zeros((mh, mw, 2, 2), dtype=np.int32)
         self.ref_poc = np.full((mh, mw, 2), -(1 << 30), dtype=np.int64)
         self.skip = np.zeros((mh, mw), dtype=bool)
+        self.nonzero = np.zeros((mh, mw), dtype=bool)  # luma TU has coeffs
         # deblocking edge maps (8-aligned TU/CU edges; spec 8.7.2)
         self.edges_ver = np.zeros((h // 4, w // 8), dtype=bool)
         self.edges_hor = np.zeros((h // 8, w // 4), dtype=bool)
@@ -199,6 +200,9 @@ class SliceDecoder:
         plane[py:py + size, px:px + size] = np.clip(pred, 0, max_val)
         if c_idx == 0:
             fs.decoded[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2] = True
+            if coeffs is not None:
+                fs.nonzero[y >> 2:(y + size) >> 2,
+                           x >> 2:(x + size) >> 2] = True
             if x > 0 and x % 8 == 0:
                 fs.edges_ver[y >> 2:(y + size) >> 2, x >> 3] = True
             if y > 0 and y % 8 == 0:
@@ -300,13 +304,15 @@ class SliceDecoder:
             f0, f1 = pocs[0] > self.NO_REF, pocs[1] > self.NO_REF
             if not f0 and not f1:
                 continue
-            # choose the collocated list (low-delay: use target list)
+            # choose the collocated list (spec 8.5.3.2.9)
             if not f0:
                 use = 1
             elif not f1:
                 use = 0
+            elif getattr(self, "no_backward", True):
+                use = lx
             else:
-                use = lx  # NoBackwardPred (low delay) case
+                use = 1 if self.sh.collocated_from_l0 else 0
             mv = col["mv"][pyy >> 2, pxx >> 2, use]
             col_ref = int(pocs[use])
             return self._scale_mv(mv, self.poc - ref_poc,
@@ -397,28 +403,35 @@ class SliceDecoder:
         b1 = self._mv_at(x0 + w - 1, y0 - 1)
         b2 = self._mv_at(x0 - 1, y0 - 1)
 
-        def pick(cand_list, allow_scaled):
-            # same-poc first (either list), then scaled (either list)
+        def pick_same(cand_list):
             for c in cand_list:
                 if c is None:
                     continue
                 for l in (lx, 1 - lx):
                     if c[0][l] and c[2][l] == ref_poc:
                         return c[1][l].astype(np.int32)
-            if allow_scaled:
-                for c in cand_list:
-                    if c is None:
-                        continue
-                    for l in (lx, 1 - lx):
-                        if c[0][l]:
-                            return self._scale_mv(
-                                c[1][l], self.poc - ref_poc,
-                                self.poc - c[2][l])
             return None
 
-        mva = pick((a0, a1), True)
+        def pick_scaled(cand_list):
+            for c in cand_list:
+                if c is None:
+                    continue
+                for l in (lx, 1 - lx):
+                    if c[0][l]:
+                        return self._scale_mv(c[1][l], self.poc - ref_poc,
+                                              self.poc - c[2][l])
+            return None
+
         a_avail = a0 is not None or a1 is not None
-        mvb = pick((b0, b1, b2), not a_avail)
+        mva = pick_same((a0, a1))
+        if mva is None and a_avail:
+            mva = pick_scaled((a0, a1))
+        mvb = pick_same((b0, b1, b2))
+        if not a_avail:
+            # spec 8.5.3.2.7: promote the unscaled B candidate to the A
+            # slot and re-derive B with scaling allowed
+            mva = mvb
+            mvb = pick_scaled((b0, b1, b2))
         cands = []
         if mva is not None:
             cands.append(mva)
@@ -679,6 +692,9 @@ class SliceDecoder:
         max_val = (1 << self.sps.bit_depth_luma) - 1
         plane[py:py + size, px:px + size] = np.clip(
             plane[py:py + size, px:px + size] + resi, 0, max_val)
+        if c_idx == 0:
+            fs.nonzero[y >> 2:(y + size) >> 2,
+                       x >> 2:(x + size) >> 2] = True
 
     def _transform_unit_inter(self, x0: int, y0: int, x_base: int,
                               y_base: int, log2_size: int, depth: int,
@@ -947,6 +963,8 @@ class HEVCDecoder:
             sd.poc = poc
             sd.ref_list = ref_list
             sd.ref_list1 = ref_list1
+            sd.no_backward = all(r["poc"] <= poc
+                                 for r in ref_list + ref_list1)
             if ref_list and sh.temporal_mvp_enabled:
                 col_l = (ref_list if sh.collocated_from_l0 or not ref_list1
                          else ref_list1)
@@ -966,21 +984,25 @@ class HEVCDecoder:
                     raise ValueError("unexpected end_of_slice")
         if not pps.deblocking_filter_disabled and not \
                 sh.deblocking_filter_disabled:
-            from ..ops.deblock import deblock_plane
+            from ..ops.deblock import compute_bs, deblock_frame
             from ..tables import chroma_qp as _cqp
             boff = sh.beta_offset_div2 or pps.beta_offset_div2
             toff = sh.tc_offset_div2 or pps.tc_offset_div2
-            deblock_plane(fs.y, fs.edges_ver, fs.edges_hor, sh.qp,
-                          boff, toff, False,
-                          bit_depth=self.sps.bit_depth_luma)
-            deblock_plane(fs.cb, fs.c_edges_ver, fs.c_edges_hor, sh.qp,
-                          boff, toff, True,
+            if sh.is_intra:
+                bs_ver = fs.edges_ver.astype(np.int8) * 2
+                bs_hor = fs.edges_hor.astype(np.int8) * 2
+            else:
+                is_intra4 = fs.pred_mode == 1
+                bs_ver = compute_bs(fs.edges_ver, True, is_intra4,
+                                    fs.nonzero, fs.mv, fs.ref_poc,
+                                    -(1 << 30))
+                bs_hor = compute_bs(fs.edges_hor, False, is_intra4,
+                                    fs.nonzero, fs.mv, fs.ref_poc,
+                                    -(1 << 30))
+            deblock_frame(fs.y, fs.cb, fs.cr, bs_ver, bs_hor, sh.qp,
                           _cqp(sh.qp, pps.cb_qp_offset),
-                          bit_depth=self.sps.bit_depth_luma)
-            deblock_plane(fs.cr, fs.c_edges_ver, fs.c_edges_hor, sh.qp,
-                          boff, toff, True,
-                          _cqp(sh.qp, pps.cr_qp_offset),
-                          bit_depth=self.sps.bit_depth_luma)
+                          _cqp(sh.qp, pps.cr_qp_offset), boff, toff,
+                          self.sps.bit_depth_luma)
         # crop to conformance window
         cl, cr_, ct, cb_ = self.sps.conf_win
         w, h = sps.width, sps.height

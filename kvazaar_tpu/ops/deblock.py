@@ -112,10 +112,11 @@ def _filter_luma_edge_cols(rec: np.ndarray, x: int, ys: np.ndarray,
 
 
 def _filter_chroma_edge_cols(rec: np.ndarray, x: int, ys: np.ndarray,
-                             tc: int, bit_depth: int) -> None:
+                             tc: int, bit_depth: int,
+                             seg_h: int = 4) -> None:
     if tc == 0 or len(ys) == 0:
         return
-    seg = np.arange(4)
+    seg = np.arange(seg_h)
     rows = ys[:, None] + seg[None, :]
     p0 = rec[rows, x - 1].astype(np.int64)
     p1 = rec[rows, x - 2].astype(np.int64)
@@ -127,47 +128,166 @@ def _filter_chroma_edge_cols(rec: np.ndarray, x: int, ys: np.ndarray,
     rec[rows, x] = np.clip(q0 - delta, 0, max_val)
 
 
+def deblock_frame(rec_y, rec_cb, rec_cr, bs_ver, bs_hor, qp,
+                  qp_cb, qp_cr, beta_off, tc_off, bit_depth=8):
+    """Deblock a 4:2:0 picture in place.
+
+    bs_ver [H/4, W/8] / bs_hor [H/8, W/4]: luma-grid boundary strengths
+    (bool maps mean BS 2 everywhere flagged). Chroma edges/strengths are
+    derived from the luma maps (4:2:0; chroma filtered where BS == 2 at
+    16-aligned luma columns/rows, 2 chroma rows per luma segment).
+    """
+    if bs_ver.dtype == bool:
+        bs_ver = bs_ver.astype(np.int8) * 2
+    if bs_hor.dtype == bool:
+        bs_hor = bs_hor.astype(np.int8) * 2
+    rec_y = rec_y.astype(np.int32, copy=False)
+    h, w = rec_y.shape
+    beta_idx = int(np.clip(qp + (beta_off << 1), 0, 51))
+    beta = int(BETA_TABLE[beta_idx]) << (bit_depth - 8)
+
+    def tc_for(q, bs):
+        idx = int(np.clip(q + 2 * (bs - 1) + (tc_off << 1), 0, 53))
+        return int(TC_TABLE[idx]) << (bit_depth - 8)
+
+    # ---- luma ----
+    for bs in (1, 2):
+        tc = tc_for(qp, bs)
+        for xe in range(1, w // 8):
+            ys = np.nonzero(bs_ver[:, xe] == bs)[0] * 4
+            _filter_luma_edge_cols(rec_y, xe * 8, ys, beta, tc, bit_depth)
+    rec_t = np.ascontiguousarray(rec_y.T)
+    for bs in (1, 2):
+        tc = tc_for(qp, bs)
+        for ye in range(1, h // 8):
+            xs = np.nonzero(bs_hor[ye, :] == bs)[0] * 4
+            _filter_luma_edge_cols(rec_t, ye * 8, xs, beta, tc, bit_depth)
+    rec_y[:] = rec_t.T
+
+    # ---- chroma (BS == 2 only) ----
+    for plane, q in ((rec_cb, qp_cb), (rec_cr, qp_cr)):
+        plane = plane.astype(np.int32, copy=False)
+        hc, wc = plane.shape
+        tc2 = tc_for(q, 2)
+        for xec in range(1, wc // 8):
+            ys = np.nonzero(bs_ver[:, 2 * xec] == 2)[0] * 2
+            _filter_chroma_edge_cols(plane, xec * 8, ys, tc2, bit_depth,
+                                     seg_h=2)
+        pt = np.ascontiguousarray(plane.T)
+        for yec in range(1, hc // 8):
+            xs = np.nonzero(bs_hor[2 * yec, :] == 2)[0] * 2
+            _filter_chroma_edge_cols(pt, yec * 8, xs, tc2, bit_depth,
+                                     seg_h=2)
+        plane[:] = pt.T
+    return rec_y, rec_cb, rec_cr
+
+
 def deblock_plane(rec: np.ndarray, edges_ver: np.ndarray,
                   edges_hor: np.ndarray, qp: int, beta_off: int, tc_off: int,
                   is_chroma: bool, chroma_qp_val: int | None = None,
                   bit_depth: int = 8) -> np.ndarray:
     """Deblock one plane in place (returns it).
 
-    edges_ver: bool [H/4, W/8] — vertical edges (luma grid: per 8-aligned
-      column, per 4-row segment). For chroma the plane grid is [H_c/4, W_c/8]
-      with edges at 8-aligned chroma columns.
-    edges_hor: bool [H/8, W/4] analogous for horizontal edges.
+    edges_ver: [H/4, W/8] boundary strengths (0/1/2) for vertical edges
+      (per 8-aligned column, per 4-row segment); bool maps are accepted and
+      treated as BS 2. edges_hor: [H/8, W/4] analogous.
+    Luma filters BS >= 1 (tc depends on BS); chroma filters BS == 2 only.
     """
     rec = rec.astype(np.int32, copy=False)
     h, w = rec.shape
+    edges_ver = edges_ver.astype(np.int8) * (2 if edges_ver.dtype == bool
+                                             else 1)
+    edges_hor = edges_hor.astype(np.int8) * (2 if edges_hor.dtype == bool
+                                             else 1)
     q = chroma_qp_val if is_chroma else qp
-    bs = 2  # all-intra
+
+    def tc_for(bs):
+        idx = int(np.clip(q + 2 * (bs - 1) + (tc_off << 1), 0, 53))
+        return int(TC_TABLE[idx]) << (bit_depth - 8)
+
     if is_chroma:
-        tc_idx = int(np.clip(q + 2 * (bs - 1) + (tc_off << 1), 0, 53))
-        tc = int(TC_TABLE[tc_idx]) << (bit_depth - 8)
+        tc2 = tc_for(2)
         for xe in range(1, w // 8):
-            x = xe * 8
-            ys = np.nonzero(edges_ver[:, xe])[0] * 4
-            _filter_chroma_edge_cols(rec, x, ys, tc, bit_depth)
+            ys = np.nonzero(edges_ver[:, xe] == 2)[0] * 4
+            _filter_chroma_edge_cols(rec, xe * 8, ys, tc2, bit_depth)
         rec_t = np.ascontiguousarray(rec.T)
         for ye in range(1, h // 8):
-            y = ye * 8
-            xs = np.nonzero(edges_hor[ye, :])[0] * 4
-            _filter_chroma_edge_cols(rec_t, y, xs, tc, bit_depth)
+            xs = np.nonzero(edges_hor[ye, :] == 2)[0] * 4
+            _filter_chroma_edge_cols(rec_t, ye * 8, xs, tc2, bit_depth)
         rec[:] = rec_t.T
         return rec
     beta_idx = int(np.clip(qp + (beta_off << 1), 0, 51))
     beta = int(BETA_TABLE[beta_idx]) << (bit_depth - 8)
-    tc_idx = int(np.clip(qp + 2 * (bs - 1) + (tc_off << 1), 0, 53))
-    tc = int(TC_TABLE[tc_idx]) << (bit_depth - 8)
-    for xe in range(1, w // 8):
-        x = xe * 8
-        ys = np.nonzero(edges_ver[:, xe])[0] * 4
-        _filter_luma_edge_cols(rec, x, ys, beta, tc, bit_depth)
+    for bs in (1, 2):
+        tc = tc_for(bs)
+        for xe in range(1, w // 8):
+            ys = np.nonzero(edges_ver[:, xe] == bs)[0] * 4
+            _filter_luma_edge_cols(rec, xe * 8, ys, beta, tc, bit_depth)
     rec_t = np.ascontiguousarray(rec.T)
-    for ye in range(1, h // 8):
-        y = ye * 8
-        xs = np.nonzero(edges_hor[ye, :])[0] * 4
-        _filter_luma_edge_cols(rec_t, y, xs, beta, tc, bit_depth)
+    for bs in (1, 2):
+        tc = tc_for(bs)
+        for ye in range(1, h // 8):
+            xs = np.nonzero(edges_hor[ye, :] == bs)[0] * 4
+            _filter_luma_edge_cols(rec_t, ye * 8, xs, beta, tc, bit_depth)
     rec[:] = rec_t.T
     return rec
+
+
+def compute_bs(edge_flags: np.ndarray, vertical: bool, is_intra4: np.ndarray,
+               nonzero4: np.ndarray, mv4: np.ndarray,
+               ref_poc4: np.ndarray, no_ref: int) -> np.ndarray:
+    """Boundary strengths (spec 8.7.2.4) for luma-grid edges.
+
+    edge_flags: bool [H/4, W/8] (vertical) or [H/8, W/4] (horizontal).
+    is_intra4/nonzero4: per-4x4 maps; mv4 [mh, mw, 2, 2]; ref_poc4
+    [mh, mw, 2] with `no_ref` marking an unused list.
+    """
+    out = np.zeros(edge_flags.shape, dtype=np.int8)
+    eh, ew = edge_flags.shape
+    for a in range(eh):
+        for b in range(ew):
+            if not edge_flags[a, b]:
+                continue
+            if vertical:
+                qy, qx = a, b * 2          # 4x4 indices (x8 -> x4*2)
+                py, px = a, b * 2 - 1
+            else:
+                qy, qx = a * 2, b
+                py, px = a * 2 - 1, b
+            if is_intra4[py, px] or is_intra4[qy, qx]:
+                out[a, b] = 2
+                continue
+            if nonzero4[py, px] or nonzero4[qy, qx]:
+                out[a, b] = 1
+                continue
+            rp = ref_poc4[py, px]
+            rq = ref_poc4[qy, qx]
+            used_p = [int(rp[i]) for i in range(2) if rp[i] > no_ref]
+            used_q = [int(rq[i]) for i in range(2) if rq[i] > no_ref]
+            if len(used_p) != len(used_q) or                     sorted(used_p) != sorted(used_q):
+                out[a, b] = 1
+                continue
+            mp = mv4[py, px]
+            mq = mv4[qy, qx]
+
+            def far(u, v):
+                return (abs(int(u[0]) - int(v[0])) >= 4
+                        or abs(int(u[1]) - int(v[1])) >= 4)
+
+            if len(used_p) == 1:
+                lp = 0 if rp[0] > no_ref else 1
+                lq = 0 if rq[0] > no_ref else 1
+                out[a, b] = 1 if far(mp[lp], mq[lq]) else 0
+            else:
+                if used_p[0] != used_p[1]:
+                    # distinct refs: match lists by reference picture
+                    if rp[0] == rq[0]:
+                        d = far(mp[0], mq[0]) or far(mp[1], mq[1])
+                    else:
+                        d = far(mp[0], mq[1]) or far(mp[1], mq[0])
+                    out[a, b] = 1 if d else 0
+                else:
+                    d = ((far(mp[0], mq[0]) or far(mp[1], mq[1])) and
+                         (far(mp[0], mq[1]) or far(mp[1], mq[0])))
+                    out[a, b] = 1 if d else 0
+    return out

@@ -31,6 +31,8 @@ def _make_motion_yuv(path, w, h, n, rng):
     ("0", ["--ref", "1", "--bipred"]),
     ("0", ["--ref", "2", "--wpp"]),
     ("8", ["--ref", "2"]),
+    ("8", ["--ref", "2", "--deblock", "0:0"]),
+    ("0", ["--ref", "2", "--deblock", "1:1"]),
 ])
 def test_decode_inter_stream(tmp_path, rng, gop, extra):
     w, h = 128, 96
@@ -39,8 +41,9 @@ def test_decode_inter_stream(tmp_path, rng, gop, extra):
     out = str(tmp_path / "m.hevc")
     cmd = [REF_ENCODER, "-i", yuv, "--input-res", f"{w}x{h}", "-o", out,
            "--preset", "ultrafast", "--gop", gop, "-p", "0", "--qp", "30",
-           "--hash", "checksum", "--no-deblock", "--no-sao",
-           "--threads", "0"]
+           "--hash", "checksum", "--no-sao", "--threads", "0"]
+    if "--deblock" not in extra:
+        cmd += ["--no-deblock"]
     cmd += extra if "--wpp" in extra else ["--no-wpp"] + extra
     subprocess.run(cmd, check=True, capture_output=True)
     frames = HEVCDecoder().decode(open(out, "rb").read())
