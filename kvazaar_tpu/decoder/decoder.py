@@ -80,6 +80,8 @@ class _FrameState:
         self.ref_poc = np.full((mh, mw, 2), -(1 << 30), dtype=np.int64)
         self.skip = np.zeros((mh, mw), dtype=bool)
         self.nonzero = np.zeros((mh, mw), dtype=bool)  # luma TU has coeffs
+        # SAO parameters per component: (ctb_y, ctb_x) -> (type, offs, aux)
+        self.sao = [{}, {}, {}]
         # deblocking edge maps (8-aligned TU/CU edges; spec 8.7.2)
         self.edges_ver = np.zeros((h // 4, w // 8), dtype=bool)
         self.edges_hor = np.zeros((h // 8, w // 4), dtype=bool)
@@ -220,8 +222,69 @@ class SliceDecoder:
         x0 = ctu_x * sps.ctb_size
         y0 = ctu_y * sps.ctb_size
         if self.sh.sao_luma or self.sh.sao_chroma:
-            raise NotImplementedError("SAO decode")
+            self._decode_sao(ctu_x, ctu_y)
         self.coding_quadtree(x0, y0, sps.ctb_log2, 0)
+
+    def _decode_sao(self, cx: int, cy: int) -> None:
+        cab = self.cab
+        fs = self.fs
+        merge_left = merge_up = 0
+        if cx > 0:
+            merge_left = cab.decode_bin(ContextSet.idx("sao_merge_flag", 0))
+        if not merge_left and cy > 0:
+            merge_up = cab.decode_bin(ContextSet.idx("sao_merge_flag", 0))
+        if merge_left or merge_up:
+            src = (cy, cx - 1) if merge_left else (cy - 1, cx)
+            for c in range(3):
+                if src in fs.sao[c]:
+                    fs.sao[c][(cy, cx)] = fs.sao[c][src]
+            return
+        from ..ops.sao import SAO_BAND, SAO_EDGE, SAO_OFF
+        typ_luma = typ_chroma = SAO_OFF
+        eo_chroma = 0
+        for c in range(3):
+            if c == 0 and not self.sh.sao_luma:
+                continue
+            if c > 0 and not self.sh.sao_chroma:
+                continue
+            if c in (0, 1):
+                if cab.decode_bin(ContextSet.idx("sao_type_idx", 0)):
+                    typ = SAO_EDGE if cab.decode_bin_ep() else SAO_BAND
+                else:
+                    typ = SAO_OFF
+                if c == 0:
+                    typ_luma = typ
+                else:
+                    typ_chroma = typ
+            else:
+                typ = typ_chroma
+            if typ == SAO_OFF:
+                fs.sao[c][(cy, cx)] = (SAO_OFF, [0] * 4, 0)
+                continue
+            cmax = (1 << (min(self.sps.bit_depth_luma, 10) - 5)) - 1
+            offs_abs = []
+            for _ in range(4):
+                v = 0
+                while v < cmax and cab.decode_bin_ep():
+                    v += 1
+                offs_abs.append(v)
+            if typ == SAO_BAND:
+                offs = []
+                for v in offs_abs:
+                    if v and cab.decode_bin_ep():
+                        v = -v
+                    offs.append(v)
+                aux = cab.decode_bins_ep(5)
+            else:
+                offs = [offs_abs[0], offs_abs[1], -offs_abs[2],
+                        -offs_abs[3]]
+                if c in (0, 1):
+                    aux = cab.decode_bins_ep(2)
+                    if c == 1:
+                        eo_chroma = aux
+                else:
+                    aux = eo_chroma
+            fs.sao[c][(cy, cx)] = (typ, offs, aux)
 
     def coding_quadtree(self, x0: int, y0: int, log2_size: int,
                         depth: int) -> None:
@@ -673,6 +736,13 @@ class SliceDecoder:
         else:
             cbf_luma = cab.decode_bin(
                 ContextSet.idx("cbf_luma", 1 if depth == 0 else 0))
+        # TU boundaries are deblocking edges regardless of cbf
+        fs = self.fs
+        size = 1 << log2_size
+        if x0 > 0 and x0 % 8 == 0:
+            fs.edges_ver[y0 >> 2:(y0 + size) >> 2, x0 >> 3] = True
+        if y0 > 0 and y0 % 8 == 0:
+            fs.edges_hor[y0 >> 3, x0 >> 2:(x0 + size) >> 2] = True
         self._transform_unit_inter(x0, y0, x_base, y_base, log2_size,
                                    depth, blk_idx, cbf_luma, cbf_cb, cbf_cr)
 
@@ -1003,6 +1073,20 @@ class HEVCDecoder:
                           _cqp(sh.qp, pps.cb_qp_offset),
                           _cqp(sh.qp, pps.cr_qp_offset), boff, toff,
                           self.sps.bit_depth_luma)
+        if sh.sao_luma or sh.sao_chroma:
+            from ..ops.sao import apply_sao_plane
+            bd = self.sps.bit_depth_luma
+            pw, ph = sps.width, sps.height
+            if sh.sao_luma:
+                fs.y[:ph, :pw] = apply_sao_plane(fs.y[:ph, :pw], fs.sao[0],
+                                                 sps.ctb_size, bd)
+            if sh.sao_chroma:
+                fs.cb[:ph // 2, :pw // 2] = apply_sao_plane(
+                    fs.cb[:ph // 2, :pw // 2], fs.sao[1],
+                    sps.ctb_size // 2, bd)
+                fs.cr[:ph // 2, :pw // 2] = apply_sao_plane(
+                    fs.cr[:ph // 2, :pw // 2], fs.sao[2],
+                    sps.ctb_size // 2, bd)
         # crop to conformance window
         cl, cr_, ct, cb_ = self.sps.conf_win
         w, h = sps.width, sps.height

@@ -50,3 +50,35 @@ def test_decode_inter_stream(tmp_path, rng, gop, extra):
     assert len(frames) == 5
     for f in frames:
         assert f.hash_ok
+
+
+@pytest.mark.parametrize("preset", ["ultrafast", "fast", "medium"])
+def test_decode_full_default_presets(tmp_path, rng, preset):
+    """kvazaar presets with ALL defaults (deblock+SAO+WPP+GOP+bipred)."""
+    w, h = 128, 96
+    yuv = str(tmp_path / "m.yuv")
+    _make_motion_yuv(yuv, w, h, 6, rng)
+    out = str(tmp_path / "m.hevc")
+    subprocess.run([REF_ENCODER, "-i", yuv, "--input-res", f"{w}x{h}",
+                    "-o", out, "--preset", preset, "--qp", "32",
+                    "--hash", "checksum", "--threads", "0"],
+                   check=True, capture_output=True)
+    frames = HEVCDecoder().decode(open(out, "rb").read())
+    assert len(frames) == 6
+    for f in frames:
+        assert f.hash_ok
+
+
+@pytest.mark.parametrize("extra", [["-p", "1"], ["--gop", "8", "-p", "0"]])
+def test_decode_sao_streams(tmp_path, rng, extra):
+    w, h = 96, 80
+    yuv = str(tmp_path / "m.yuv")
+    _make_motion_yuv(yuv, w, h, 4, rng)
+    out = str(tmp_path / "m.hevc")
+    subprocess.run([REF_ENCODER, "-i", yuv, "--input-res", f"{w}x{h}",
+                    "-o", out, "--preset", "ultrafast", "--qp", "30",
+                    "--hash", "checksum", "--sao", "full", "--no-wpp",
+                    "--threads", "0"] + extra,
+                   check=True, capture_output=True)
+    frames = HEVCDecoder().decode(open(out, "rb").read())
+    assert len(frames) == 4 and all(f.hash_ok for f in frames)
