@@ -383,11 +383,12 @@ class SliceDecoder:
         return None
 
     def merge_candidates(self, x0: int, y0: int, w: int, h: int,
-                         max_cand: int) -> list:
+                         max_cand: int, excl_a1: bool = False,
+                         excl_b1: bool = False) -> list:
         """Merge candidates; each is (flags, mv[2,2], pocs)."""
         is_b = self.sh.slice_type == 0
-        a1 = self._mv_at(x0 - 1, y0 + h - 1)
-        b1 = self._mv_at(x0 + w - 1, y0 - 1)
+        a1 = None if excl_a1 else self._mv_at(x0 - 1, y0 + h - 1)
+        b1 = None if excl_b1 else self._mv_at(x0 + w - 1, y0 - 1)
         b0 = self._mv_at(x0 + w, y0 - 1)
         a0 = self._mv_at(x0 - 1, y0 + h)
         cands = []
@@ -551,12 +552,12 @@ class SliceDecoder:
                     r[key], cx, cy, cw, ch, int(mv[lx, 0]),
                     int(mv[lx, 1]), bd)
 
-    def _mark_inter(self, x0: int, y0: int, size: int, motion,
+    def _mark_inter(self, x0: int, y0: int, w: int, h: int, motion,
                     skip: bool) -> None:
         flags, mv, pocs = motion
         fs = self.fs
-        sl = (slice(y0 >> 2, (y0 + size) >> 2),
-              slice(x0 >> 2, (x0 + size) >> 2))
+        sl = (slice(y0 >> 2, (y0 + h) >> 2),
+              slice(x0 >> 2, (x0 + w) >> 2))
         fs.pred_mode[sl] = INTER
         fs.intra_mode[sl] = 1
         fs.mv[sl[0], sl[1]] = mv
@@ -566,14 +567,17 @@ class SliceDecoder:
         fs.coded[sl] = True
         fs.decoded[sl] = True
         if x0 > 0 and x0 % 8 == 0:
-            fs.edges_ver[y0 >> 2:(y0 + size) >> 2, x0 >> 3] = True
+            fs.edges_ver[y0 >> 2:(y0 + h) >> 2, x0 >> 3] = True
         if y0 > 0 and y0 % 8 == 0:
-            fs.edges_hor[y0 >> 3, x0 >> 2:(x0 + size) >> 2] = True
-        px, py = x0 >> 1, y0 >> 1
-        if px > 0 and px % 8 == 0:
-            fs.c_edges_ver[py >> 2:(py + (size >> 1)) >> 2, px >> 3] = True
-        if py > 0 and py % 8 == 0:
-            fs.c_edges_hor[py >> 3, px >> 2:(px + (size >> 1)) >> 2] = True
+            fs.edges_hor[y0 >> 3, x0 >> 2:(x0 + w) >> 2] = True
+
+    def coding_unit(self, x0: int, y0: int, log2_size: int) -> None:
+        if self.pps.transquant_bypass_enabled:
+            raise NotImplementedError("transquant bypass")
+        if not self.sh.is_intra:
+            self._coding_unit_p(x0, y0, log2_size)
+            return
+        self._coding_unit_intra(x0, y0, log2_size)
 
     def _decode_mvd(self) -> np.ndarray:
         cab = self.cab
@@ -622,11 +626,98 @@ class SliceDecoder:
                 v += 1
         return v
 
+    def _parse_part_mode_inter(self, log2_size: int) -> str:
+        cab = self.cab
+        sps = self.sps
+        if cab.decode_bin(ContextSet.idx("part_mode", 0)):
+            return "2Nx2N"
+        ver = cab.decode_bin(ContextSet.idx("part_mode", 1))
+        at_min = log2_size == sps.log2_min_cb_size
+        if sps.amp_enabled and not at_min:
+            if cab.decode_bin(ContextSet.idx("part_mode", 3)):
+                return "2NxN" if ver else "Nx2N"
+            second = cab.decode_bin_ep()
+            if ver:
+                return "2NxnD" if second else "2NxnU"
+            return "nRx2N" if second else "nLx2N"
+        if at_min and log2_size > 3 and not ver:
+            # '001' = Nx2N, '000' = NxN
+            if not cab.decode_bin(ContextSet.idx("part_mode", 2)):
+                return "NxN"
+        return "2NxN" if ver else "Nx2N"
+
+    @staticmethod
+    def _pu_geometry(part: str, x0: int, y0: int, s: int) -> list:
+        q = s >> 2
+        h = s >> 1
+        return {
+            "2Nx2N": [(x0, y0, s, s)],
+            "2NxN": [(x0, y0, s, h), (x0, y0 + h, s, h)],
+            "Nx2N": [(x0, y0, h, s), (x0 + h, y0, h, s)],
+            "NxN": [(x0, y0, h, h), (x0 + h, y0, h, h),
+                    (x0, y0 + h, h, h), (x0 + h, y0 + h, h, h)],
+            "2NxnU": [(x0, y0, s, q), (x0, y0 + q, s, s - q)],
+            "2NxnD": [(x0, y0, s, s - q), (x0, y0 + s - q, s, q)],
+            "nLx2N": [(x0, y0, q, s), (x0 + q, y0, s - q, s)],
+            "nRx2N": [(x0, y0, s - q, s), (x0 + s - q, y0, q, s)],
+        }[part]
+
+    def _parse_pu(self, px: int, py: int, pw: int, ph: int,
+                  excl_a1: bool, excl_b1: bool):
+        """Parse one prediction unit; returns its motion."""
+        cab = self.cab
+        sh = self.sh
+        is_b = sh.slice_type == 0
+        small = (pw + ph) == 12
+        max_merge = 5 - sh.five_minus_max_num_merge_cand
+        merge = cab.decode_bin(ContextSet.idx("merge_flag", 0))
+        if merge:
+            midx = self._decode_merge_idx(max_merge)
+            motion = self.merge_candidates(px, py, pw, ph, max_merge,
+                                           excl_a1, excl_b1)[midx]
+            if small and motion[0][0] and motion[0][1]:
+                # 8x4/4x8 PUs cannot be bi-predicted (spec 8.5.3.2.2)
+                motion = ((True, False), motion[1],
+                          (motion[2][0], self.NO_REF))
+            return motion, True
+        depth = int(self.fs.depth[py >> 2, px >> 2])
+        if is_b:
+            if small:
+                idc = 1 if cab.decode_bin(
+                    ContextSet.idx("inter_pred_idc", 4)) else 0
+            elif cab.decode_bin(ContextSet.idx("inter_pred_idc", depth)):
+                idc = 2
+            else:
+                idc = 1 if cab.decode_bin(
+                    ContextSet.idx("inter_pred_idc", 4)) else 0
+        else:
+            idc = 0
+        flags = [idc != 1, idc != 0]
+        mv = np.zeros((2, 2), np.int32)
+        pocs = [self.NO_REF, self.NO_REF]
+        for lx in (0, 1):
+            if not flags[lx]:
+                continue
+            lst = self.ref_list if lx == 0 else self.ref_list1
+            n_refs = (sh.num_ref_idx_l0_active_minus1 + 1 if lx == 0
+                      else sh.num_ref_idx_l1_active_minus1 + 1)
+            ridx = self._decode_ref_idx(n_refs)
+            pocs[lx] = lst[ridx]["poc"]
+            if lx == 1 and sh.mvd_l1_zero and idc == 2:
+                mvd = np.zeros(2, np.int32)
+            else:
+                mvd = self._decode_mvd()
+            mvp_flag = cab.decode_bin(ContextSet.idx("mvp_flag", 0))
+            mvp = self.amvp_candidates(px, py, pw, ph, lx,
+                                       pocs[lx])[mvp_flag]
+            mv[lx] = ((mvp.astype(np.int64) + mvd + 32768) % 65536
+                      - 32768).astype(np.int32)
+        return ((flags[0], flags[1]), mv, (pocs[0], pocs[1])), False
+
     def _coding_unit_p(self, x0: int, y0: int, log2_size: int) -> None:
         cab = self.cab
         sh = self.sh
         size = 1 << log2_size
-        is_b = sh.slice_type == 0
         ctx_off = 0
         if self._coded(x0 - 1, y0) and self.fs.skip[y0 >> 2, (x0 - 1) >> 2]:
             ctx_off += 1
@@ -639,80 +730,49 @@ class SliceDecoder:
             motion = self.merge_candidates(x0, y0, size, size,
                                            max_merge)[midx]
             self._inter_pred(x0, y0, size, size, motion)
-            self._mark_inter(x0, y0, size, motion, True)
+            self._mark_inter(x0, y0, size, size, motion, True)
             return
         if cab.decode_bin(ContextSet.idx("pred_mode_flag", 0)):
             self._coding_unit_intra(x0, y0, log2_size)
             return
-        if not cab.decode_bin(ContextSet.idx("part_mode", 0)):
-            raise NotImplementedError("non-2Nx2N inter partitions")
-        merge = cab.decode_bin(ContextSet.idx("merge_flag", 0))
-        if merge:
-            midx = self._decode_merge_idx(max_merge)
-            motion = self.merge_candidates(x0, y0, size, size,
-                                           max_merge)[midx]
-        else:
-            depth = int(self.fs.depth[y0 >> 2, x0 >> 2])
-            if is_b:
-                # inter_pred_idc (spec 9.3.3.7): bin0 ctx = CtDepth
-                if cab.decode_bin(ContextSet.idx("inter_pred_idc", depth)):
-                    idc = 2  # BI
-                else:
-                    idc = 1 if cab.decode_bin(
-                        ContextSet.idx("inter_pred_idc", 4)) else 0
-            else:
-                idc = 0
-            flags = [idc != 1, idc != 0]
-            mv = np.zeros((2, 2), np.int32)
-            pocs = [self.NO_REF, self.NO_REF]
-            for lx in (0, 1):
-                if not flags[lx]:
-                    continue
-                lst = self.ref_list if lx == 0 else self.ref_list1
-                n_refs = (sh.num_ref_idx_l0_active_minus1 + 1 if lx == 0
-                          else sh.num_ref_idx_l1_active_minus1 + 1)
-                ridx = self._decode_ref_idx(n_refs)
-                pocs[lx] = lst[ridx]["poc"]
-                if lx == 1 and sh.mvd_l1_zero and idc == 2:
-                    mvd = np.zeros(2, np.int32)
-                else:
-                    mvd = self._decode_mvd()
-                mvp_flag = cab.decode_bin(ContextSet.idx("mvp_flag", 0))
-                mvp = self.amvp_candidates(x0, y0, size, size, lx,
-                                           pocs[lx])[mvp_flag]
-                mv[lx] = ((mvp.astype(np.int64) + mvd + 32768) % 65536
-                          - 32768).astype(np.int32)
-            motion = ((flags[0], flags[1]), mv, (pocs[0], pocs[1]))
-        self._inter_pred(x0, y0, size, size, motion)
-        self._mark_inter(x0, y0, size, motion, False)
+        part = self._parse_part_mode_inter(log2_size)
+        if part == "NxN":
+            raise NotImplementedError("inter NxN partitions")
+        pus = self._pu_geometry(part, x0, y0, size)
+        all_merge = True
+        for i, (px, py, pw, ph) in enumerate(pus):
+            excl_a1 = i == 1 and part in ("Nx2N", "nLx2N", "nRx2N")
+            excl_b1 = i == 1 and part in ("2NxN", "2NxnU", "2NxnD")
+            motion, was_merge = self._parse_pu(px, py, pw, ph,
+                                               excl_a1, excl_b1)
+            all_merge = all_merge and was_merge
+            self._inter_pred(px, py, pw, ph, motion)
+            self._mark_inter(px, py, pw, ph, motion, False)
         root_cbf = 1
-        if not merge:
+        if not (part == "2Nx2N" and all_merge):
             root_cbf = cab.decode_bin(ContextSet.idx("rqt_root_cbf", 0))
         if root_cbf:
-            self.transform_tree_inter(x0, y0, x0, y0, log2_size, 0, 0, 1, 1)
-
-    def coding_unit(self, x0: int, y0: int, log2_size: int) -> None:
-        pps = self.pps
-        if pps.transquant_bypass_enabled:
-            raise NotImplementedError("transquant bypass")
-        if not self.sh.is_intra:
-            self._coding_unit_p(x0, y0, log2_size)
-            return
-        self._coding_unit_intra(x0, y0, log2_size)
+            self.transform_tree_inter(x0, y0, x0, y0, log2_size, 0, 0, 1, 1,
+                                      inter_split=(part != "2Nx2N"))
 
     def transform_tree_inter(self, x0: int, y0: int, x_base: int,
                              y_base: int, log2_size: int, depth: int,
                              blk_idx: int, parent_cbf_cb: int,
-                             parent_cbf_cr: int) -> None:
+                             parent_cbf_cr: int,
+                             inter_split: bool = False) -> None:
         sps = self.sps
         cab = self.cab
-        max_depth = sps.max_transform_hierarchy_depth_inter
+        max_depth = sps.max_transform_hierarchy_depth_inter + \
+            (1 if inter_split else 0)
         max_tb = sps.log2_min_tb_size + sps.log2_diff_max_min_tb_size
-        if sps.log2_min_tb_size < log2_size <= max_tb and depth < max_depth:
+        forced = inter_split and depth == 0 and \
+            sps.max_transform_hierarchy_depth_inter == 0
+        if sps.log2_min_tb_size < log2_size <= max_tb \
+                and depth < max_depth and not forced:
             split = cab.decode_bin(
                 ContextSet.idx("split_transform_flag", 5 - log2_size))
         else:
-            split = 1 if log2_size > max_tb else 0
+            split = 1 if (log2_size > max_tb or forced) else 0
         cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
         if log2_size > 2:
             if depth == 0 or parent_cbf_cb:
@@ -729,7 +789,8 @@ class SliceDecoder:
                                           (half, half))):
                 self.transform_tree_inter(x0 + dx, y0 + dy, x0, y0,
                                           log2_size - 1, depth + 1, i,
-                                          cbf_cb, cbf_cr)
+                                          cbf_cb, cbf_cr,
+                                          inter_split=inter_split)
             return
         if depth == 0 and not cbf_cb and not cbf_cr:
             cbf_luma = 1  # inferred (rqt_root_cbf was 1)

@@ -52,7 +52,7 @@ def test_decode_inter_stream(tmp_path, rng, gop, extra):
         assert f.hash_ok
 
 
-@pytest.mark.parametrize("preset", ["ultrafast", "fast", "medium"])
+@pytest.mark.parametrize("preset", ["ultrafast", "fast", "medium", "veryslow"])
 def test_decode_full_default_presets(tmp_path, rng, preset):
     """kvazaar presets with ALL defaults (deblock+SAO+WPP+GOP+bipred)."""
     w, h = 128, 96
