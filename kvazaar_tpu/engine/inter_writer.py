@@ -141,7 +141,7 @@ class PSliceWriter:
         if merge_idx is not None and not has_resi:
             cab.encode_bin(ContextSet.idx("cu_skip_flag", skip_ctx), 1)
             self._write_merge_idx(merge_idx, max_merge)
-            h._mark_inter(x0, y0, N, motion, True)
+            h._mark_inter(x0, y0, N, N, motion, True)
             return
         cab.encode_bin(ContextSet.idx("cu_skip_flag", skip_ctx), 0)
         cab.encode_bin(ContextSet.idx("pred_mode_flag", 0), 0)
@@ -160,7 +160,7 @@ class PSliceWriter:
             mvd = (mv - mvps[flag]).astype(np.int32)
             self._write_mvd(mvd)
             cab.encode_bin(ContextSet.idx("mvp_flag", 0), flag)
-        h._mark_inter(x0, y0, N, motion, False)
+        h._mark_inter(x0, y0, N, N, motion, False)
         if merge_idx is None:
             cab.encode_bin(ContextSet.idx("rqt_root_cbf", 0),
                            1 if has_resi else 0)
