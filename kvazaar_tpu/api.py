@@ -113,9 +113,9 @@ class Encoder:
             nonzero4 = np.kron(nz_blocks, np.ones((rep, rep), bool))
             mh, mw = h // 4, w // 4
             mv4 = np.zeros((mh, mw, 2, 2), np.int32)
-            mv4[:, :, 0, 0] = np.kron(decisions["mv"][:, :, 0] * 4,
+            mv4[:, :, 0, 0] = np.kron(decisions["mv"][:, :, 0],
                                       np.ones((rep, rep), np.int32))
-            mv4[:, :, 0, 1] = np.kron(decisions["mv"][:, :, 1] * 4,
+            mv4[:, :, 0, 1] = np.kron(decisions["mv"][:, :, 1],
                                       np.ones((rep, rep), np.int32))
             no_ref = -(1 << 30)
             ref_poc4 = np.full((mh, mw, 2), no_ref, np.int64)

@@ -47,7 +47,7 @@ class PSliceWriter:
 
     def _motion_of(self, r: int, c: int):
         mv = np.zeros((2, 2), np.int32)
-        mv[0] = self.d["mv"][r, c] * 4  # integer pel -> qpel
+        mv[0] = self.d["mv"][r, c]  # already qpel
         return ((True, False), mv, (self.ref_poc, NO_REF))
 
     def _block_levels(self, r, c):

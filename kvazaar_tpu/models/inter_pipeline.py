@@ -23,10 +23,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.mc import CHROMA_FILTERS
+from ..ops.mc import CHROMA_FILTERS, LUMA_FILTERS
 from .intra_pipeline import CHROMA_N, LUMA_N, IntraPipeline
 
 ME_RANGE = 8  # integer-pel exhaustive window [-R, R]
+SUBPEL_PAD = ME_RANGE + 2  # integer range + interpolation reach
 
 
 class InterPipeline(IntraPipeline):
@@ -79,49 +80,83 @@ class InterPipeline(IntraPipeline):
 
     # -- motion compensation ----------------------------------------------------
 
-    def _mc_blocks(self, prev_y, prev_cb, prev_cr, mv):
-        """Prediction blocks for integer-pel luma MVs.
-        Luma: gather. Chroma: 4-tap half-pel where the MV is odd."""
-        n, nc = LUMA_N, CHROMA_N
-        R = ME_RANGE
+    def _mc_luma_qpel(self, ypad, mv):
+        """Exact quarter-pel luma MC for all blocks; mv in qpel units.
+        ypad: previous recon padded by SUBPEL_PAD. Returns [B, 16, 16]."""
+        n = LUMA_N
+        P = SUBPEL_PAD
         y0 = self.b_r * n
         x0 = self.b_c * n
-        ypad = jnp.pad(prev_y, R, mode="edge")
-        iy = (y0 + mv[:, 1] + R)[:, None] + jnp.arange(n)[None, :]
-        ix = (x0 + mv[:, 0] + R)[:, None] + jnp.arange(n)[None, :]
-        pred_y = ypad[iy[:, :, None], ix[:, None, :]]
+        ix = mv[:, 0] >> 2
+        iy = mv[:, 1] >> 2
+        fx = mv[:, 0] & 3
+        fy = mv[:, 1] & 3
+        wy = (y0 + iy + P - 3)[:, None] + jnp.arange(n + 7)[None, :]
+        wx = (x0 + ix + P - 3)[:, None] + jnp.arange(n + 7)[None, :]
+        win = ypad[wy[:, :, None], wx[:, None, :]]  # [B, n+7, n+7]
+        fmat = jnp.asarray(LUMA_FILTERS)  # [4, 8]
+        cx = jnp.take(fmat, fx, axis=0)  # [B, 8]
+        cy = jnp.take(fmat, fy, axis=0)
+        h14 = sum(cx[:, k, None, None] * win[:, :, k:k + n]
+                  for k in range(8))  # [B, n+7, n]
+        v = sum(cy[:, k, None, None] * h14[:, k:k + n, :]
+                for k in range(8)) >> 6
+        return jnp.clip((v + 32) >> 6, 0, 255)
 
-        # chroma: mv/2 integer part + half-pel flags
-        cx0 = (self.b_c * nc)
-        cy0 = (self.b_r * nc)
-        cmx = mv[:, 0] >> 1
-        cmy = mv[:, 1] >> 1
-        hx = (mv[:, 0] & 1).astype(bool)
-        hy = (mv[:, 1] & 1).astype(bool)
-        CR = (R >> 1) + 2
-        f4 = CHROMA_FILTERS[4]  # half-pel filter (numpy consts)
+    def _mc_chroma_qpel(self, cpad, mv, cy0, cx0):
+        """Exact eighth-pel chroma MC; mv in luma qpel units (= chroma
+        eighth-pel). cpad padded by SUBPEL_PAD//2+2."""
+        nc = CHROMA_N
+        CP = (SUBPEL_PAD >> 1) + 2
+        ix = mv[:, 0] >> 3
+        iy = mv[:, 1] >> 3
+        fx = mv[:, 0] & 7
+        fy = mv[:, 1] & 7
+        wy = (cy0 + iy + CP - 1)[:, None] + jnp.arange(nc + 3)[None, :]
+        wx = (cx0 + ix + CP - 1)[:, None] + jnp.arange(nc + 3)[None, :]
+        win = cpad[wy[:, :, None], wx[:, None, :]]
+        fmat = jnp.asarray(CHROMA_FILTERS)  # [8, 4]
+        cxf = jnp.take(fmat, fx, axis=0)
+        cyf = jnp.take(fmat, fy, axis=0)
+        h14 = sum(cxf[:, k, None, None] * win[:, :, k:k + nc]
+                  for k in range(4))
+        v = sum(cyf[:, k, None, None] * h14[:, k:k + nc, :]
+                for k in range(4)) >> 6
+        return jnp.clip((v + 32) >> 6, 0, 255)
 
-        def chroma_plane(prev_c):
-            cpad = jnp.pad(prev_c, CR, mode="edge")
-            # gather an (nc+3) x (nc+3) window starting at offset -1
-            iy = (cy0 + cmy + CR - 1)[:, None] + jnp.arange(nc + 3)[None, :]
-            ix = (cx0 + cmx + CR - 1)[:, None] + jnp.arange(nc + 3)[None, :]
-            win = cpad[iy[:, :, None], ix[:, None, :]]  # [B, nc+3, nc+3]
-            # horizontal: phase 0 (copy) and phase 4 (half)
-            h0 = win[:, :, 1:1 + nc] << 6
-            h4 = sum(int(f4[k]) * win[:, :, k:k + nc] for k in range(4))
-            hsel = jnp.where(hx[:, None, None], h4, h0)  # 14-bit rows
-            v0 = hsel[:, 1:1 + nc, :]
-            v4 = sum(int(f4[k]) * hsel[:, k:k + nc, :]
-                     for k in range(4)) >> 6
-            out = jnp.where(hy[:, None, None], v4, v0)
-            return jnp.clip((out + 32) >> 6, 0, 255)
-
-        pred_cb = chroma_plane(prev_cb)
-        pred_cr = chroma_plane(prev_cr)
+    def _mc_blocks(self, prev_y, prev_cb, prev_cr, mv_qpel):
+        """Prediction blocks for arbitrary quarter-pel MVs."""
+        ypad = jnp.pad(prev_y, SUBPEL_PAD, mode="edge")
+        pred_y = self._mc_luma_qpel(ypad, mv_qpel)
+        CP = (SUBPEL_PAD >> 1) + 2
+        nc = CHROMA_N
+        cx0 = self.b_c * nc
+        cy0 = self.b_r * nc
+        cbpad = jnp.pad(prev_cb, CP, mode="edge")
+        crpad = jnp.pad(prev_cr, CP, mode="edge")
+        pred_cb = self._mc_chroma_qpel(cbpad, mv_qpel, cy0, cx0)
+        pred_cr = self._mc_chroma_qpel(crpad, mv_qpel, cy0, cx0)
         return pred_y, pred_cb, pred_cr
 
-    # -- full inter frame step ---------------------------------------------------
+    def _subpel_refine(self, src_blocks, ypad, mv_int):
+        """Half- then quarter-pel refinement around the integer MV by
+        SATD (kvazaar search_frac analog, batched over all blocks)."""
+        mv = mv_int * 4
+        best = self._satd8(src_blocks - self._mc_luma_qpel(ypad, mv))
+        for step in (2, 1):
+            for (dx, dy) in ((-1, 0), (1, 0), (0, -1), (0, 1),
+                             (-1, -1), (1, -1), (-1, 1), (1, 1)):
+                cand = mv + jnp.array([dx * step, dy * step], jnp.int32)
+                # clamp so the interpolation window stays inside the pad
+                cand = jnp.clip(cand, -4 * ME_RANGE, 4 * ME_RANGE)
+                cost = self._satd8(src_blocks
+                                   - self._mc_luma_qpel(ypad, cand))
+                better = cost < best
+                mv = jnp.where(better[:, None], cand, mv)
+                best = jnp.where(better, cost, best)
+        return mv, best
+
+    # -- full inter frame step    # -- full inter frame step ---------------------------------------------------
 
     def _inter_impl(self, src_y, src_cb, src_cr, prev_y, prev_cb, prev_cr):
         src_y = src_y.astype(jnp.int32)
@@ -135,11 +170,12 @@ class InterPipeline(IntraPipeline):
             src_y.reshape(self.rows, n, self.cols, n), 1, 2).reshape(
             self.n_blocks, n, n).astype(jnp.int32)
         prev_pad = jnp.pad(prev_y, ME_RANGE, mode="edge").astype(jnp.int32)
-        mv, sad_inter = self._me_impl(src_blocks, prev_pad)
+        mv_int, sad_inter = self._me_impl(src_blocks, prev_pad)
+        ypad = jnp.pad(prev_y, SUBPEL_PAD, mode="edge").astype(jnp.int32)
+        mv, satd_inter = self._subpel_refine(src_blocks, ypad, mv_int)
         pred_y, pred_cb, pred_cr = self._mc_blocks(
             prev_y.astype(jnp.int32), prev_cb.astype(jnp.int32),
             prev_cr.astype(jnp.int32), mv)
-        satd_inter = self._satd8(src_blocks - pred_y)
         # intra candidate (source refs)
         modes = self._search_impl(src_y.astype(jnp.int32))
         refs = self._gather_search_refs(src_y.astype(jnp.int32))
