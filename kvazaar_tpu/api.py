@@ -145,15 +145,59 @@ class Encoder:
 
     # -- frames ----------------------------------------------------------------
 
-    def encode_frame(self, y: np.ndarray, cb: np.ndarray,
-                     cr: np.ndarray) -> tuple[bytes, dict]:
-        """Encode one frame; returns (annexb bytes, info dict)."""
+    def submit_frame(self, y: np.ndarray, cb: np.ndarray,
+                     cr: np.ndarray) -> dict:
+        """Dispatch a frame's device work (async); returns a pending token
+        for finalize_frame. OWF analog: the next frame's device compute
+        overlaps this frame's host entropy coding."""
         cfg = self.cfg
-        is_idr = (cfg.intra_period <= 1 or
-                  self.frame_num % max(1, cfg.intra_period) == 0
+        # intra_period semantics follow kvazaar (src/cfg.c): 1 = all
+        # intra, 0 = only the first frame intra, N = IDR every N frames.
+        is_idr = (cfg.intra_period == 1 or
+                  (cfg.intra_period > 1 and
+                   self.frame_num % cfg.intra_period == 0)
                   or self._prev is None or not self.inter_enabled)
         if is_idr:
             self.poc = 0
+        if self.pad_w or self.pad_h:
+            y = np.pad(y, ((0, self.pad_h), (0, self.pad_w)), mode="edge")
+            cb = np.pad(cb, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
+                        mode="edge")
+            cr = np.pad(cr, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
+                        mode="edge")
+        meta = {"is_idr": is_idr, "poc": self.poc,
+                "frame_num": self.frame_num, "y": y, "cb": cb, "cr": cr,
+                "ref_poc": None if is_idr else self._prev["poc"],
+                "dev": None}
+        if not is_idr:
+            meta["dev"] = self._inter_pipeline.submit_inter(
+                y, cb, cr, self._prev["y"], self._prev["cb"],
+                self._prev["cr"])
+        elif self._pipeline is not None:
+            meta["dev"] = self._pipeline.submit(y, cb, cr)
+        # device-resident reference for the next frame (only valid without
+        # in-loop deblocking, which runs host-side for now)
+        if self.inter_enabled and meta["dev"] is not None \
+                and not cfg.deblock_enable:
+            self._prev = {"poc": self.poc, "y": meta["dev"]["rec_y"],
+                          "cb": meta["dev"]["rec_cb"],
+                          "cr": meta["dev"]["rec_cr"]}
+            self._prev_is_final = True
+        else:
+            self._prev_is_final = False
+        self.frame_num += 1
+        self.poc += 1
+        return meta
+
+    def encode_frame(self, y: np.ndarray, cb: np.ndarray,
+                     cr: np.ndarray) -> tuple[bytes, dict]:
+        """Encode one frame; returns (annexb bytes, info dict)."""
+        return self.finalize_frame(self.submit_frame(y, cb, cr))
+
+    def finalize_frame(self, meta: dict) -> tuple[bytes, dict]:
+        cfg = self.cfg
+        is_idr = meta["is_idr"]
+        y, cb, cr = meta["y"], meta["cb"], meta["cr"]
         nal_type = NAL_IDR_W_RADL if is_idr else NAL_TRAIL_R
         sh = SliceHeader()
         sh.pps_id = 0
@@ -162,30 +206,21 @@ class Encoder:
         sh.first_slice_in_pic = 1
         if not is_idr:
             from .hevc.params import ShortTermRPS
-            sh.pic_order_cnt_lsb = self.poc & \
+            sh.pic_order_cnt_lsb = meta["poc"] & \
                 ((1 << self.sps.log2_max_poc_lsb) - 1)
             sh.short_term_rps = ShortTermRPS(
-                delta_pocs_s0=[self._prev["poc"] - self.poc], used_s0=[1])
+                delta_pocs_s0=[meta["ref_poc"] - meta["poc"]], used_s0=[1])
             sh.short_term_rps_sps_flag = 0
-
-        if self.pad_w or self.pad_h:
-            y = np.pad(y, ((0, self.pad_h), (0, self.pad_w)), mode="edge")
-            cb = np.pad(cb, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
-                        mode="edge")
-            cr = np.pad(cr, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
-                        mode="edge")
 
         decisions = None
         writer = None
         if not is_idr:
-            decisions = self._inter_pipeline.encode_inter_frame(
-                y, cb, cr, self._prev["y"], self._prev["cb"],
-                self._prev["cr"])
+            decisions = self._inter_pipeline.materialize(meta["dev"])
             from .engine.inter_writer import PSliceWriter
             writer = PSliceWriter(self.sps, self.pps, sh, decisions,
-                                  self._prev, self.poc)
+                                  {"poc": meta["ref_poc"]}, meta["poc"])
         elif self._pipeline is not None:
-            decisions = self._pipeline.encode_frame(y, cb, cr)
+            decisions = self._pipeline.materialize(meta["dev"])
         n_ctu_x = self.sps.width_in_ctbs
         n_ctu_y = self.sps.height_in_ctbs
 
@@ -287,7 +322,7 @@ class Encoder:
         slice_rbsp = shw.get_bytes() + b"".join(substreams)
 
         out = b""
-        if self.frame_num == 0:
+        if meta["frame_num"] == 0:
             out += self.headers()
         out += nal_unit(slice_rbsp, nal_type)
 
@@ -304,9 +339,8 @@ class Encoder:
         if cfg.deblock_enable:
             rec = [np.asarray(p) for p in rec]
             rec = self._deblock_recon(rec, decisions, is_idr)
-        if self.inter_enabled:
-            # keep the reference picture on device when it came from there
-            self._prev = {"poc": self.poc,
+        if self.inter_enabled and not self._prev_is_final:
+            self._prev = {"poc": meta["poc"],
                           "y": rec[0], "cb": rec[1], "cr": rec[2]}
         if cfg.hash != "none":
             htype = HASH_CHECKSUM if cfg.hash == "checksum" else HASH_MD5
@@ -335,14 +369,12 @@ class Encoder:
                           cr[:cfg.height // 2, :cfg.width // 2]),
                          [np.asarray(p) for p in crop])
         info = {
-            "poc": self.poc,
+            "poc": meta["poc"],
             "bytes": len(out),
             "recon": rec,
             "recon_out": crop,
             "psnr": psnr,
         }
-        self.frame_num += 1
-        self.poc += 1
         return out, info
 
 
@@ -369,12 +401,30 @@ def _psnr(src_planes, rec_planes) -> list[float]:
 
 
 def encode_sequence(cfg: Config, frames) -> tuple[bytes, list[dict]]:
-    """Encode an iterable of (y, cb, cr) frames to an Annex-B stream."""
+    """Encode an iterable of (y, cb, cr) frames to an Annex-B stream,
+    overlapping device compute of frame N+1 with host entropy coding of
+    frame N (the OWF analog) whenever the reference picture stays on
+    device."""
     enc = Encoder(cfg)
     out = b""
     infos = []
+    overlap = enc.use_device and not (enc.inter_enabled
+                                      and cfg.deblock_enable)
+    pending = None
     for (y, cb, cr) in frames:
-        chunk, info = enc.encode_frame(y, cb, cr)
+        if not overlap:
+            chunk, info = enc.encode_frame(y, cb, cr)
+            out += chunk
+            infos.append(info)
+            continue
+        meta = enc.submit_frame(y, cb, cr)
+        if pending is not None:
+            chunk, info = enc.finalize_frame(pending)
+            out += chunk
+            infos.append(info)
+        pending = meta
+    if pending is not None:
+        chunk, info = enc.finalize_frame(pending)
         out += chunk
         infos.append(info)
     return out, infos

@@ -317,17 +317,16 @@ class InterPipeline(IntraPipeline):
 
     def encode_inter_frame(self, src_y, src_cb, src_cr, prev_y, prev_cb,
                            prev_cr):
+        return self.materialize(
+            self.submit_inter(src_y, src_cb, src_cr, prev_y, prev_cb,
+                              prev_cr))
+
+    def submit_inter(self, src_y, src_cb, src_cr, prev_y, prev_cb, prev_cr):
         out = self._inter(self.consts, jnp.asarray(src_y, jnp.uint8),
                           jnp.asarray(src_cb, jnp.uint8),
                           jnp.asarray(src_cr, jnp.uint8),
                           jnp.asarray(prev_y, jnp.uint8),
                           jnp.asarray(prev_cb, jnp.uint8),
                           jnp.asarray(prev_cr, jnp.uint8))
-        res = {k: (np.asarray(v) if k.startswith("levels")
-                   or k in ("hash", "sse", "mv", "is_inter", "modes_flat")
-                   else v)
-               for k, v in out.items()}
-        res["modes"] = res.pop("modes_flat").reshape(self.rows, self.cols)
-        res["mv"] = res["mv"].reshape(self.rows, self.cols, 2)
-        res["is_inter"] = res["is_inter"].reshape(self.rows, self.cols)
-        return res
+        self._start_d2h(out)
+        return out

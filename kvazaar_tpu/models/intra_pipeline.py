@@ -232,13 +232,43 @@ class IntraPipeline:
 
     def encode_frame(self, src_y, src_cb, src_cr):
         """Returns dict of numpy arrays: modes, levels, cbfs, recon."""
+        return self.materialize(self.submit(src_y, src_cb, src_cr))
+
+    def submit(self, src_y, src_cb, src_cr):
+        """Dispatch the frame's device work; returns device arrays
+        (async — does not block)."""
         out = self._full(self.consts, jnp.asarray(src_y, jnp.uint8),
                          jnp.asarray(src_cb, jnp.uint8),
                          jnp.asarray(src_cr, jnp.uint8))
+        self._start_d2h(out)
+        return out
+
+    @staticmethod
+    def _start_d2h(out) -> None:
+        """Kick off async device->host copies for the host-needed outputs
+        so the (slow-link) transfer overlaps the next frame's compute."""
+        for k, v in out.items():
+            if (k.startswith("levels")
+                    or k in ("hash", "sse", "modes_flat", "mv", "is_inter")):
+                try:
+                    v.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
+
+    def materialize(self, out):
+        """Pull the host-needed outputs (levels/modes/hash/sse); recon
+        stays on device."""
         res = {k: (np.asarray(v) if k.startswith("levels")
-                   or k in ("hash", "sse", "modes_flat") else v)
+                   or k in ("hash", "sse", "modes_flat", "mv", "is_inter")
+                   else v)
                for k, v in out.items()}
-        res["modes"] = res.pop("modes_flat").reshape(self.rows, self.cols)
+        if "modes_flat" in res:
+            res["modes"] = res.pop("modes_flat").reshape(self.rows,
+                                                         self.cols)
+        if "mv" in res:
+            res["mv"] = res["mv"].reshape(self.rows, self.cols, 2)
+        if "is_inter" in res:
+            res["is_inter"] = res["is_inter"].reshape(self.rows, self.cols)
         return res
 
     def _transform_quant(self, resi: jax.Array, t: jax.Array, qp: int,
