@@ -246,10 +246,12 @@ class IntraPipeline:
     @staticmethod
     def _start_d2h(out) -> None:
         """Kick off async device->host copies for the host-needed outputs
-        so the (slow-link) transfer overlaps the next frame's compute."""
+        so the (slow-link) transfer overlaps the next frame's compute.
+        int16 levels stay device-resident (pulled only on int8 overflow)."""
         for k, v in out.items():
-            if (k.startswith("levels")
-                    or k in ("hash", "sse", "modes_flat", "mv", "is_inter")):
+            if (k.startswith("levels8") or k in ("hash", "sse", "modes_flat",
+                                                 "mv", "is_inter",
+                                                 "lvl_ovf")):
                 try:
                     v.copy_to_host_async()
                 except (AttributeError, RuntimeError):
@@ -258,10 +260,21 @@ class IntraPipeline:
     def materialize(self, out):
         """Pull the host-needed outputs (levels/modes/hash/sse); recon
         stays on device."""
-        res = {k: (np.asarray(v) if k.startswith("levels")
-                   or k in ("hash", "sse", "modes_flat", "mv", "is_inter")
+        res = {k: (np.asarray(v) if
+                   k in ("hash", "sse", "modes_flat", "mv", "is_inter")
                    else v)
                for k, v in out.items()}
+        if bool(np.asarray(out["lvl_ovf"])):
+            for p in ("y", "cb", "cr"):
+                res["levels_" + p] = np.asarray(out["levels16_" + p])
+        else:
+            for p in ("y", "cb", "cr"):
+                res["levels_" + p] = np.asarray(
+                    out["levels8_" + p]).astype(np.int16)
+        for p in ("y", "cb", "cr"):
+            res.pop("levels8_" + p, None)
+            res.pop("levels16_" + p, None)
+        res.pop("lvl_ovf", None)
         if "modes_flat" in res:
             res["modes"] = res.pop("modes_flat").reshape(self.rows,
                                                          self.cols)
@@ -470,13 +483,22 @@ class IntraPipeline:
             d = a - b
             return jnp.sum(d * d, dtype=jnp.int64)
 
+        # Levels travel to the host as int8 (half the bytes of int16 over
+        # the slow link); a device-computed overflow flag triggers the rare
+        # int16 fallback (levels16_* stay device-resident until asked for).
+        ovf = (jnp.max(jnp.abs(ly)) > 127) | (jnp.max(jnp.abs(lcb)) > 127) \
+            | (jnp.max(jnp.abs(lcr)) > 127)
         return {
             "rec_y": ry.astype(jnp.uint8),
             "rec_cb": rcb.astype(jnp.uint8),
             "rec_cr": rcr.astype(jnp.uint8),
-            "levels_y": ly.astype(jnp.int16),
-            "levels_cb": lcb.astype(jnp.int16),
-            "levels_cr": lcr.astype(jnp.int16),
+            "levels8_y": jnp.clip(ly, -128, 127).astype(jnp.int8),
+            "levels8_cb": jnp.clip(lcb, -128, 127).astype(jnp.int8),
+            "levels8_cr": jnp.clip(lcr, -128, 127).astype(jnp.int8),
+            "levels16_y": ly.astype(jnp.int16),
+            "levels16_cb": lcb.astype(jnp.int16),
+            "levels16_cr": lcr.astype(jnp.int16),
+            "lvl_ovf": ovf,
             "hash": jnp.stack([cksum(ry, self.hash_mask_y),
                                cksum(rcb, self.hash_mask_c),
                                cksum(rcr, self.hash_mask_c)]),

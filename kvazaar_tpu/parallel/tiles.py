@@ -40,8 +40,8 @@ def tile_encode_fn(mesh: Mesh, frame_h: int, frame_w: int, qp: int):
         # (constants stay closure-embedded here: the tile program is
         # compiled once per mesh; acceptable)
         return (modes.reshape(pipe.rows, pipe.cols), out["rec_y"],
-                out["rec_cb"], out["rec_cr"], out["levels_y"],
-                out["levels_cb"], out["levels_cr"])
+                out["rec_cb"], out["rec_cr"], out["levels16_y"],
+                out["levels16_cb"], out["levels16_cr"])
 
     sharded = shard_map(
         encode_tile, mesh=mesh,
