@@ -39,19 +39,17 @@ def synth_frames(n, w, h):
 
 
 def bench_ours(frames):
-    from kvazaar_tpu.api import Encoder
+    from kvazaar_tpu.api import Encoder, encode_sequence
     from kvazaar_tpu.cfg import Config
     cfg = Config(width=W, height=H, qp=QP, ctu_size=16, intra_period=1)
     enc = Encoder(cfg)
     # warmup (compile)
     enc.encode_frame(*frames[0])
+    enc.frame_num = 0
     t0 = time.time()
-    total = 0
-    for f in frames:
-        chunk, info = enc.encode_frame(*f)
-        total += len(chunk)
+    out, _ = encode_sequence(cfg, frames, encoder=enc)
     dt = time.time() - t0
-    return len(frames) / dt, total
+    return len(frames) / dt, len(out)
 
 
 def bench_reference(frames):

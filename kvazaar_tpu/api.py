@@ -400,12 +400,15 @@ def _psnr(src_planes, rec_planes) -> list[float]:
     return out
 
 
-def encode_sequence(cfg: Config, frames) -> tuple[bytes, list[dict]]:
+def encode_sequence(cfg: Config, frames,
+                    encoder: "Encoder | None" = None) -> tuple[bytes,
+                                                               list[dict]]:
     """Encode an iterable of (y, cb, cr) frames to an Annex-B stream,
     overlapping device compute of frame N+1 with host entropy coding of
     frame N (the OWF analog) whenever the reference picture stays on
-    device."""
-    enc = Encoder(cfg)
+    device. Pass `encoder` to reuse an already-warm Encoder (its jitted
+    pipelines are per-instance)."""
+    enc = encoder if encoder is not None else Encoder(cfg)
     out = b""
     infos = []
     overlap = enc.use_device and not (enc.inter_enabled
