@@ -249,9 +249,9 @@ class IntraPipeline:
         so the (slow-link) transfer overlaps the next frame's compute.
         int16 levels stay device-resident (pulled only on int8 overflow)."""
         for k, v in out.items():
-            if (k.startswith("levels8") or k in ("hash", "sse", "modes_flat",
-                                                 "mv", "is_inter",
-                                                 "lvl_ovf")):
+            if (k.startswith(("lmask_", "lvals_"))
+                    or k in ("hash", "sse", "modes_flat", "mv", "is_inter",
+                             "lvl_ovf")):
                 try:
                     v.copy_to_host_async()
                 except (AttributeError, RuntimeError):
@@ -269,11 +269,17 @@ class IntraPipeline:
                 res["levels_" + p] = np.asarray(out["levels16_" + p])
         else:
             for p in ("y", "cb", "cr"):
-                res["levels_" + p] = np.asarray(
-                    out["levels8_" + p]).astype(np.int16)
+                shape = out["levels16_" + p].shape
+                bits = np.unpackbits(np.asarray(out["lmask_" + p]))
+                flat = np.zeros(bits.shape[0], np.int16)
+                nnz = int(bits.sum())
+                flat[bits.astype(bool)] = \
+                    np.asarray(out["lvals_" + p])[:nnz]
+                res["levels_" + p] = flat.reshape(shape)
         for p in ("y", "cb", "cr"):
-            res.pop("levels8_" + p, None)
             res.pop("levels16_" + p, None)
+            res.pop("lmask_" + p, None)
+            res.pop("lvals_" + p, None)
         res.pop("lvl_ovf", None)
         if "modes_flat" in res:
             res["modes"] = res.pop("modes_flat").reshape(self.rows,
@@ -483,25 +489,49 @@ class IntraPipeline:
             d = a - b
             return jnp.sum(d * d, dtype=jnp.int64)
 
-        # Levels travel to the host as int8 (half the bytes of int16 over
-        # the slow link); a device-computed overflow flag triggers the rare
-        # int16 fallback (levels16_* stay device-resident until asked for).
-        ovf = (jnp.max(jnp.abs(ly)) > 127) | (jnp.max(jnp.abs(lcb)) > 127) \
-            | (jnp.max(jnp.abs(lcr)) > 127)
-        return {
+        # Quantized levels are mostly zero at practical QPs, so they cross
+        # the slow host link sparse-packed: a significance bitmask plus the
+        # nonzero values compacted to int8 at 1/8 capacity. A device-side
+        # overflow flag (|level| > 127 or nnz > capacity) switches
+        # materialize to the dense int16 copy, which otherwise never
+        # leaves the device.
+        out = {
             "rec_y": ry.astype(jnp.uint8),
             "rec_cb": rcb.astype(jnp.uint8),
             "rec_cr": rcr.astype(jnp.uint8),
-            "levels8_y": jnp.clip(ly, -128, 127).astype(jnp.int8),
-            "levels8_cb": jnp.clip(lcb, -128, 127).astype(jnp.int8),
-            "levels8_cr": jnp.clip(lcr, -128, 127).astype(jnp.int8),
             "levels16_y": ly.astype(jnp.int16),
             "levels16_cb": lcb.astype(jnp.int16),
             "levels16_cr": lcr.astype(jnp.int16),
-            "lvl_ovf": ovf,
             "hash": jnp.stack([cksum(ry, self.hash_mask_y),
                                cksum(rcb, self.hash_mask_c),
                                cksum(rcr, self.hash_mask_c)]),
             "sse": jnp.stack([sse(ry, src_y), sse(rcb, src_cb),
                               sse(rcr, src_cr)]),
         }
+        ovf = jnp.bool_(False)
+        for name, lv in (("y", ly), ("cb", lcb), ("cr", lcr)):
+            mask_u8, vals, o = self._sparse_pack(lv)
+            out["lmask_" + name] = mask_u8
+            out["lvals_" + name] = vals
+            ovf = ovf | o
+        out["lvl_ovf"] = ovf
+        return out
+
+    @staticmethod
+    def _sparse_pack(levels):
+        """Pack [B, n, n] int32 levels into (bitmask uint8[size/8],
+        compacted int8 values at 1/8 capacity, overflow flag)."""
+        flat = levels.reshape(-1)
+        nz = flat != 0
+        cap = flat.shape[0] // 8
+        pos = jnp.cumsum(nz.astype(jnp.int32)) - 1
+        nnz = pos[-1] + 1
+        vals = jnp.zeros((cap,), jnp.int8).at[
+            jnp.where(nz, pos, cap)].set(
+            jnp.clip(flat, -128, 127).astype(jnp.int8), mode="drop")
+        # MSB-first bit packing, matching np.unpackbits on the host
+        weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+        mask_u8 = (nz.reshape(-1, 8).astype(jnp.int32) @ weights) \
+            .astype(jnp.uint8)
+        ovf = (nnz > cap) | (jnp.max(jnp.abs(flat)) > 127)
+        return mask_u8, vals, ovf
