@@ -9,8 +9,15 @@ the full ~90-option surface grows with the engine).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+# persistent XLA compilation cache: without it every CLI invocation pays
+# the full (remote) compile of the device pipelines
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "kvazaar_tpu_xla"))
 
 import numpy as np
 
@@ -28,6 +35,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-q", "--qp", type=int, default=22)
     p.add_argument("-p", "--period", type=int, default=64)
+    p.add_argument("--bitrate", type=int, default=0,
+                   help="target bitrate in bits/s (enables ABR rate "
+                        "control; 0 = constant QP)")
     p.add_argument("--preset", choices=sorted(PRESETS), default=None)
     p.add_argument("--frames", "-n", type=int, default=0,
                    help="number of frames to encode (0 = all)")
@@ -53,7 +63,7 @@ def main(argv=None) -> int:
     cfg = Config(width=reader.width, height=reader.height, qp=args.qp,
                  intra_period=args.period, wpp=args.wpp,
                  signhide_enable=args.signhide, hash=args.hash,
-                 ctu_size=args.ctu)
+                 ctu_size=args.ctu, target_bitrate=args.bitrate)
     if args.preset:
         apply_preset(cfg, args.preset)
     if cfg.signhide_enable and cfg.ctu_size == 16:
@@ -67,13 +77,15 @@ def main(argv=None) -> int:
     psnr_acc = np.zeros(3)
     bits = 0
     t0 = time.time()
-    while True:
-        if args.frames and n >= args.frames:
-            break
-        frame = reader.read_frame()
-        if frame is None:
-            break
-        chunk, info = enc.encode_frame(*frame)
+    # OWF-style pipelining: frame N+1's device work overlaps frame N's
+    # host entropy coding whenever the reference picture stays on device
+    overlap = enc.use_device and not (enc.inter_enabled
+                                      and cfg.deblock_enable)
+    pending = None
+
+    def _emit(meta):
+        nonlocal n, bits, psnr_acc
+        chunk, info = enc.finalize_frame(meta)
         out.write(chunk)
         bits += len(chunk) * 8
         psnr_acc += info["psnr"]
@@ -81,6 +93,24 @@ def main(argv=None) -> int:
         print(f"POC {info['poc']:4d} ({len(chunk):6d} bytes) "
               f"PSNR Y {info['psnr'][0]:.4f} U {info['psnr'][1]:.4f} "
               f"V {info['psnr'][2]:.4f}", file=sys.stderr)
+
+    submitted = 0
+    while True:
+        if args.frames and submitted >= args.frames:
+            break
+        frame = reader.read_frame()
+        if frame is None:
+            break
+        meta = enc.submit_frame(*frame)
+        submitted += 1
+        if pending is not None:
+            _emit(pending)
+        if overlap:
+            pending = meta
+        else:
+            _emit(meta)
+    if pending is not None:
+        _emit(pending)
     dt = time.time() - t0
     out.close()
     reader.close()

@@ -93,8 +93,16 @@ class Encoder:
                 self._pipeline = IntraPipeline(self.sps.height,
                                                self.sps.width, cfg.qp)
         self._prev: dict | None = None  # previous recon + poc (DPB size 1)
+        self._rc = None
+        if cfg.target_bitrate > 0:
+            from .engine.rate_control import RateControl
+            self._rc = RateControl(self.sps.width, self.sps.height,
+                                   cfg.target_bitrate,
+                                   cfg.framerate_num / cfg.framerate_denom,
+                                   cfg.intra_period)
 
-    def _deblock_recon(self, rec, decisions=None, is_idr=True):
+    def _deblock_recon(self, rec, decisions=None, is_idr=True,
+                       qp=None):
         """Apply the in-loop deblocking filter to the reconstruction.
         Intra frames: BS=2 on every TU-grid edge. P frames: boundary
         strengths computed from the device decisions (spec 8.7.2.4)."""
@@ -102,6 +110,8 @@ class Encoder:
         from .tables import chroma_qp
         cfg = self.cfg
         w, h = self.sps.width, self.sps.height
+        if qp is None:
+            qp = cfg.qp
         tu_l = 16 if self.use_device else min(1 << cfg.cu_log2, 32)
         ev, eh = _grid_edges(h, w, tu_l)
         if not is_idr and decisions is not None:
@@ -129,8 +139,8 @@ class Encoder:
             np.asarray(rec[0]).astype(np.int32),
             np.asarray(rec[1]).astype(np.int32),
             np.asarray(rec[2]).astype(np.int32),
-            ev, eh, cfg.qp, chroma_qp(cfg.qp, self.pps.cb_qp_offset),
-            chroma_qp(cfg.qp, self.pps.cr_qp_offset),
+            ev, eh, qp, chroma_qp(qp, self.pps.cb_qp_offset),
+            chroma_qp(qp, self.pps.cr_qp_offset),
             cfg.deblock_beta, cfg.deblock_tc)
         return [y.astype(np.uint16), cb.astype(np.uint16),
                 cr.astype(np.uint16)]
@@ -165,16 +175,17 @@ class Encoder:
                         mode="edge")
             cr = np.pad(cr, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
                         mode="edge")
-        meta = {"is_idr": is_idr, "poc": self.poc,
+        qp = self._rc.frame_qp(is_idr) if self._rc else cfg.qp
+        meta = {"is_idr": is_idr, "poc": self.poc, "qp": qp,
                 "frame_num": self.frame_num, "y": y, "cb": cb, "cr": cr,
                 "ref_poc": None if is_idr else self._prev["poc"],
                 "dev": None}
         if not is_idr:
             meta["dev"] = self._inter_pipeline.submit_inter(
                 y, cb, cr, self._prev["y"], self._prev["cb"],
-                self._prev["cr"])
+                self._prev["cr"], qp=qp)
         elif self._pipeline is not None:
-            meta["dev"] = self._pipeline.submit(y, cb, cr)
+            meta["dev"] = self._pipeline.submit(y, cb, cr, qp=qp)
         # device-resident reference for the next frame (only valid without
         # in-loop deblocking, which runs host-side for now)
         if self.inter_enabled and meta["dev"] is not None \
@@ -202,7 +213,7 @@ class Encoder:
         sh = SliceHeader()
         sh.pps_id = 0
         sh.slice_type = 2 if is_idr else 1
-        sh.qp = cfg.qp
+        sh.qp = meta["qp"]
         sh.first_slice_in_pic = 1
         if not is_idr:
             from .hevc.params import ShortTermRPS
@@ -338,7 +349,8 @@ class Encoder:
                    enc.rec_cr[:h // 2, :w // 2].astype(np.uint16)]
         if cfg.deblock_enable:
             rec = [np.asarray(p) for p in rec]
-            rec = self._deblock_recon(rec, decisions, is_idr)
+            rec = self._deblock_recon(rec, decisions, is_idr,
+                                       meta["qp"])
         if self.inter_enabled and not self._prev_is_final:
             self._prev = {"poc": meta["poc"],
                           "y": rec[0], "cb": rec[1], "cr": rec[2]}
@@ -368,9 +380,12 @@ class Encoder:
                           cb[:cfg.height // 2, :cfg.width // 2],
                           cr[:cfg.height // 2, :cfg.width // 2]),
                          [np.asarray(p) for p in crop])
+        if self._rc is not None:
+            self._rc.update(len(out) * 8, is_idr)
         info = {
             "poc": meta["poc"],
             "bytes": len(out),
+            "qp": meta["qp"],
             "recon": rec,
             "recon_out": crop,
             "psnr": psnr,

@@ -23,6 +23,7 @@ class Config:
     # coding structure
     qp: int = 22
     intra_period: int = 64          # --period
+    target_bitrate: int = 0         # --bitrate (bits/s; 0 = CQP)
     vps_period: int = 0
     gop_len: int = 0                # 0 = low-delay default until B support
     ref_frames: int = 1
@@ -85,6 +86,7 @@ class Config:
     _OPTION_MAP = {
         "qp": ("qp", int),
         "period": ("intra_period", int),
+        "bitrate": ("target_bitrate", int),
         "vps-period": ("vps_period", int),
         "ref": ("ref_frames", int),
         "signhide": ("signhide_enable", bool),

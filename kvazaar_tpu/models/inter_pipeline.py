@@ -260,14 +260,14 @@ class InterPipeline(IntraPipeline):
             inter_w = jnp.take(is_inter, bids)
             rec_y, ly = do_plane(rec_y, bids, mask, modes_w, inter_w,
                                  ipred_y, src_blocks_y, self.g16, self.f16,
-                                 n, self.qp, self.t16, True, ly)
+                                 n, self.qp2[0], self.t16, True, ly)
             rec_cb, lcb = do_plane(rec_cb, bids, mask, modes_w, inter_w,
                                    ipred_cb, src_blocks_cb, self.g8c,
-                                   self.g8c, nc, self.qp_c, self.t8,
+                                   self.g8c, nc, self.qp2[1], self.t8,
                                    False, lcb)
             rec_cr, lcr = do_plane(rec_cr, bids, mask, modes_w, inter_w,
                                    ipred_cr, src_blocks_cr, self.g8c,
-                                   self.g8c, nc, self.qp_c, self.t8,
+                                   self.g8c, nc, self.qp2[1], self.t8,
                                    False, lcr)
             return rec_y, rec_cb, rec_cr, ly, lcb, lcr
 
@@ -294,15 +294,16 @@ class InterPipeline(IntraPipeline):
                         preferred_element_type=jnp.int32)
         co = (co + (1 << (shift2 - 1))) >> shift2
         tshift = 15 - bd - log2n
-        qbits = 14 + qp // 6 + tshift
-        scale = int(QUANT_SCALES[qp % 6])
-        off_i = 171 << (qbits - 9)
-        off_p = 85 << (qbits - 9)
+        qbits = 14 + qp // 6 + tshift  # traced: qp is a device scalar
+        scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qp % 6]
+        off_i = jnp.left_shift(171, qbits - 9)
+        off_p = jnp.left_shift(85, qbits - 9)
         offset = jnp.where(inter_w[:, None, None], off_p, off_i)
         absq = (jnp.abs(co) * scale + offset) >> qbits
         levels = (jnp.sign(co) * absq).astype(jnp.int32)
         dshift = bd + log2n - 9
-        dscale = int(INV_QUANT_SCALES[qp % 6]) << (qp // 6)
+        dscale = jnp.left_shift(
+            jnp.asarray(INV_QUANT_SCALES, jnp.int32)[qp % 6], qp // 6)
         deq = (levels * dscale + (1 << (dshift - 1))) >> dshift
         deq = jnp.clip(deq, -32768, 32767).astype(jnp.int32)
         ishift1, ishift2 = 7, 20 - bd
@@ -321,8 +322,9 @@ class InterPipeline(IntraPipeline):
             self.submit_inter(src_y, src_cb, src_cr, prev_y, prev_cb,
                               prev_cr))
 
-    def submit_inter(self, src_y, src_cb, src_cr, prev_y, prev_cb, prev_cr):
-        out = self._inter(self.consts, jnp.asarray(src_y, jnp.uint8),
+    def submit_inter(self, src_y, src_cb, src_cr, prev_y, prev_cb, prev_cr,
+                     qp: int | None = None):
+        out = self._inter(self._consts_for(qp), jnp.asarray(src_y, jnp.uint8),
                           jnp.asarray(src_cb, jnp.uint8),
                           jnp.asarray(src_cr, jnp.uint8),
                           jnp.asarray(prev_y, jnp.uint8),

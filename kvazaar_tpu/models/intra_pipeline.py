@@ -103,9 +103,11 @@ class IntraPipeline:
         self.hash_mask_y = _mask(height, width)
         self.hash_mask_c = _mask(height // 2, width // 2)
 
-        # quant constants (luma + chroma qp)
+        # quant constants (luma + chroma qp); qp2 rides the consts dict so
+        # per-frame QP changes (rate control) never retrace the jit
         from ..tables import chroma_qp
         self.qp_c = chroma_qp(qp)
+        self.qp2 = jnp.asarray([qp, self.qp_c], jnp.int32)
 
         # Big constant arrays are passed as jit ARGUMENTS, not closure
         # constants: embedding them as HLO literals costs minutes of
@@ -116,7 +118,8 @@ class IntraPipeline:
         self._full = jax.jit(self._with_consts(self._full_impl))
 
     CONST_KEYS = ("g16", "f16", "g8c", "t16", "t8", "h8", "wave_blocks",
-                  "wave_mask", "b_r", "b_c", "hash_mask_y", "hash_mask_c")
+                  "wave_mask", "b_r", "b_c", "hash_mask_y", "hash_mask_c",
+                  "qp2")
 
     def _with_consts(self, fn):
         def wrapped(consts, *args):
@@ -234,14 +237,23 @@ class IntraPipeline:
         """Returns dict of numpy arrays: modes, levels, cbfs, recon."""
         return self.materialize(self.submit(src_y, src_cb, src_cr))
 
-    def submit(self, src_y, src_cb, src_cr):
+    def submit(self, src_y, src_cb, src_cr, qp: int | None = None):
         """Dispatch the frame's device work; returns device arrays
-        (async — does not block)."""
-        out = self._full(self.consts, jnp.asarray(src_y, jnp.uint8),
+        (async — does not block). qp overrides the constructor QP for
+        this frame (rate control) without retracing."""
+        out = self._full(self._consts_for(qp), jnp.asarray(src_y, jnp.uint8),
                          jnp.asarray(src_cb, jnp.uint8),
                          jnp.asarray(src_cr, jnp.uint8))
         self._start_d2h(out)
         return out
+
+    def _consts_for(self, qp: int | None):
+        if qp is None or qp == self.qp:
+            return self.consts
+        from ..tables import chroma_qp
+        consts = dict(self.consts)
+        consts["qp2"] = jnp.asarray([qp, chroma_qp(qp)], jnp.int32)
+        return consts
 
     @staticmethod
     def _start_d2h(out) -> None:
@@ -307,14 +319,15 @@ class IntraPipeline:
         co = (co + (1 << (shift2 - 1))) >> shift2
         # quant
         tshift = 15 - bd - log2n
-        qbits = 14 + qp // 6 + tshift
-        scale = int(QUANT_SCALES[qp % 6])
-        offset = 171 << (qbits - 9)
+        qbits = 14 + qp // 6 + tshift  # traced: qp is a device scalar
+        scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qp % 6]
+        offset = jnp.left_shift(171, qbits - 9)
         absq = (jnp.abs(co) * scale + offset) >> qbits  # fits int32
         levels = (jnp.sign(co) * absq).astype(jnp.int32)
         # dequant
         dshift = bd + log2n - 9
-        dscale = int(INV_QUANT_SCALES[qp % 6]) << (qp // 6)
+        dscale = jnp.left_shift(
+            jnp.asarray(INV_QUANT_SCALES, jnp.int32)[qp % 6], qp // 6)
         deq = (levels * dscale + (1 << (dshift - 1))) >> dshift
         deq = jnp.clip(deq, -32768, 32767).astype(jnp.int32)
         # inverse
@@ -458,14 +471,14 @@ class IntraPipeline:
             mask = self.wave_mask[i]
             modes_w = jnp.take(modes_flat, bids)
             rec_y, ly = do_plane(rec_y, bids, mask, modes_w, src_blocks_y,
-                                 self.g16, self.f16, n, self.qp, self.t16,
-                                 True, ly)
+                                 self.g16, self.f16, n, self.qp2[0],
+                                 self.t16, True, ly)
             rec_cb, lcb = do_plane(rec_cb, bids, mask, modes_w,
                                    src_blocks_cb, self.g8c, self.g8c, nc,
-                                   self.qp_c, self.t8, False, lcb)
+                                   self.qp2[1], self.t8, False, lcb)
             rec_cr, lcr = do_plane(rec_cr, bids, mask, modes_w,
                                    src_blocks_cr, self.g8c, self.g8c, nc,
-                                   self.qp_c, self.t8, False, lcr)
+                                   self.qp2[1], self.t8, False, lcr)
             return rec_y, rec_cb, rec_cr, ly, lcb, lcr
 
         state = (rec_y, rec_cb, rec_cr, levels_y, levels_cb, levels_cr)

@@ -55,3 +55,43 @@ def test_md5_hash_mode(rng):
     stream, _ = encode_sequence(cfg, _frames(64, 64, 1, rng))
     frames = HEVCDecoder().decode(stream)
     assert frames[0].hash_ok
+
+
+def test_rate_control_model_converges():
+    """R-lambda model steers QP toward the bit budget."""
+    from kvazaar_tpu.engine.rate_control import RateControl
+    rc = RateControl(640, 360, target_bitrate=500_000, framerate=25,
+                     intra_period=1)
+    # synthetic encoder: bits halve per +6 QP around 200kbit at QP 30
+    def fake_bits(qp):
+        return int(200_000 / 25 * 2 ** ((30 - qp) / 6.0))
+    total = 0
+    qps = []
+    for _ in range(75):  # 3 seconds at 25 fps
+        qp = rc.frame_qp(False)
+        qps.append(qp)
+        b = fake_bits(qp)
+        total += b
+        rc.update(b, False)
+    # ABR contract: total bits over the sequence near duration * bitrate
+    target_total = 75 / 25 * 500_000
+    assert abs(total - target_total) / target_total < 0.15, (qps, total)
+
+
+def test_abr_stream_decodes(tmp_path, rng):
+    """ABR-encoded stream (varying per-frame QP) stays conformant."""
+    from kvazaar_tpu.api import encode_sequence
+    from kvazaar_tpu.cfg import Config
+    from kvazaar_tpu.decoder.decoder import HEVCDecoder
+    w, h = 96, 80
+    frames = [(rng.randint(0, 256, (h, w)).astype(np.uint8),
+               rng.randint(0, 256, (h // 2, w // 2)).astype(np.uint8),
+               rng.randint(0, 256, (h // 2, w // 2)).astype(np.uint8))
+              for _ in range(6)]
+    cfg = Config(width=w, height=h, qp=30, intra_period=1,
+                 target_bitrate=400_000)
+    out, infos = encode_sequence(cfg, frames)
+    qps = [i["qp"] for i in infos]
+    assert len(set(qps)) > 1, qps  # rate control actually moved QP
+    dec = HEVCDecoder().decode(out)
+    assert len(dec) == 6 and all(f.hash_ok for f in dec)
