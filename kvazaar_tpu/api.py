@@ -85,14 +85,17 @@ class Encoder:
         if self.use_device:
             if self.inter_enabled:
                 from .models.inter_pipeline import InterPipeline
+                self.n_refs = max(1, min(cfg.ref_frames, 4))
                 self._inter_pipeline = InterPipeline(
-                    self.sps.height, self.sps.width, cfg.qp)
+                    self.sps.height, self.sps.width, cfg.qp, self.n_refs)
                 self._pipeline = self._inter_pipeline
             else:
                 from .models.intra_pipeline import IntraPipeline
                 self._pipeline = IntraPipeline(self.sps.height,
                                                self.sps.width, cfg.qp)
-        self._prev: dict | None = None  # previous recon + poc (DPB size 1)
+        # DPB: newest-first reconstructed reference pictures (device- or
+        # host-resident), trimmed to n_refs
+        self._dpb: list[dict] = []
         self._rc = None
         if cfg.target_bitrate > 0:
             from .engine.rate_control import RateControl
@@ -102,7 +105,7 @@ class Encoder:
                                    cfg.intra_period)
 
     def _deblock_recon(self, rec, decisions=None, is_idr=True,
-                       qp=None):
+                       qp=None, ref_pocs=()):
         """Apply the in-loop deblocking filter to the reconstruction.
         Intra frames: BS=2 on every TU-grid edge. P frames: boundary
         strengths computed from the device decisions (spec 8.7.2.4)."""
@@ -129,8 +132,12 @@ class Encoder:
                                       np.ones((rep, rep), np.int32))
             no_ref = -(1 << 30)
             ref_poc4 = np.full((mh, mw, 2), no_ref, np.int64)
-            ref_poc4[:, :, 0] = np.where(~is_intra4, self._prev["poc"],
-                                         no_ref)
+            pocs = np.asarray(ref_pocs, np.int64)
+            blk_poc = pocs[np.clip(decisions.get(
+                "ref_idx", np.zeros_like(decisions["is_inter"], np.int32)),
+                0, len(pocs) - 1)]
+            poc4 = np.kron(blk_poc, np.ones((rep, rep), np.int64))
+            ref_poc4[:, :, 0] = np.where(~is_intra4, poc4, no_ref)
             ev = compute_bs(ev, True, is_intra4, nonzero4, mv4, ref_poc4,
                             no_ref)
             eh = compute_bs(eh, False, is_intra4, nonzero4, mv4, ref_poc4,
@@ -144,6 +151,10 @@ class Encoder:
             cfg.deblock_beta, cfg.deblock_tc)
         return [y.astype(np.uint16), cb.astype(np.uint16),
                 cr.astype(np.uint16)]
+
+    def _push_ref(self, entry: dict) -> None:
+        self._dpb.insert(0, entry)
+        del self._dpb[getattr(self, "n_refs", 1):]
 
     # -- headers ---------------------------------------------------------------
 
@@ -166,9 +177,10 @@ class Encoder:
         is_idr = (cfg.intra_period == 1 or
                   (cfg.intra_period > 1 and
                    self.frame_num % cfg.intra_period == 0)
-                  or self._prev is None or not self.inter_enabled)
+                  or not self._dpb or not self.inter_enabled)
         if is_idr:
             self.poc = 0
+            self._dpb.clear()
         if self.pad_w or self.pad_h:
             y = np.pad(y, ((0, self.pad_h), (0, self.pad_w)), mode="edge")
             cb = np.pad(cb, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
@@ -178,21 +190,22 @@ class Encoder:
         qp = self._rc.frame_qp(is_idr) if self._rc else cfg.qp
         meta = {"is_idr": is_idr, "poc": self.poc, "qp": qp,
                 "frame_num": self.frame_num, "y": y, "cb": cb, "cr": cr,
-                "ref_poc": None if is_idr else self._prev["poc"],
+                "ref_pocs": [] if is_idr else [e["poc"] for e in self._dpb],
                 "dev": None}
         if not is_idr:
             meta["dev"] = self._inter_pipeline.submit_inter(
-                y, cb, cr, self._prev["y"], self._prev["cb"],
-                self._prev["cr"], qp=qp)
+                y, cb, cr, [e["y"] for e in self._dpb],
+                [e["cb"] for e in self._dpb],
+                [e["cr"] for e in self._dpb], qp=qp)
         elif self._pipeline is not None:
             meta["dev"] = self._pipeline.submit(y, cb, cr, qp=qp)
         # device-resident reference for the next frame (only valid without
         # in-loop deblocking, which runs host-side for now)
         if self.inter_enabled and meta["dev"] is not None \
                 and not cfg.deblock_enable:
-            self._prev = {"poc": self.poc, "y": meta["dev"]["rec_y"],
-                          "cb": meta["dev"]["rec_cb"],
-                          "cr": meta["dev"]["rec_cr"]}
+            self._push_ref({"poc": self.poc, "y": meta["dev"]["rec_y"],
+                            "cb": meta["dev"]["rec_cb"],
+                            "cr": meta["dev"]["rec_cr"]})
             self._prev_is_final = True
         else:
             self._prev_is_final = False
@@ -220,8 +233,13 @@ class Encoder:
             sh.pic_order_cnt_lsb = meta["poc"] & \
                 ((1 << self.sps.log2_max_poc_lsb) - 1)
             sh.short_term_rps = ShortTermRPS(
-                delta_pocs_s0=[meta["ref_poc"] - meta["poc"]], used_s0=[1])
+                delta_pocs_s0=[p - meta["poc"] for p in meta["ref_pocs"]],
+                used_s0=[1] * len(meta["ref_pocs"]))
             sh.short_term_rps_sps_flag = 0
+            if len(meta["ref_pocs"]) != \
+                    self.pps.num_ref_idx_l0_default_minus1 + 1:
+                sh.num_ref_idx_active_override = 1
+                sh.num_ref_idx_l0_active_minus1 = len(meta["ref_pocs"]) - 1
 
         decisions = None
         writer = None
@@ -229,7 +247,8 @@ class Encoder:
             decisions = self._inter_pipeline.materialize(meta["dev"])
             from .engine.inter_writer import PSliceWriter
             writer = PSliceWriter(self.sps, self.pps, sh, decisions,
-                                  {"poc": meta["ref_poc"]}, meta["poc"])
+                                  [{"poc": p} for p in meta["ref_pocs"]],
+                                  meta["poc"])
         elif self._pipeline is not None:
             decisions = self._pipeline.materialize(meta["dev"])
         n_ctu_x = self.sps.width_in_ctbs
@@ -350,10 +369,10 @@ class Encoder:
         if cfg.deblock_enable:
             rec = [np.asarray(p) for p in rec]
             rec = self._deblock_recon(rec, decisions, is_idr,
-                                       meta["qp"])
+                                       meta["qp"], meta.get("ref_pocs", ()))
         if self.inter_enabled and not self._prev_is_final:
-            self._prev = {"poc": meta["poc"],
-                          "y": rec[0], "cb": rec[1], "cr": rec[2]}
+            self._push_ref({"poc": meta["poc"],
+                            "y": rec[0], "cb": rec[1], "cr": rec[2]})
         if cfg.hash != "none":
             htype = HASH_CHECKSUM if cfg.hash == "checksum" else HASH_MD5
             if (htype == HASH_CHECKSUM and decisions is not None

@@ -27,7 +27,9 @@ NO_REF = SliceDecoder.NO_REF
 class PSliceWriter:
     """Writes one P slice over the 16x16 CTU grid."""
 
-    def __init__(self, sps, pps, sh, decisions, ref_entry, poc) -> None:
+    def __init__(self, sps, pps, sh, decisions, ref_entries, poc) -> None:
+        if isinstance(ref_entries, dict):  # single-reference callers
+            ref_entries = [ref_entries]
         self.sps = sps
         self.pps = pps
         self.sh = sh
@@ -35,11 +37,12 @@ class PSliceWriter:
         self.fs = _FrameState(sps, pps, sh)
         helper = SliceDecoder(self.fs, None)
         helper.poc = poc
-        helper.ref_list = [ref_entry]
+        helper.ref_list = list(ref_entries)
         helper.ref_list1 = []
         helper.col_pic = None
         self.helper = helper
-        self.ref_poc = ref_entry["poc"]
+        self.ref_pocs = [e["poc"] for e in ref_entries]
+        self.n_ref = len(self.ref_pocs)
         self.cab: CabacEncoder | None = None
         self.cols = decisions["modes"].shape[1]
 
@@ -48,7 +51,10 @@ class PSliceWriter:
     def _motion_of(self, r: int, c: int):
         mv = np.zeros((2, 2), np.int32)
         mv[0] = self.d["mv"][r, c]  # already qpel
-        return ((True, False), mv, (self.ref_poc, NO_REF))
+        ridx = 0
+        if "ref_idx" in self.d:
+            ridx = min(int(self.d["ref_idx"][r, c]), self.n_ref - 1)
+        return (((True, False), mv, (self.ref_pocs[ridx], NO_REF)), ridx)
 
     def _block_levels(self, r, c):
         b = r * self.cols + c
@@ -124,7 +130,7 @@ class PSliceWriter:
     def _write_inter_cu(self, r, c, x0, y0) -> None:
         cab = self.cab
         h = self.helper
-        motion = self._motion_of(r, c)
+        motion, ridx = self._motion_of(r, c)
         ly, lcb, lcr = self._block_levels(r, c)
         cbf_y = 1 if ly.any() else 0
         cbf_cb = 1 if lcb.any() else 0
@@ -151,8 +157,21 @@ class PSliceWriter:
             self._write_merge_idx(merge_idx, max_merge)
         else:
             cab.encode_bin(ContextSet.idx("merge_flag", 0), 0)
-            # P slice, single reference: no inter_pred_idc / ref_idx
-            mvps = h.amvp_candidates(x0, y0, N, N, 0, self.ref_poc)
+            # P slice: no inter_pred_idc; ref_idx_l0 when multiple refs
+            # (binarization mirrors decoder.py _decode_ref_idx)
+            n_act = self.sh.num_ref_idx_l0_active_minus1 + 1
+            if n_act > 1:
+                cab.encode_bin(ContextSet.idx("ref_idx", 0),
+                               1 if ridx > 0 else 0)
+                if ridx > 0 and n_act > 2:
+                    cab.encode_bin(ContextSet.idx("ref_idx", 1),
+                                   1 if ridx > 1 else 0)
+                    if ridx > 1:
+                        for _ in range(ridx - 2):
+                            cab.encode_bin_ep(1)
+                        if ridx < n_act - 1:
+                            cab.encode_bin_ep(0)
+            mvps = h.amvp_candidates(x0, y0, N, N, 0, self.ref_pocs[ridx])
             mv = motion[1][0]
             costs = [abs(int(mv[0] - m[0])) + abs(int(mv[1] - m[1]))
                      for m in mvps]

@@ -27,14 +27,18 @@ from ..ops.mc import CHROMA_FILTERS, LUMA_FILTERS
 from .intra_pipeline import CHROMA_N, LUMA_N, IntraPipeline
 
 ME_RANGE = 8  # integer-pel exhaustive window [-R, R]
-SUBPEL_PAD = ME_RANGE + 2  # integer range + interpolation reach
+SUBPEL_PAD = ME_RANGE + 3  # integer range + 8-tap reach (3 left)
 
 
 class InterPipeline(IntraPipeline):
     """Adds inter tools to the intra pipeline (same block grid)."""
 
-    def __init__(self, height: int, width: int, qp: int) -> None:
+    REF_PENALTY = 8  # SATD units per ref index (ref_idx signalling cost)
+
+    def __init__(self, height: int, width: int, qp: int,
+                 n_refs: int = 1) -> None:
         super().__init__(height, width, qp)
+        self.n_refs = max(1, n_refs)
         self._inter = jax.jit(self._with_consts(self._inter_impl))
 
     # -- motion estimation ---------------------------------------------------
@@ -80,9 +84,11 @@ class InterPipeline(IntraPipeline):
 
     # -- motion compensation ----------------------------------------------------
 
-    def _mc_luma_qpel(self, ypad, mv):
+    def _mc_luma_qpel(self, ypad, mv, ridx=None):
         """Exact quarter-pel luma MC for all blocks; mv in qpel units.
-        ypad: previous recon padded by SUBPEL_PAD. Returns [B, 16, 16]."""
+        ypad: previous recon padded by SUBPEL_PAD, either one picture
+        [H,W] or a reference stack [K,H,W] indexed per block by ridx.
+        Returns [B, 16, 16]."""
         n = LUMA_N
         P = SUBPEL_PAD
         y0 = self.b_r * n
@@ -93,7 +99,14 @@ class InterPipeline(IntraPipeline):
         fy = mv[:, 1] & 3
         wy = (y0 + iy + P - 3)[:, None] + jnp.arange(n + 7)[None, :]
         wx = (x0 + ix + P - 3)[:, None] + jnp.arange(n + 7)[None, :]
-        win = ypad[wy[:, :, None], wx[:, None, :]]  # [B, n+7, n+7]
+        # clamp = the spec's edge extension; JAX would WRAP negative
+        # indices to the opposite picture edge
+        wy = jnp.clip(wy, 0, ypad.shape[-2] - 1)
+        wx = jnp.clip(wx, 0, ypad.shape[-1] - 1)
+        if ypad.ndim == 3:
+            win = ypad[ridx[:, None, None], wy[:, :, None], wx[:, None, :]]
+        else:
+            win = ypad[wy[:, :, None], wx[:, None, :]]  # [B, n+7, n+7]
         fmat = jnp.asarray(LUMA_FILTERS)  # [4, 8]
         cx = jnp.take(fmat, fx, axis=0)  # [B, 8]
         cy = jnp.take(fmat, fy, axis=0)
@@ -103,9 +116,10 @@ class InterPipeline(IntraPipeline):
                 for k in range(8)) >> 6
         return jnp.clip((v + 32) >> 6, 0, 255)
 
-    def _mc_chroma_qpel(self, cpad, mv, cy0, cx0):
+    def _mc_chroma_qpel(self, cpad, mv, cy0, cx0, ridx=None):
         """Exact eighth-pel chroma MC; mv in luma qpel units (= chroma
-        eighth-pel). cpad padded by SUBPEL_PAD//2+2."""
+        eighth-pel). cpad padded by SUBPEL_PAD//2+2; [H,W] or [K,H,W]
+        with per-block ridx."""
         nc = CHROMA_N
         CP = (SUBPEL_PAD >> 1) + 2
         ix = mv[:, 0] >> 3
@@ -114,7 +128,12 @@ class InterPipeline(IntraPipeline):
         fy = mv[:, 1] & 7
         wy = (cy0 + iy + CP - 1)[:, None] + jnp.arange(nc + 3)[None, :]
         wx = (cx0 + ix + CP - 1)[:, None] + jnp.arange(nc + 3)[None, :]
-        win = cpad[wy[:, :, None], wx[:, None, :]]
+        wy = jnp.clip(wy, 0, cpad.shape[-2] - 1)
+        wx = jnp.clip(wx, 0, cpad.shape[-1] - 1)
+        if cpad.ndim == 3:
+            win = cpad[ridx[:, None, None], wy[:, :, None], wx[:, None, :]]
+        else:
+            win = cpad[wy[:, :, None], wx[:, None, :]]
         fmat = jnp.asarray(CHROMA_FILTERS)  # [8, 4]
         cxf = jnp.take(fmat, fx, axis=0)
         cyf = jnp.take(fmat, fy, axis=0)
@@ -124,18 +143,21 @@ class InterPipeline(IntraPipeline):
                 for k in range(4)) >> 6
         return jnp.clip((v + 32) >> 6, 0, 255)
 
-    def _mc_blocks(self, prev_y, prev_cb, prev_cr, mv_qpel):
-        """Prediction blocks for arbitrary quarter-pel MVs."""
-        ypad = jnp.pad(prev_y, SUBPEL_PAD, mode="edge")
-        pred_y = self._mc_luma_qpel(ypad, mv_qpel)
+    def _mc_blocks(self, prevs_y, prevs_cb, prevs_cr, mv_qpel, ridx):
+        """Prediction blocks for arbitrary quarter-pel MVs from a
+        reference stack [K,H,W] with per-block reference choice."""
+        sp = ((0, 0), (SUBPEL_PAD, SUBPEL_PAD), (SUBPEL_PAD, SUBPEL_PAD))
+        ypad = jnp.pad(prevs_y, sp, mode="edge")
+        pred_y = self._mc_luma_qpel(ypad, mv_qpel, ridx)
         CP = (SUBPEL_PAD >> 1) + 2
         nc = CHROMA_N
         cx0 = self.b_c * nc
         cy0 = self.b_r * nc
-        cbpad = jnp.pad(prev_cb, CP, mode="edge")
-        crpad = jnp.pad(prev_cr, CP, mode="edge")
-        pred_cb = self._mc_chroma_qpel(cbpad, mv_qpel, cy0, cx0)
-        pred_cr = self._mc_chroma_qpel(crpad, mv_qpel, cy0, cx0)
+        cp = ((0, 0), (CP, CP), (CP, CP))
+        cbpad = jnp.pad(prevs_cb, cp, mode="edge")
+        crpad = jnp.pad(prevs_cr, cp, mode="edge")
+        pred_cb = self._mc_chroma_qpel(cbpad, mv_qpel, cy0, cx0, ridx)
+        pred_cr = self._mc_chroma_qpel(crpad, mv_qpel, cy0, cx0, ridx)
         return pred_y, pred_cb, pred_cr
 
     def _subpel_refine(self, src_blocks, ypad, mv_int):
@@ -158,24 +180,39 @@ class InterPipeline(IntraPipeline):
 
     # -- full inter frame step    # -- full inter frame step ---------------------------------------------------
 
-    def _inter_impl(self, src_y, src_cb, src_cr, prev_y, prev_cb, prev_cr):
+    def _inter_impl(self, src_y, src_cb, src_cr, prevs_y, prevs_cb,
+                    prevs_cr):
+        """prevs_* are reference stacks [K, H(/2), W(/2)], newest first."""
         src_y = src_y.astype(jnp.int32)
         src_cb = src_cb.astype(jnp.int32)
         src_cr = src_cr.astype(jnp.int32)
-        prev_y = prev_y.astype(jnp.int32)
-        prev_cb = prev_cb.astype(jnp.int32)
-        prev_cr = prev_cr.astype(jnp.int32)
+        prevs_y = prevs_y.astype(jnp.int32)
+        prevs_cb = prevs_cb.astype(jnp.int32)
+        prevs_cr = prevs_cr.astype(jnp.int32)
         n = LUMA_N
         src_blocks = jnp.moveaxis(
             src_y.reshape(self.rows, n, self.cols, n), 1, 2).reshape(
             self.n_blocks, n, n).astype(jnp.int32)
-        prev_pad = jnp.pad(prev_y, ME_RANGE, mode="edge").astype(jnp.int32)
-        mv_int, sad_inter = self._me_impl(src_blocks, prev_pad)
-        ypad = jnp.pad(prev_y, SUBPEL_PAD, mode="edge").astype(jnp.int32)
-        mv, satd_inter = self._subpel_refine(src_blocks, ypad, mv_int)
+        # per-reference ME + subpel refinement; the best (cost includes a
+        # ref_idx signalling penalty, so duplicated padding refs at higher
+        # indices are never selected) wins per block
+        best_cost = jnp.full((self.n_blocks,), 1 << 30, jnp.int32)
+        mv = jnp.zeros((self.n_blocks, 2), jnp.int32)
+        ref_idx = jnp.zeros((self.n_blocks,), jnp.int32)
+        satd_inter = best_cost
+        for k in range(self.n_refs):
+            prev_pad = jnp.pad(prevs_y[k], ME_RANGE, mode="edge")
+            mv_int, _ = self._me_impl(src_blocks, prev_pad)
+            ypad_k = jnp.pad(prevs_y[k], SUBPEL_PAD, mode="edge")
+            mv_k, satd_k = self._subpel_refine(src_blocks, ypad_k, mv_int)
+            cost_k = satd_k + self.REF_PENALTY * k
+            better = cost_k < best_cost
+            best_cost = jnp.where(better, cost_k, best_cost)
+            satd_inter = jnp.where(better, satd_k, satd_inter)
+            mv = jnp.where(better[:, None], mv_k, mv)
+            ref_idx = jnp.where(better, k, ref_idx)
         pred_y, pred_cb, pred_cr = self._mc_blocks(
-            prev_y.astype(jnp.int32), prev_cb.astype(jnp.int32),
-            prev_cr.astype(jnp.int32), mv)
+            prevs_y, prevs_cb, prevs_cr, mv, ref_idx)
         # intra candidate (source refs)
         modes = self._search_impl(src_y.astype(jnp.int32))
         refs = self._gather_search_refs(src_y.astype(jnp.int32))
@@ -196,6 +233,7 @@ class InterPipeline(IntraPipeline):
                                 src_cr.astype(jnp.int32),
                                 modes, is_inter, pred_y, pred_cb, pred_cr)
         out["mv"] = mv
+        out["ref_idx"] = ref_idx
         out["is_inter"] = is_inter
         out["modes_flat"] = modes
         return out
@@ -316,19 +354,31 @@ class InterPipeline(IntraPipeline):
         r2 = jnp.clip((r2 + (1 << (ishift2 - 1))) >> ishift2, -32768, 32767)
         return levels, r2
 
-    def encode_inter_frame(self, src_y, src_cb, src_cr, prev_y, prev_cb,
-                           prev_cr):
+    def encode_inter_frame(self, src_y, src_cb, src_cr, refs_y, refs_cb,
+                           refs_cr):
         return self.materialize(
-            self.submit_inter(src_y, src_cb, src_cr, prev_y, prev_cb,
-                              prev_cr))
+            self.submit_inter(src_y, src_cb, src_cr, refs_y, refs_cb,
+                              refs_cr))
 
-    def submit_inter(self, src_y, src_cb, src_cr, prev_y, prev_cb, prev_cr,
+    def submit_inter(self, src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr,
                      qp: int | None = None):
+        """refs_* are stacks [K, ...] (lists are stacked; a single [H,W]
+        picture is promoted to K=1)."""
+        def stack(r):
+            if isinstance(r, (list, tuple)):
+                arrs = [jnp.asarray(a, jnp.uint8) for a in r]
+                # pad to n_refs by repeating the oldest (the ref penalty
+                # keeps duplicates from being selected)
+                while len(arrs) < self.n_refs:
+                    arrs.append(arrs[-1])
+                return jnp.stack(arrs[:self.n_refs])
+            a = jnp.asarray(r, jnp.uint8)
+            if a.ndim == 2:
+                a = a[None]
+            return a
         out = self._inter(self._consts_for(qp), jnp.asarray(src_y, jnp.uint8),
                           jnp.asarray(src_cb, jnp.uint8),
                           jnp.asarray(src_cr, jnp.uint8),
-                          jnp.asarray(prev_y, jnp.uint8),
-                          jnp.asarray(prev_cb, jnp.uint8),
-                          jnp.asarray(prev_cr, jnp.uint8))
+                          stack(refs_y), stack(refs_cb), stack(refs_cr))
         self._start_d2h(out)
         return out

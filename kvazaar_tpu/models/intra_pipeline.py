@@ -263,7 +263,7 @@ class IntraPipeline:
         for k, v in out.items():
             if (k.startswith(("lmask_", "lvals_"))
                     or k in ("hash", "sse", "modes_flat", "mv", "is_inter",
-                             "lvl_ovf")):
+                             "ref_idx", "lvl_ovf")):
                 try:
                     v.copy_to_host_async()
                 except (AttributeError, RuntimeError):
@@ -273,7 +273,8 @@ class IntraPipeline:
         """Pull the host-needed outputs (levels/modes/hash/sse); recon
         stays on device."""
         res = {k: (np.asarray(v) if
-                   k in ("hash", "sse", "modes_flat", "mv", "is_inter")
+                   k in ("hash", "sse", "modes_flat", "mv", "is_inter",
+                         "ref_idx")
                    else v)
                for k, v in out.items()}
         if bool(np.asarray(out["lvl_ovf"])):
@@ -300,6 +301,8 @@ class IntraPipeline:
             res["mv"] = res["mv"].reshape(self.rows, self.cols, 2)
         if "is_inter" in res:
             res["is_inter"] = res["is_inter"].reshape(self.rows, self.cols)
+        if "ref_idx" in res:
+            res["ref_idx"] = res["ref_idx"].reshape(self.rows, self.cols)
         return res
 
     def _transform_quant(self, resi: jax.Array, t: jax.Array, qp: int,

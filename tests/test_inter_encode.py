@@ -48,3 +48,31 @@ def test_inter_saves_bits(rng):
         Config(width=w, height=h, qp=30, ctu_size=16, intra_period=1),
         frames)
     assert len(s_inter) < len(s_intra) * 0.8
+
+
+def test_multi_ref_alternating_content():
+    """ref_idx=1 selection: alternating frames make the 2-back reference
+    the exact match; also stresses border MVs (the MC gather must clamp,
+    not wrap, at picture edges)."""
+    from kvazaar_tpu.api import Encoder
+    from kvazaar_tpu.cfg import Config
+    from kvazaar_tpu.decoder.decoder import HEVCDecoder
+    rng = np.random.RandomState(3)
+    w, h = 320, 192
+    A = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    B = np.roll(A, 40, axis=1)
+    Ac = rng.randint(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    Bc = np.roll(Ac, 20, axis=1)
+    frames = [(A, Ac, Ac), (B, Bc, Bc), (A, Ac, Ac), (B, Bc, Bc),
+              (A, Ac, Ac)]
+    cfg = Config(width=w, height=h, qp=30, intra_period=0, ctu_size=16,
+                 ref_frames=2)
+    enc = Encoder(cfg)
+    out = b""
+    for f in frames:
+        chunk, _ = enc.encode_frame(*f)
+        out += chunk
+    if not enc.use_device:
+        return  # device-only feature
+    dec = HEVCDecoder().decode(out)
+    assert len(dec) == 5 and all(f.hash_ok for f in dec)
