@@ -79,8 +79,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     # OWF-style pipelining: frame N+1's device work overlaps frame N's
     # host entropy coding whenever the reference picture stays on device
-    overlap = enc.use_device and not (enc.inter_enabled
-                                      and cfg.deblock_enable)
+    overlap = enc.use_device
     pending = None
 
     def _emit(meta):

@@ -87,12 +87,18 @@ class Encoder:
                 from .models.inter_pipeline import InterPipeline
                 self.n_refs = max(1, min(cfg.ref_frames, 4))
                 self._inter_pipeline = InterPipeline(
-                    self.sps.height, self.sps.width, cfg.qp, self.n_refs)
+                    self.sps.height, self.sps.width, cfg.qp, self.n_refs,
+                    deblock=cfg.deblock_enable,
+                    deblock_beta=cfg.deblock_beta,
+                    deblock_tc=cfg.deblock_tc)
                 self._pipeline = self._inter_pipeline
             else:
                 from .models.intra_pipeline import IntraPipeline
-                self._pipeline = IntraPipeline(self.sps.height,
-                                               self.sps.width, cfg.qp)
+                self._pipeline = IntraPipeline(
+                    self.sps.height, self.sps.width, cfg.qp,
+                    deblock=cfg.deblock_enable,
+                    deblock_beta=cfg.deblock_beta,
+                    deblock_tc=cfg.deblock_tc)
         # DPB: newest-first reconstructed reference pictures (device- or
         # host-resident), trimmed to n_refs
         self._dpb: list[dict] = []
@@ -105,7 +111,7 @@ class Encoder:
                                    cfg.intra_period)
 
     def _deblock_recon(self, rec, decisions=None, is_idr=True,
-                       qp=None, ref_pocs=()):
+                       qp=None, ref_pocs=(), edges=None):
         """Apply the in-loop deblocking filter to the reconstruction.
         Intra frames: BS=2 on every TU-grid edge. P frames: boundary
         strengths computed from the device decisions (spec 8.7.2.4)."""
@@ -115,8 +121,14 @@ class Encoder:
         w, h = self.sps.width, self.sps.height
         if qp is None:
             qp = cfg.qp
-        tu_l = 16 if self.use_device else min(1 << cfg.cu_log2, 32)
-        ev, eh = _grid_edges(h, w, tu_l)
+        if edges is not None:
+            # actual TU-edge maps recorded while coding (cropped to the
+            # picture in case the host encoder padded to CTB multiples)
+            ev = edges[0][:h // 4, :w // 8].copy()
+            eh = edges[1][:h // 8, :w // 4].copy()
+        else:
+            tu_l = 16 if self.use_device else min(1 << cfg.cu_log2, 32)
+            ev, eh = _grid_edges(h, w, tu_l)
         if not is_idr and decisions is not None:
             rep = 16 // 4
             is_intra4 = np.kron(~decisions["is_inter"],
@@ -201,8 +213,7 @@ class Encoder:
             meta["dev"] = self._pipeline.submit(y, cb, cr, qp=qp)
         # device-resident reference for the next frame (only valid without
         # in-loop deblocking, which runs host-side for now)
-        if self.inter_enabled and meta["dev"] is not None \
-                and not cfg.deblock_enable:
+        if self.inter_enabled and meta["dev"] is not None:
             self._push_ref({"poc": self.poc, "y": meta["dev"]["rec_y"],
                             "cb": meta["dev"]["rec_cb"],
                             "cr": meta["dev"]["rec_cr"]})
@@ -366,10 +377,16 @@ class Encoder:
             rec = [enc.rec_y[:h, :w].astype(np.uint16),
                    enc.rec_cb[:h // 2, :w // 2].astype(np.uint16),
                    enc.rec_cr[:h // 2, :w // 2].astype(np.uint16)]
-        if cfg.deblock_enable:
+        if cfg.deblock_enable and (meta["dev"] is None
+                                   or not self.use_device):
+            # host (numpy) fallback path; device frames are already
+            # deblocked in-graph before hash/SSE
             rec = [np.asarray(p) for p in rec]
-            rec = self._deblock_recon(rec, decisions, is_idr,
-                                       meta["qp"], meta.get("ref_pocs", ()))
+            rec = self._deblock_recon(
+                rec, decisions, is_idr, meta["qp"],
+                meta.get("ref_pocs", ()),
+                edges=(None if enc is None
+                       else (enc.edges_ver, enc.edges_hor)))
         if self.inter_enabled and not self._prev_is_final:
             self._push_ref({"poc": meta["poc"],
                             "y": rec[0], "cb": rec[1], "cr": rec[2]})
@@ -445,8 +462,7 @@ def encode_sequence(cfg: Config, frames,
     enc = encoder if encoder is not None else Encoder(cfg)
     out = b""
     infos = []
-    overlap = enc.use_device and not (enc.inter_enabled
-                                      and cfg.deblock_enable)
+    overlap = enc.use_device
     pending = None
     for (y, cb, cr) in frames:
         if not overlap:

@@ -36,7 +36,7 @@ class Config:
     max_tb_log2: int = 5
 
     # tools
-    deblock_enable: bool = False    # loop filters land in a later stage
+    deblock_enable: bool = True     # --deblock (on by default, as kvazaar)
     deblock_beta: int = 0
     deblock_tc: int = 0
     sao_type: str = "off"

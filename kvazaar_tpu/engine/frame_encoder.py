@@ -78,6 +78,10 @@ class IntraFrameEncoder:
         self.rec_y = np.zeros((h, w), dtype=np.int32)
         self.rec_cb = np.zeros((h // 2, w // 2), dtype=np.int32)
         self.rec_cr = np.zeros((h // 2, w // 2), dtype=np.int32)
+        # actual TU-edge maps for in-loop deblocking (intra: BS 2 on every
+        # CU/TU edge; TU edges cover CU edges since TU <= CU)
+        self.edges_ver = np.zeros((h // 4, w // 8), dtype=bool)
+        self.edges_hor = np.zeros((h // 8, w // 4), dtype=bool)
         self.maps = FrameMaps(w, h, sh.qp)
         qp = sh.qp
         self.lambda_ = 0.57 * 2.0 ** ((qp - 12) / 3.0)
@@ -359,6 +363,10 @@ class IntraFrameEncoder:
         size = 1 << log2_size
         cab = self.cab
         sdh = bool(self.pps.sign_data_hiding_enabled)
+        if x0 > 0:
+            self.edges_ver[y0 >> 2:(y0 + size) >> 2, x0 >> 3] = True
+        if y0 > 0:
+            self.edges_hor[y0 >> 3, x0 >> 2:(x0 + size) >> 2] = True
         # chroma TUs at this leaf (log2 > 2 always in v0 since CU >= 16)
         c_log2 = log2_size - 1
         levels_cb, rec_cb = self.code_tu(x0, y0, size >> 1, 1, chroma_mode)

@@ -36,8 +36,10 @@ class InterPipeline(IntraPipeline):
     REF_PENALTY = 8  # SATD units per ref index (ref_idx signalling cost)
 
     def __init__(self, height: int, width: int, qp: int,
-                 n_refs: int = 1) -> None:
-        super().__init__(height, width, qp)
+                 n_refs: int = 1, deblock: bool = False,
+                 deblock_beta: int = 0, deblock_tc: int = 0) -> None:
+        super().__init__(height, width, qp, deblock=deblock,
+                         deblock_beta=deblock_beta, deblock_tc=deblock_tc)
         self.n_refs = max(1, n_refs)
         self._inter = jax.jit(self._with_consts(self._inter_impl))
 
@@ -231,15 +233,40 @@ class InterPipeline(IntraPipeline):
         out = self._waves_inter(src_y.astype(jnp.int32),
                                 src_cb.astype(jnp.int32),
                                 src_cr.astype(jnp.int32),
-                                modes, is_inter, pred_y, pred_cb, pred_cr)
+                                modes, is_inter, pred_y, pred_cb, pred_cr,
+                                mv=mv, ref_idx=ref_idx)
         out["mv"] = mv
         out["ref_idx"] = ref_idx
         out["is_inter"] = is_inter
         out["modes_flat"] = modes
         return out
 
+    def _bs_blocks(self, is_inter, nz_blk, mv, ref_idx):
+        """Per-block-edge boundary strengths (spec 8.7.2.4 specialised to
+        the uniform 16x16 single-list grid): intra -> 2; nonzero luma TU,
+        different reference, or MV delta >= one pel -> 1."""
+        R, C = self.rows, self.cols
+        intra = (~is_inter).reshape(R, C)
+        nz = nz_blk.reshape(R, C)
+        mvb = mv.reshape(R, C, 2)
+        rib = jnp.where(intra, -1, ref_idx.reshape(R, C))
+
+        def pair(sl_p, sl_q):
+            far = (jnp.abs(mvb[sl_p] - mvb[sl_q]) >= 4).any(-1)
+            bs1 = nz[sl_p] | nz[sl_q] | (rib[sl_p] != rib[sl_q]) | far
+            return jnp.where(intra[sl_p] | intra[sl_q], 2,
+                             bs1.astype(jnp.int32))
+
+        bs_v = jnp.zeros((R, C), jnp.int32).at[:, 1:].set(
+            pair((slice(None), slice(None, -1)),
+                 (slice(None), slice(1, None))))
+        bs_h = jnp.zeros((R, C), jnp.int32).at[1:, :].set(
+            pair((slice(None, -1), slice(None)),
+                 (slice(1, None), slice(None))))
+        return bs_v, bs_h
+
     def _waves_inter(self, src_y, src_cb, src_cr, modes_flat, is_inter,
-                     ipred_y, ipred_cb, ipred_cr):
+                     ipred_y, ipred_cb, ipred_cr, mv=None, ref_idx=None):
         """Wavefront recon with per-block intra/inter selection."""
         n, nc = LUMA_N, CHROMA_N
         h, w = self.h, self.w
@@ -312,8 +339,12 @@ class InterPipeline(IntraPipeline):
         state = (rec_y, rec_cb, rec_cr, levels_y, levels_cb, levels_cr)
         state = jax.lax.fori_loop(0, self.n_waves, wave_body, state)
         rec_y, rec_cb, rec_cr, ly, lcb, lcr = state
+        bs_blk = None
+        if self.deblock and mv is not None:
+            nz_blk = (ly != 0).any(axis=(1, 2))
+            bs_blk = self._bs_blocks(is_inter, nz_blk, mv, ref_idx)
         return self._outputs(rec_y, rec_cb, rec_cr, ly, lcb, lcr,
-                             src_y, src_cb, src_cr)
+                             src_y, src_cb, src_cr, bs_blk=bs_blk)
 
     def _transform_quant_sel(self, resi, t, qp, n, inter_w):
         """Like _transform_quant but with per-block intra/inter quant

@@ -69,10 +69,15 @@ class IntraPipeline:
     """Jit-compiled all-intra encoder compute path for one frame size."""
 
     def __init__(self, height: int, width: int, qp: int,
+                 deblock: bool = False, deblock_beta: int = 0,
+                 deblock_tc: int = 0,
                  sign_hiding: bool = False) -> None:
         assert height % LUMA_N == 0 and width % LUMA_N == 0
         assert not sign_hiding, "SDH on the device path lands later"
         self.h, self.w, self.qp = height, width, qp
+        self.deblock = deblock
+        self.deblock_beta = deblock_beta
+        self.deblock_tc = deblock_tc
         self.rows, self.cols = height // LUMA_N, width // LUMA_N
         self.n_blocks = self.rows * self.cols
 
@@ -490,12 +495,40 @@ class IntraPipeline:
         return self._outputs(rec_y, rec_cb, rec_cr, ly, lcb, lcr,
                              src_y, src_cb, src_cr)
 
+    def _expand_bs(self, bs_blk_v, bs_blk_h):
+        """Per-block-edge BS [R, C] (vertical: edge left of block (r,c);
+        horizontal: edge above) -> segment-grid maps [H/4, W/8] /
+        [H/8, W/4] (16-aligned edges only; picture borders excluded)."""
+        h, w = self.h, self.w
+        bs_ver = jnp.zeros((h // 4, w // 8), jnp.int32)
+        bs_ver = bs_ver.at[:, 2::2].set(
+            jnp.repeat(bs_blk_v[:, 1:], 4, axis=0))
+        bs_hor = jnp.zeros((h // 8, w // 4), jnp.int32)
+        bs_hor = bs_hor.at[2::2, :].set(
+            jnp.repeat(bs_blk_h[1:, :], 4, axis=1))
+        return bs_ver, bs_hor
+
+    def _apply_deblock(self, ry, rcb, rcr, bs_blk_v=None, bs_blk_h=None):
+        """In-loop deblock on device (hash/SSE/reference pictures must see
+        the filtered picture). Default BS maps: 2 everywhere (all-intra)."""
+        from ..ops.deblock_jax import deblock_frame_jax
+        if bs_blk_v is None:
+            bs_blk_v = jnp.full((self.rows, self.cols), 2, jnp.int32)
+            bs_blk_h = bs_blk_v
+        bs_ver, bs_hor = self._expand_bs(bs_blk_v, bs_blk_h)
+        return deblock_frame_jax(ry, rcb, rcr, bs_ver, bs_hor,
+                                 self.qp2[0], self.qp2[1], self.qp2[1],
+                                 self.deblock_beta, self.deblock_tc)
+
     def _outputs(self, rec_y, rec_cb, rec_cr, ly, lcb, lcr,
-                 src_y, src_cb, src_cr):
+                 src_y, src_cb, src_cr, bs_blk=None):
         n, h, w = LUMA_N, self.h, self.w
         ry = rec_y[1:1 + h, 1:1 + w]
         rcb = rec_cb[1:1 + h // 2, 1:1 + w // 2]
         rcr = rec_cr[1:1 + h // 2, 1:1 + w // 2]
+        if self.deblock:
+            bv, bh = bs_blk if bs_blk is not None else (None, None)
+            ry, rcb, rcr = self._apply_deblock(ry, rcb, rcr, bv, bh)
 
         def cksum(plane, mask):
             return jnp.sum((plane.astype(jnp.uint32) ^ mask),

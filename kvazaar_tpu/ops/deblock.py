@@ -169,12 +169,15 @@ def deblock_frame(rec_y, rec_cb, rec_cr, bs_ver, bs_hor, qp,
         plane = plane.astype(np.int32, copy=False)
         hc, wc = plane.shape
         tc2 = tc_for(q, 2)
-        for xec in range(1, wc // 8):
+        # ceil bounds: an 8-aligned chroma edge exists wherever the
+        # 16-aligned LUMA edge is inside the picture, even when the
+        # chroma dimension is not a multiple of 8 (e.g. hc = 20)
+        for xec in range(1, -(-wc // 8)):
             ys = np.nonzero(bs_ver[:, 2 * xec] == 2)[0] * 2
             _filter_chroma_edge_cols(plane, xec * 8, ys, tc2, bit_depth,
                                      seg_h=2)
         pt = np.ascontiguousarray(plane.T)
-        for yec in range(1, hc // 8):
+        for yec in range(1, -(-hc // 8)):
             xs = np.nonzero(bs_hor[2 * yec, :] == 2)[0] * 2
             _filter_chroma_edge_cols(pt, yec * 8, xs, tc2, bit_depth,
                                      seg_h=2)

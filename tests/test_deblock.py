@@ -33,3 +33,51 @@ def test_decode_deblocked_stream(tmp_path, rng, qp, offsets):
                    check=True, capture_output=True)
     frames = HEVCDecoder().decode(open(out, "rb").read())
     assert len(frames) == 2 and all(f.hash_ok for f in frames)
+
+
+def test_deblock_jax_matches_numpy_oracle(rng):
+    """deblock_frame_jax must be bit-exact vs the NumPy reference for
+    random pictures, random BS maps, and several QPs."""
+    import jax
+    from kvazaar_tpu.ops.deblock import deblock_frame
+    from kvazaar_tpu.ops.deblock_jax import deblock_frame_jax
+    from kvazaar_tpu.tables import chroma_qp
+    h, w = 96, 128
+    for qp in (18, 30, 45):
+        y = rng.randint(0, 256, (h, w)).astype(np.int32)
+        cb = rng.randint(0, 256, (h // 2, w // 2)).astype(np.int32)
+        cr = rng.randint(0, 256, (h // 2, w // 2)).astype(np.int32)
+        bs_ver = rng.randint(0, 3, (h // 4, w // 8)).astype(np.int8)
+        bs_hor = rng.randint(0, 3, (h // 8, w // 4)).astype(np.int8)
+        qc = chroma_qp(qp)
+        ry, rcb, rcr = deblock_frame(y.copy(), cb.copy(), cr.copy(),
+                                     bs_ver.copy(), bs_hor.copy(),
+                                     qp, qc, qc, 0, 0)
+        jy, jcb, jcr = jax.jit(deblock_frame_jax, static_argnums=(8, 9))(
+            y, cb, cr, bs_ver, bs_hor, qp, qc, qc)
+        assert np.array_equal(np.asarray(jy), ry), f"luma qp{qp}"
+        assert np.array_equal(np.asarray(jcb), rcb), f"cb qp{qp}"
+        assert np.array_equal(np.asarray(jcr), rcr), f"cr qp{qp}"
+
+
+def test_device_deblock_e2e(rng):
+    """Device-pipeline encode with in-loop deblocking stays conformant
+    (decoder independently derives BS from syntax) for intra and inter."""
+    from kvazaar_tpu.api import encode_sequence
+    from kvazaar_tpu.cfg import Config
+    from kvazaar_tpu.decoder.decoder import HEVCDecoder
+    w, h = 128, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    frames = []
+    for i in range(4):
+        y = (128 + 80 * np.sin((xx + 3 * i) / 9) * np.cos((yy + 2 * i) / 11)
+             ).astype(np.uint8)
+        c = (128 + 50 * np.sin((xx[:h // 2, :w // 2] + 3 * i) / 13)
+             ).astype(np.uint8)
+        frames.append((y, c, c))
+    for kw in (dict(intra_period=1), dict(intra_period=0, ref_frames=2)):
+        cfg = Config(width=w, height=h, qp=30, ctu_size=16,
+                     deblock_enable=True, **kw)
+        out, _ = encode_sequence(cfg, frames)
+        dec = HEVCDecoder().decode(out)
+        assert len(dec) == 4 and all(f.hash_ok for f in dec), kw
