@@ -90,7 +90,7 @@ class Encoder:
                     self.sps.height, self.sps.width, cfg.qp, self.n_refs,
                     deblock=cfg.deblock_enable,
                     deblock_beta=cfg.deblock_beta,
-                    deblock_tc=cfg.deblock_tc)
+                    deblock_tc=cfg.deblock_tc, sao=cfg.sao_type)
                 self._pipeline = self._inter_pipeline
             else:
                 from .models.intra_pipeline import IntraPipeline
@@ -98,7 +98,11 @@ class Encoder:
                     self.sps.height, self.sps.width, cfg.qp,
                     deblock=cfg.deblock_enable,
                     deblock_beta=cfg.deblock_beta,
-                    deblock_tc=cfg.deblock_tc)
+                    deblock_tc=cfg.deblock_tc, sao=cfg.sao_type)
+        if cfg.sao_type != "off" and not self.use_device:
+            raise NotImplementedError(
+                "SAO requires the device pipeline (ctu-size 16, no "
+                "signhide) in this round")
         # DPB: newest-first reconstructed reference pictures (device- or
         # host-resident), trimmed to n_refs
         self._dpb: list[dict] = []
@@ -239,6 +243,9 @@ class Encoder:
         sh.slice_type = 2 if is_idr else 1
         sh.qp = meta["qp"]
         sh.first_slice_in_pic = 1
+        if self.sps.sao_enabled:
+            sh.sao_luma = 1
+            sh.sao_chroma = 1
         if not is_idr:
             from .hevc.params import ShortTermRPS
             sh.pic_order_cnt_lsb = meta["poc"] & \
@@ -262,6 +269,13 @@ class Encoder:
                                   meta["poc"])
         elif self._pipeline is not None:
             decisions = self._pipeline.materialize(meta["dev"])
+        sao_w = None
+        if self.sps.sao_enabled and decisions is not None:
+            from .engine.sao_writer import SaoWriter
+            sao_w = SaoWriter(decisions, bool(sh.sao_luma),
+                              bool(sh.sao_chroma))
+        if writer is not None:
+            writer.sao_w = sao_w
         n_ctu_x = self.sps.width_in_ctbs
         n_ctu_y = self.sps.height_in_ctbs
 
@@ -305,7 +319,7 @@ class Encoder:
             native_done = True  # slice data done
         elif decisions is not None:
             from . import native
-            if native.available():
+            if native.available() and sao_w is None:
                 data, sizes = native.encode_intra_grid(
                     decisions["modes"], decisions["levels_y"],
                     decisions["levels_cb"], decisions["levels_cr"],
@@ -319,6 +333,7 @@ class Encoder:
         if not native_done:
             enc = IntraFrameEncoder(self.sps, self.pps, sh, y, cb, cr, cfg,
                                     decisions=decisions)
+            enc.sao_w = sao_w
         if native_done:
             pass
         elif not wpp:
@@ -377,10 +392,10 @@ class Encoder:
             rec = [enc.rec_y[:h, :w].astype(np.uint16),
                    enc.rec_cb[:h // 2, :w // 2].astype(np.uint16),
                    enc.rec_cr[:h // 2, :w // 2].astype(np.uint16)]
-        if cfg.deblock_enable and (meta["dev"] is None
-                                   or not self.use_device):
-            # host (numpy) fallback path; device frames are already
-            # deblocked in-graph before hash/SSE
+        # device frames are fully in-loop-filtered in-graph (deblock + SAO
+        # run before hash/SSE), so their hash/sse outputs stay valid
+        device_final = meta["dev"] is not None and self.use_device
+        if cfg.deblock_enable and not device_final:
             rec = [np.asarray(p) for p in rec]
             rec = self._deblock_recon(
                 rec, decisions, is_idr, meta["qp"],
@@ -392,8 +407,8 @@ class Encoder:
                             "y": rec[0], "cb": rec[1], "cr": rec[2]})
         if cfg.hash != "none":
             htype = HASH_CHECKSUM if cfg.hash == "checksum" else HASH_MD5
-            if (htype == HASH_CHECKSUM and decisions is not None
-                    and "hash" in decisions and not cfg.deblock_enable):
+            if (htype == HASH_CHECKSUM and device_final
+                    and decisions is not None and "hash" in decisions):
                 sei = write_hash_sei([], htype, 8,
                                      checksums=decisions["hash"])
             else:
@@ -403,8 +418,7 @@ class Encoder:
         crop = [rec[0][:cfg.height, :cfg.width],
                 rec[1][:cfg.height // 2, :cfg.width // 2],
                 rec[2][:cfg.height // 2, :cfg.width // 2]]
-        if decisions is not None and "sse" in decisions \
-                and not cfg.deblock_enable:
+        if decisions is not None and "sse" in decisions and device_final:
             npix = [self.sps.width * self.sps.height,
                     self.sps.width * self.sps.height // 4,
                     self.sps.width * self.sps.height // 4]

@@ -241,6 +241,8 @@ class IntraFrameEncoder:
     def encode_ctu(self, ctu_x: int, ctu_y: int) -> None:
         x0 = ctu_x * self.sps.ctb_size
         y0 = ctu_y * self.sps.ctb_size
+        if getattr(self, "sao_w", None) is not None:
+            self.sao_w.write(self.cab, ctu_y, ctu_x, ctu_x > 0, ctu_y > 0)
         self.coding_quadtree(x0, y0, self.sps.ctb_log2, 0)
 
     def _cu_depth_for(self, x0: int, y0: int, log2_size: int,

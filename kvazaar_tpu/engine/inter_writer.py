@@ -68,6 +68,8 @@ class PSliceWriter:
     def write_ctu(self, r: int, c: int) -> None:
         cab = self.cab
         x0, y0 = c * N, r * N
+        if getattr(self, "sao_w", None) is not None:
+            self.sao_w.write(cab, r, c, c > 0, r > 0)
         # split_cu_flag = 0 (16 > min CB 8)
         ctx_off = 0
         h = self.helper

@@ -37,9 +37,11 @@ class InterPipeline(IntraPipeline):
 
     def __init__(self, height: int, width: int, qp: int,
                  n_refs: int = 1, deblock: bool = False,
-                 deblock_beta: int = 0, deblock_tc: int = 0) -> None:
+                 deblock_beta: int = 0, deblock_tc: int = 0,
+                 sao: str = "off") -> None:
         super().__init__(height, width, qp, deblock=deblock,
-                         deblock_beta=deblock_beta, deblock_tc=deblock_tc)
+                         deblock_beta=deblock_beta, deblock_tc=deblock_tc,
+                         sao=sao)
         self.n_refs = max(1, n_refs)
         self._inter = jax.jit(self._with_consts(self._inter_impl))
 

@@ -70,7 +70,7 @@ class IntraPipeline:
 
     def __init__(self, height: int, width: int, qp: int,
                  deblock: bool = False, deblock_beta: int = 0,
-                 deblock_tc: int = 0,
+                 deblock_tc: int = 0, sao: str = "off",
                  sign_hiding: bool = False) -> None:
         assert height % LUMA_N == 0 and width % LUMA_N == 0
         assert not sign_hiding, "SDH on the device path lands later"
@@ -78,6 +78,7 @@ class IntraPipeline:
         self.deblock = deblock
         self.deblock_beta = deblock_beta
         self.deblock_tc = deblock_tc
+        self.sao = sao if sao != "off" else None
         self.rows, self.cols = height // LUMA_N, width // LUMA_N
         self.n_blocks = self.rows * self.cols
 
@@ -266,7 +267,7 @@ class IntraPipeline:
         so the (slow-link) transfer overlaps the next frame's compute.
         int16 levels stay device-resident (pulled only on int8 overflow)."""
         for k, v in out.items():
-            if (k.startswith(("lmask_", "lvals_"))
+            if (k.startswith(("lmask_", "lvals_", "sao_"))
                     or k in ("hash", "sse", "modes_flat", "mv", "is_inter",
                              "ref_idx", "lvl_ovf")):
                 try:
@@ -279,7 +280,7 @@ class IntraPipeline:
         stays on device."""
         res = {k: (np.asarray(v) if
                    k in ("hash", "sse", "modes_flat", "mv", "is_inter",
-                         "ref_idx")
+                         "ref_idx") or k.startswith("sao_")
                    else v)
                for k, v in out.items()}
         if bool(np.asarray(out["lvl_ovf"])):
@@ -529,6 +530,20 @@ class IntraPipeline:
         if self.deblock:
             bv, bh = bs_blk if bs_blk is not None else (None, None)
             ry, rcb, rcr = self._apply_deblock(ry, rcb, rcr, bv, bh)
+        sao_out = {}
+        if self.sao:
+            from ..ops.sao_jax import sao_chroma, sao_luma
+            lam = 0.57 * 2.0 ** ((self.qp2[0].astype(jnp.float32) - 12.0)
+                                 / 3.0)
+            ab = self.sao in ("full", "band")
+            ae = self.sao in ("full", "edge")
+            ry, py = sao_luma(src_y, ry, LUMA_N, lam, ab, ae)
+            rcb, rcr, pc = sao_chroma(src_cb, src_cr, rcb, rcr, CHROMA_N,
+                                      lam, ab, ae)
+            for k, v in py.items():
+                sao_out["sao_y_" + k] = v.astype(jnp.int8)
+            for k, v in pc.items():
+                sao_out["sao_c_" + k] = v.astype(jnp.int8)
 
         def cksum(plane, mask):
             return jnp.sum((plane.astype(jnp.uint32) ^ mask),
@@ -556,6 +571,7 @@ class IntraPipeline:
                                cksum(rcr, self.hash_mask_c)]),
             "sse": jnp.stack([sse(ry, src_y), sse(rcb, src_cb),
                               sse(rcr, src_cr)]),
+            **sao_out,
         }
         ovf = jnp.bool_(False)
         for name, lv in (("y", ly), ("cb", lcb), ("cr", lcr)):
