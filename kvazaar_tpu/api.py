@@ -10,8 +10,8 @@ from __future__ import annotations
 import numpy as np
 
 from .bitstream import (BitWriter, NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS,
-                        NAL_SPS, NAL_SUFFIX_SEI, NAL_TRAIL_R, NAL_VPS,
-                        nal_unit)
+                        NAL_SPS, NAL_SUFFIX_SEI, NAL_TRAIL_N, NAL_TRAIL_R,
+                        NAL_VPS, nal_unit)
 from .cabac import CabacEncoder, ContextSet
 from .cfg import Config
 from .engine.frame_encoder import IntraFrameEncoder
@@ -38,8 +38,13 @@ def build_sps(cfg: Config) -> SPS:
     sps.amp_enabled = 1 if cfg.amp_enable else 0
     sps.strong_intra_smoothing = 1 if cfg.strong_intra_smoothing else 0
     sps.temporal_mvp_enabled = 0
-    sps.max_dec_pic_buffering_minus1 = max(1, cfg.ref_frames)
-    sps.max_num_reorder_pics = 0
+    if cfg.gop_len > 1:
+        # dyadic pyramid: up to 4 retained refs + current picture
+        sps.max_dec_pic_buffering_minus1 = 4
+        sps.max_num_reorder_pics = cfg.gop_len - 1
+    else:
+        sps.max_dec_pic_buffering_minus1 = max(1, cfg.ref_frames)
+        sps.max_num_reorder_pics = 0
     sps.vui_timing = (cfg.framerate_denom, cfg.framerate_num)
     return sps
 
@@ -82,10 +87,18 @@ class Encoder:
         self._pipeline = None
         self._inter_pipeline = None
         self.inter_enabled = self.use_device and cfg.intra_period != 1
+        self.gop_enabled = cfg.gop_len > 1 and self.inter_enabled
+        if cfg.gop_len > 1 and not self.inter_enabled:
+            raise NotImplementedError(
+                "B-pyramid GOPs require the device pipeline (ctu-size 16, "
+                "no signhide) in this round")
         if self.use_device:
             if self.inter_enabled:
                 from .models.inter_pipeline import InterPipeline
                 self.n_refs = max(1, min(cfg.ref_frames, 4))
+                if self.gop_enabled:
+                    # union L0+L1 stack: up to 2 past + 2 future
+                    self.n_refs = 4
                 self._inter_pipeline = InterPipeline(
                     self.sps.height, self.sps.width, cfg.qp, self.n_refs,
                     deblock=cfg.deblock_enable,
@@ -106,6 +119,13 @@ class Encoder:
         # DPB: newest-first reconstructed reference pictures (device- or
         # host-resident), trimmed to n_refs
         self._dpb: list[dict] = []
+        if self.gop_enabled:
+            from .engine.gop import GopScheduler
+            self._sched = GopScheduler(cfg.gop_len, cfg.intra_period)
+            self._gop_buf: list[tuple] = []   # display-order pending frames
+            self._idr_disp = 0                # display index of POC 0
+            self._gop_lo = 0                  # POC of last coded anchor
+            self._next_disp = 0
         self._rc = None
         if cfg.target_bitrate > 0:
             from .engine.rate_control import RateControl
@@ -168,9 +188,13 @@ class Encoder:
         return [y.astype(np.uint16), cb.astype(np.uint16),
                 cr.astype(np.uint16)]
 
-    def _push_ref(self, entry: dict) -> None:
+    def _push_ref(self, entry: dict, keep: set | None = None) -> None:
         self._dpb.insert(0, entry)
-        del self._dpb[getattr(self, "n_refs", 1):]
+        if keep is None:
+            del self._dpb[getattr(self, "n_refs", 1):]
+        else:
+            kept = set(keep) | {entry["poc"]}
+            self._dpb = [e for e in self._dpb if e["poc"] in kept]
 
     # -- headers ---------------------------------------------------------------
 
@@ -186,7 +210,8 @@ class Encoder:
                      cr: np.ndarray) -> dict:
         """Dispatch a frame's device work (async); returns a pending token
         for finalize_frame. OWF analog: the next frame's device compute
-        overlaps this frame's host entropy coding."""
+        overlaps this frame's host entropy coding. Low-delay path (no B
+        pyramid; see push_frame for GOP coding)."""
         cfg = self.cfg
         # intra_period semantics follow kvazaar (src/cfg.c): 1 = all
         # intra, 0 = only the first frame intra, N = IDR every N frames.
@@ -197,36 +222,96 @@ class Encoder:
         if is_idr:
             self.poc = 0
             self._dpb.clear()
+        from .engine.gop import FrameSpec
+        spec = FrameSpec(disp_idx=self.frame_num, poc=self.poc,
+                         is_idr=is_idr, is_ref=True,
+                         slice_type=2 if is_idr else 1,
+                         l0=[] if is_idr else [e["poc"] for e in self._dpb],
+                         keep=None)
+        self.frame_num += 1
+        self.poc += 1
+        return self._submit_spec(spec, y, cb, cr)
+
+    def _submit_spec(self, spec, y, cb, cr) -> dict:
+        cfg = self.cfg
         if self.pad_w or self.pad_h:
             y = np.pad(y, ((0, self.pad_h), (0, self.pad_w)), mode="edge")
             cb = np.pad(cb, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
                         mode="edge")
             cr = np.pad(cr, ((0, self.pad_h // 2), (0, self.pad_w // 2)),
                         mode="edge")
-        qp = self._rc.frame_qp(is_idr) if self._rc else cfg.qp
-        meta = {"is_idr": is_idr, "poc": self.poc, "qp": qp,
-                "frame_num": self.frame_num, "y": y, "cb": cb, "cr": cr,
-                "ref_pocs": [] if is_idr else [e["poc"] for e in self._dpb],
-                "dev": None}
-        if not is_idr:
+        qp = (self._rc.frame_qp(spec.is_idr) if self._rc else cfg.qp) \
+            + spec.qp_offset
+        union = list(spec.l0) + [p for p in spec.l1 if p not in spec.l0]
+        meta = {"is_idr": spec.is_idr, "poc": spec.poc, "qp": qp,
+                "frame_num": spec.disp_idx, "y": y, "cb": cb, "cr": cr,
+                "slice_type": spec.slice_type, "is_ref": spec.is_ref,
+                "l0": list(spec.l0), "l1": list(spec.l1), "union": union,
+                "keep": spec.keep, "ref_pocs": union, "dev": None}
+        if spec.slice_type != 2:
+            by_poc = {e["poc"]: e for e in self._dpb}
+            refs = [by_poc[p] for p in union]
             meta["dev"] = self._inter_pipeline.submit_inter(
-                y, cb, cr, [e["y"] for e in self._dpb],
-                [e["cb"] for e in self._dpb],
-                [e["cr"] for e in self._dpb], qp=qp)
+                y, cb, cr, [e["y"] for e in refs],
+                [e["cb"] for e in refs],
+                [e["cr"] for e in refs], qp=qp)
         elif self._pipeline is not None:
             meta["dev"] = self._pipeline.submit(y, cb, cr, qp=qp)
-        # device-resident reference for the next frame (only valid without
-        # in-loop deblocking, which runs host-side for now)
-        if self.inter_enabled and meta["dev"] is not None:
-            self._push_ref({"poc": self.poc, "y": meta["dev"]["rec_y"],
+        if self.inter_enabled and meta["dev"] is not None and spec.is_ref:
+            self._push_ref({"poc": spec.poc, "y": meta["dev"]["rec_y"],
                             "cb": meta["dev"]["rec_cb"],
-                            "cr": meta["dev"]["rec_cr"]})
-            self._prev_is_final = True
+                            "cr": meta["dev"]["rec_cr"]}, spec.keep)
+            meta["pushed_ref"] = True
         else:
-            self._prev_is_final = False
-        self.frame_num += 1
-        self.poc += 1
+            meta["pushed_ref"] = False
+        # the RPS may only name already-decoded pictures: the retained DPB
+        # (post-trim) plus this frame's own references
+        meta["dpb_pocs"] = [e["poc"] for e in self._dpb]
         return meta
+
+    # -- GOP (B pyramid) feed ----------------------------------------------------
+
+    def push_frame(self, y: np.ndarray, cb: np.ndarray,
+                   cr: np.ndarray) -> list[tuple[bytes, dict]]:
+        """Feed one display-order frame; returns zero or more coded frames
+        in coding order (the kvazaar input_frame_buffer reorder analog).
+        Without a B GOP this encodes immediately."""
+        if not self.gop_enabled:
+            return [self.encode_frame(y, cb, cr)]
+        cfg = self.cfg
+        d = self._next_disp
+        self._next_disp += 1
+        if d == 0 or (cfg.intra_period > 0
+                      and d - self._idr_disp == cfg.intra_period):
+            # closed GOP: the buffer is empty here (period % gop == 0)
+            spec = self._sched.plan_idr(d)
+            self._idr_disp = d
+            self._gop_lo = 0
+            self._dpb.clear()
+            return [self.finalize_frame(self._submit_spec(spec, y, cb, cr))]
+        self._gop_buf.append((y, cb, cr))
+        if len(self._gop_buf) == cfg.gop_len:
+            return self._encode_span()
+        return []
+
+    def flush(self) -> list[tuple[bytes, dict]]:
+        """Encode any buffered tail (shorter dyadic pyramid)."""
+        if not self.gop_enabled or not self._gop_buf:
+            return []
+        return self._encode_span()
+
+    def _encode_span(self) -> list[tuple[bytes, dict]]:
+        lo = self._gop_lo
+        hi = lo + len(self._gop_buf)
+        specs = self._sched.plan_span(self._idr_disp, lo, hi)
+        frames = {lo + 1 + i: f for i, f in enumerate(self._gop_buf)}
+        self._gop_buf = []
+        self._gop_lo = hi
+        # submit the whole span first (device work for every frame is
+        # queued async, B frames consume the anchor's device-resident
+        # recon), then run host entropy coding in coding order
+        metas = [self._submit_spec(s, *frames[s.poc]) for s in specs]
+        return [self.finalize_frame(m) for m in metas]
 
     def encode_frame(self, y: np.ndarray, cb: np.ndarray,
                      cr: np.ndarray) -> tuple[bytes, dict]:
@@ -236,37 +321,58 @@ class Encoder:
     def finalize_frame(self, meta: dict) -> tuple[bytes, dict]:
         cfg = self.cfg
         is_idr = meta["is_idr"]
+        slice_type = meta.get("slice_type", 2 if is_idr else 1)
         y, cb, cr = meta["y"], meta["cb"], meta["cr"]
-        nal_type = NAL_IDR_W_RADL if is_idr else NAL_TRAIL_R
+        nal_type = (NAL_IDR_W_RADL if is_idr else
+                    NAL_TRAIL_R if meta.get("is_ref", True) else NAL_TRAIL_N)
         sh = SliceHeader()
         sh.pps_id = 0
-        sh.slice_type = 2 if is_idr else 1
+        sh.slice_type = slice_type
         sh.qp = meta["qp"]
         sh.first_slice_in_pic = 1
         if self.sps.sao_enabled:
             sh.sao_luma = 1
             sh.sao_chroma = 1
+        l0 = meta.get("l0", meta.get("ref_pocs", []))
+        l1 = meta.get("l1", [])
         if not is_idr:
             from .hevc.params import ShortTermRPS
-            sh.pic_order_cnt_lsb = meta["poc"] & \
+            poc = meta["poc"]
+            sh.pic_order_cnt_lsb = poc & \
                 ((1 << self.sps.log2_max_poc_lsb) - 1)
+            # RPS: everything that must stay in the DPB (this frame's refs
+            # + already-coded pictures later frames need); used flags mark
+            # the actives
+            rps_set = set(meta.get("dpb_pocs",
+                                   meta.get("keep") or ())) \
+                | set(l0) | set(l1)
+            rps_set.discard(poc)
+            past = sorted((p for p in rps_set if p < poc), reverse=True)
+            fut = sorted(p for p in rps_set if p > poc)
             sh.short_term_rps = ShortTermRPS(
-                delta_pocs_s0=[p - meta["poc"] for p in meta["ref_pocs"]],
-                used_s0=[1] * len(meta["ref_pocs"]))
+                delta_pocs_s0=[p - poc for p in past],
+                used_s0=[1 if p in l0 else 0 for p in past],
+                delta_pocs_s1=[p - poc for p in fut],
+                used_s1=[1 if p in l1 else 0 for p in fut])
             sh.short_term_rps_sps_flag = 0
-            if len(meta["ref_pocs"]) != \
-                    self.pps.num_ref_idx_l0_default_minus1 + 1:
+            if (len(l0) != self.pps.num_ref_idx_l0_default_minus1 + 1
+                    or (slice_type == 0 and len(l1) !=
+                        self.pps.num_ref_idx_l1_default_minus1 + 1)):
                 sh.num_ref_idx_active_override = 1
-                sh.num_ref_idx_l0_active_minus1 = len(meta["ref_pocs"]) - 1
+                sh.num_ref_idx_l0_active_minus1 = len(l0) - 1
+                if slice_type == 0:
+                    sh.num_ref_idx_l1_active_minus1 = len(l1) - 1
 
         decisions = None
         writer = None
-        if not is_idr:
+        if slice_type != 2:
             decisions = self._inter_pipeline.materialize(meta["dev"])
             from .engine.inter_writer import PSliceWriter
-            writer = PSliceWriter(self.sps, self.pps, sh, decisions,
-                                  [{"poc": p} for p in meta["ref_pocs"]],
-                                  meta["poc"])
+            writer = PSliceWriter(
+                self.sps, self.pps, sh, decisions,
+                [{"poc": p} for p in l0], meta["poc"],
+                ref_entries_l1=[{"poc": p} for p in l1],
+                union_pocs=meta.get("union", l0))
         elif self._pipeline is not None:
             decisions = self._pipeline.materialize(meta["dev"])
         sao_w = None
@@ -286,7 +392,7 @@ class Encoder:
         if writer is not None:
             if not wpp:
                 bw = BitWriter()
-                cab = CabacEncoder(bw, ContextSet(1, sh.qp))
+                cab = CabacEncoder(bw, ContextSet(2 - slice_type, sh.qp))
                 writer.cab = cab
                 for ctu_y in range(n_ctu_y):
                     for ctu_x in range(n_ctu_x):
@@ -300,7 +406,7 @@ class Encoder:
             else:
                 for ctu_y in range(n_ctu_y):
                     ctx = (saved_ctx.copy() if saved_ctx is not None
-                           else ContextSet(1, sh.qp))
+                           else ContextSet(2 - slice_type, sh.qp))
                     bw = BitWriter()
                     cab = CabacEncoder(bw, ctx)
                     writer.cab = cab
@@ -402,9 +508,11 @@ class Encoder:
                 meta.get("ref_pocs", ()),
                 edges=(None if enc is None
                        else (enc.edges_ver, enc.edges_hor)))
-        if self.inter_enabled and not self._prev_is_final:
+        if self.inter_enabled and not meta.get("pushed_ref", False) \
+                and meta.get("is_ref", True):
             self._push_ref({"poc": meta["poc"],
-                            "y": rec[0], "cb": rec[1], "cr": rec[2]})
+                            "y": rec[0], "cb": rec[1], "cr": rec[2]},
+                           meta.get("keep"))
         if cfg.hash != "none":
             htype = HASH_CHECKSUM if cfg.hash == "checksum" else HASH_MD5
             if (htype == HASH_CHECKSUM and device_final
@@ -476,6 +584,15 @@ def encode_sequence(cfg: Config, frames,
     enc = encoder if encoder is not None else Encoder(cfg)
     out = b""
     infos = []
+    if getattr(enc, "gop_enabled", False):
+        for (y, cb, cr) in frames:
+            for chunk, info in enc.push_frame(y, cb, cr):
+                out += chunk
+                infos.append(info)
+        for chunk, info in enc.flush():
+            out += chunk
+            infos.append(info)
+        return out, infos
     overlap = enc.use_device
     pending = None
     for (y, cb, cr) in frames:

@@ -81,6 +81,15 @@ class Config:
             raise ValueError("ctu size must be 16/32/64")
         if self.hash not in ("checksum", "md5", "none"):
             raise ValueError("unknown hash type")
+        if self.gop_len not in (0, 1, 2, 4, 8, 16):
+            raise ValueError("gop must be 0/1/2/4/8/16")
+        if self.gop_len > 1:
+            if self.intra_period == 1:
+                raise ValueError("gop > 1 conflicts with all-intra")
+            if self.intra_period > 0 and \
+                    self.intra_period % self.gop_len:
+                raise ValueError("intra period must be a multiple of the "
+                                 "gop length (closed GOP)")
 
     # kvazaar-compatible string option interface (src/cfg.c config_parse)
     _OPTION_MAP = {
@@ -89,6 +98,7 @@ class Config:
         "bitrate": ("target_bitrate", int),
         "vps-period": ("vps_period", int),
         "ref": ("ref_frames", int),
+        "gop": ("gop_len", int),
         "signhide": ("signhide_enable", bool),
         "rdoq": ("rdoq_enable", bool),
         "deblock": ("deblock_enable", bool),

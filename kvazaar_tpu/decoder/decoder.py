@@ -1053,9 +1053,14 @@ class HEVCDecoder:
                       if u]
             after = [poc + d for d, u in zip(rps.delta_pocs_s1, rps.used_s1)
                      if u]
+            # spec 8.3.2: the RPS defines exactly the pictures that stay
+            # in the DPB; everything else becomes unused for reference
+            rps_pocs = {poc + d for d in (list(rps.delta_pocs_s0)
+                                          + list(rps.delta_pocs_s1))}
+            self.dpb = [e for e in self.dpb if e["poc"] in rps_pocs]
             by_poc = {e["poc"]: e for e in self.dpb}
-            l0 = [by_poc[p] for p in before + after if p in by_poc]
-            l1 = [by_poc[p] for p in after + before if p in by_poc]
+            l0 = [by_poc[p] for p in before + after]
+            l1 = [by_poc[p] for p in after + before]
             if not l0:
                 raise ValueError("no reference pictures in DPB")
             n0 = sh.num_ref_idx_l0_active_minus1 + 1

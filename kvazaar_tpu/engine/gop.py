@@ -1,0 +1,105 @@
+"""GOP structure scheduler: hierarchical (dyadic) B pyramids with
+closed-GOP segmentation, display->coding order mapping, reference list
+construction and DPB retention.
+
+Reference parity: kvazaar src/gop.h (kvz_gop_ra8 and friends) defines the
+same dyadic poc_offset/layer/qp-offset structure as static tables plus
+src/input_frame_buffer.c:66 for the display->coding reorder. Here the
+structure is generated for any span length (so end-of-sequence and
+closed-GOP tails become shorter pyramids instead of special cases), and
+reference lists are derived nearest-first from the retained DPB.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class FrameSpec:
+    """One frame's coding decision, POCs relative to the last IDR."""
+    disp_idx: int            # absolute display index
+    poc: int
+    is_idr: bool = False
+    is_ref: bool = True
+    slice_type: int = 2      # 2=I 1=P 0=B
+    layer: int = 0           # temporal layer (anchor = 1)
+    qp_offset: int = 0
+    l0: list = field(default_factory=list)   # active L0 POCs, nearest first
+    l1: list = field(default_factory=list)   # active L1 POCs, nearest first
+    keep: set = field(default_factory=set)   # POCs retained after coding
+
+
+def _dyadic(lo: int, hi: int, depth: int, out: list) -> None:
+    """Emit the B pictures strictly inside (lo, hi) in coding order."""
+    if hi - lo <= 1:
+        return
+    mid = (lo + hi + 1) // 2
+    out.append((mid, lo, hi, depth))
+    _dyadic(lo, mid, depth + 1, out)
+    _dyadic(mid, hi, depth + 1, out)
+
+
+# layer -> QP offset (kvazaar gop.h ra8 uses 1/2/3/4 by layer)
+def _qp_off(layer: int) -> int:
+    return min(layer, 4)
+
+
+class GopScheduler:
+    """Generates FrameSpecs. Usage: feed display indices via plan_segment
+    per coding span; the Encoder buffers frames and encodes the returned
+    specs in list order."""
+
+    def __init__(self, gop_len: int, intra_period: int, n_past_refs: int = 2,
+                 n_fut_refs: int = 2) -> None:
+        assert gop_len >= 1
+        self.gop = gop_len
+        self.period = intra_period   # 0 = first frame only
+        self.n_past = max(1, n_past_refs)
+        self.n_fut = max(1, n_fut_refs)
+        # state
+        self.anchors: list[int] = []   # retained past-anchor POCs (desc)
+
+    def segment_boundary(self, poc: int) -> bool:
+        """True when `poc` (relative to last IDR) starts a new IDR."""
+        return self.period > 0 and poc >= self.period
+
+    def plan_idr(self, disp_idx: int) -> FrameSpec:
+        self.anchors = [0]
+        return FrameSpec(disp_idx=disp_idx, poc=0, is_idr=True, is_ref=True,
+                         slice_type=2, layer=0, qp_offset=0,
+                         keep={0})
+
+    def plan_span(self, disp_base: int, lo: int, hi: int) -> list[FrameSpec]:
+        """Plan the span of pictures (lo, hi] where `lo` is an already
+        coded anchor POC: the anchor `hi` (P, past refs only) followed by
+        the dyadic B pyramid filling (lo, hi). disp_base = display index
+        of POC 0."""
+        specs: list[FrameSpec] = []
+        past = [a for a in sorted(self.anchors, reverse=True) if a <= lo]
+        l0_anchor = past[:self.n_past]
+        anchor = FrameSpec(disp_idx=disp_base + hi, poc=hi, slice_type=1,
+                           is_ref=True, layer=1, qp_offset=_qp_off(1),
+                           l0=l0_anchor)
+        specs.append(anchor)
+        mids = []
+        _dyadic(lo, hi, 2, mids)
+        coded = set(l0_anchor) | {lo, hi}
+        for (mid, mlo, mhi, depth) in mids:
+            past_p = sorted((p for p in coded if p < mid), reverse=True)
+            fut_p = sorted(p for p in coded if p > mid)
+            is_ref = (mhi - mlo) > 2   # leaves of the pyramid are non-ref
+            specs.append(FrameSpec(
+                disp_idx=disp_base + mid, poc=mid, slice_type=0,
+                is_ref=is_ref, layer=depth, qp_offset=_qp_off(depth),
+                l0=past_p[:self.n_past], l1=fut_p[:self.n_fut]))
+            if is_ref:
+                coded.add(mid)
+        # retention: after each spec, keep refs needed by later specs in
+        # this span plus the anchors the next span will use
+        next_anchor_l0 = ([hi] + [a for a in l0_anchor])[:self.n_past]
+        future_need = set(next_anchor_l0)
+        for spec in reversed(specs):
+            spec.keep = set(future_need)
+            future_need |= set(spec.l0) | set(spec.l1)
+        self.anchors = sorted(set(next_anchor_l0), reverse=True)
+        return specs

@@ -25,9 +25,16 @@ NO_REF = SliceDecoder.NO_REF
 
 
 class PSliceWriter:
-    """Writes one P slice over the 16x16 CTU grid."""
+    """Writes one P or B slice over the 16x16 CTU grid.
 
-    def __init__(self, sps, pps, sh, decisions, ref_entries, poc) -> None:
+    For B slices (sh.slice_type == 0) the device decisions carry a single
+    MV per block plus an index into the union reference stack
+    (`union_pocs`, L0-first); the writer maps each union index back to its
+    list (past POCs live in L0, future in L1) and emits inter_pred_idc /
+    per-list ref_idx / MVD / mvp accordingly."""
+
+    def __init__(self, sps, pps, sh, decisions, ref_entries, poc,
+                 ref_entries_l1=(), union_pocs=None) -> None:
         if isinstance(ref_entries, dict):  # single-reference callers
             ref_entries = [ref_entries]
         self.sps = sps
@@ -38,10 +45,14 @@ class PSliceWriter:
         helper = SliceDecoder(self.fs, None)
         helper.poc = poc
         helper.ref_list = list(ref_entries)
-        helper.ref_list1 = []
+        helper.ref_list1 = list(ref_entries_l1)
         helper.col_pic = None
         self.helper = helper
         self.ref_pocs = [e["poc"] for e in ref_entries]
+        self.ref_pocs_l1 = [e["poc"] for e in ref_entries_l1]
+        self.union_pocs = (list(union_pocs) if union_pocs is not None
+                           else list(self.ref_pocs))
+        self.is_b = sh.slice_type == 0
         self.n_ref = len(self.ref_pocs)
         self.cab: CabacEncoder | None = None
         self.cols = decisions["modes"].shape[1]
@@ -49,12 +60,20 @@ class PSliceWriter:
     # -- helpers ---------------------------------------------------------------
 
     def _motion_of(self, r: int, c: int):
+        """Returns (motion, lx, ridx): the decoder-shaped motion tuple,
+        the list the (single) MV lives in, and its ref_idx there."""
         mv = np.zeros((2, 2), np.int32)
-        mv[0] = self.d["mv"][r, c]  # already qpel
-        ridx = 0
+        k = 0
         if "ref_idx" in self.d:
-            ridx = min(int(self.d["ref_idx"][r, c]), self.n_ref - 1)
-        return (((True, False), mv, (self.ref_pocs[ridx], NO_REF)), ridx)
+            k = min(int(self.d["ref_idx"][r, c]), len(self.union_pocs) - 1)
+        poc = self.union_pocs[k]
+        if poc in self.ref_pocs:
+            lx, ridx = 0, self.ref_pocs.index(poc)
+        else:
+            lx, ridx = 1, self.ref_pocs_l1.index(poc)
+        mv[lx] = self.d["mv"][r, c]  # already qpel
+        pocs = (poc, NO_REF) if lx == 0 else (NO_REF, poc)
+        return (((lx == 0, lx == 1), mv, pocs), lx, ridx)
 
     def _block_levels(self, r, c):
         b = r * self.cols + c
@@ -129,10 +148,25 @@ class PSliceWriter:
                 cab.encode_bins_ep(val, q + 1)
             cab.encode_bin_ep(1 if v < 0 else 0)
 
+    def _write_ref_idx(self, ridx: int, n_act: int) -> None:
+        """Mirror of decoder.py _decode_ref_idx binarization."""
+        cab = self.cab
+        if n_act <= 1:
+            return
+        cab.encode_bin(ContextSet.idx("ref_idx", 0), 1 if ridx > 0 else 0)
+        if ridx > 0 and n_act > 2:
+            cab.encode_bin(ContextSet.idx("ref_idx", 1),
+                           1 if ridx > 1 else 0)
+            if ridx > 1:
+                for _ in range(ridx - 2):
+                    cab.encode_bin_ep(1)
+                if ridx < n_act - 1:
+                    cab.encode_bin_ep(0)
+
     def _write_inter_cu(self, r, c, x0, y0) -> None:
         cab = self.cab
         h = self.helper
-        motion, ridx = self._motion_of(r, c)
+        motion, lx, ridx = self._motion_of(r, c)
         ly, lcb, lcr = self._block_levels(r, c)
         cbf_y = 1 if ly.any() else 0
         cbf_cb = 1 if lcb.any() else 0
@@ -159,22 +193,20 @@ class PSliceWriter:
             self._write_merge_idx(merge_idx, max_merge)
         else:
             cab.encode_bin(ContextSet.idx("merge_flag", 0), 0)
-            # P slice: no inter_pred_idc; ref_idx_l0 when multiple refs
-            # (binarization mirrors decoder.py _decode_ref_idx)
-            n_act = self.sh.num_ref_idx_l0_active_minus1 + 1
-            if n_act > 1:
-                cab.encode_bin(ContextSet.idx("ref_idx", 0),
-                               1 if ridx > 0 else 0)
-                if ridx > 0 and n_act > 2:
-                    cab.encode_bin(ContextSet.idx("ref_idx", 1),
-                                   1 if ridx > 1 else 0)
-                    if ridx > 1:
-                        for _ in range(ridx - 2):
-                            cab.encode_bin_ep(1)
-                        if ridx < n_act - 1:
-                            cab.encode_bin_ep(0)
-            mvps = h.amvp_candidates(x0, y0, N, N, 0, self.ref_pocs[ridx])
-            mv = motion[1][0]
+            if self.is_b:
+                # inter_pred_idc for a 16x16 PU (never the "small" form):
+                # first bin (ctx = CU depth, 0 here) selects BI, second
+                # (ctx 4) selects the list. Uni-pred only for now.
+                cab.encode_bin(ContextSet.idx("inter_pred_idc", 0), 0)
+                cab.encode_bin(ContextSet.idx("inter_pred_idc", 4),
+                               1 if lx == 1 else 0)
+            n_act = (self.sh.num_ref_idx_l0_active_minus1 + 1 if lx == 0
+                     else self.sh.num_ref_idx_l1_active_minus1 + 1)
+            self._write_ref_idx(ridx, n_act)
+            ref_poc = (self.ref_pocs[ridx] if lx == 0
+                       else self.ref_pocs_l1[ridx])
+            mvps = h.amvp_candidates(x0, y0, N, N, lx, ref_poc)
+            mv = motion[1][lx]
             costs = [abs(int(mv[0] - m[0])) + abs(int(mv[1] - m[1]))
                      for m in mvps]
             flag = 1 if costs[1] < costs[0] else 0
