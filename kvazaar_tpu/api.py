@@ -248,7 +248,18 @@ class Encoder:
                 "slice_type": spec.slice_type, "is_ref": spec.is_ref,
                 "l0": list(spec.l0), "l1": list(spec.l1), "union": union,
                 "keep": spec.keep, "ref_pocs": union, "dev": None}
-        if spec.slice_type != 2:
+        if spec.slice_type == 0:
+            by_poc = {e["poc"]: e for e in self._dpb}
+            r0 = [by_poc[p] for p in spec.l0]
+            r1 = [by_poc[p] for p in spec.l1]
+            meta["dev"] = self._inter_pipeline.submit_inter_b(
+                y, cb, cr,
+                ([e["y"] for e in r0], [e["cb"] for e in r0],
+                 [e["cr"] for e in r0]),
+                ([e["y"] for e in r1], [e["cb"] for e in r1],
+                 [e["cr"] for e in r1]),
+                spec.l0, spec.l1, qp=qp)
+        elif spec.slice_type == 1:
             by_poc = {e["poc"]: e for e in self._dpb}
             refs = [by_poc[p] for p in union]
             meta["dev"] = self._inter_pipeline.submit_inter(

@@ -60,9 +60,25 @@ class PSliceWriter:
     # -- helpers ---------------------------------------------------------------
 
     def _motion_of(self, r: int, c: int):
-        """Returns (motion, lx, ridx): the decoder-shaped motion tuple,
-        the list the (single) MV lives in, and its ref_idx there."""
+        """Returns (motion, ridx2): the decoder-shaped motion tuple and
+        the per-list ref indices (-1 for an unused list). Decisions carry
+        either a single MV + union ref index (P / uni-only B) or per-list
+        slots + inter_dir (bi-capable B)."""
         mv = np.zeros((2, 2), np.int32)
+        if "inter_dir" in self.d:
+            idir = int(self.d["inter_dir"][r, c])
+            flags = (idir != 2, idir != 1)
+            pocs = [NO_REF, NO_REF]
+            ridx2 = [-1, -1]
+            lists = (self.ref_pocs, self.ref_pocs_l1)
+            for lx in (0, 1):
+                if not flags[lx]:
+                    continue
+                ridx2[lx] = min(int(self.d["ref2"][r, c, lx]),
+                                len(lists[lx]) - 1)
+                pocs[lx] = lists[lx][ridx2[lx]]
+                mv[lx] = self.d["mv2"][r, c, lx]
+            return ((flags, mv, tuple(pocs)), ridx2)
         k = 0
         if "ref_idx" in self.d:
             k = min(int(self.d["ref_idx"][r, c]), len(self.union_pocs) - 1)
@@ -73,7 +89,8 @@ class PSliceWriter:
             lx, ridx = 1, self.ref_pocs_l1.index(poc)
         mv[lx] = self.d["mv"][r, c]  # already qpel
         pocs = (poc, NO_REF) if lx == 0 else (NO_REF, poc)
-        return (((lx == 0, lx == 1), mv, pocs), lx, ridx)
+        ridx2 = [ridx, -1] if lx == 0 else [-1, ridx]
+        return (((lx == 0, lx == 1), mv, pocs), ridx2)
 
     def _block_levels(self, r, c):
         b = r * self.cols + c
@@ -166,7 +183,7 @@ class PSliceWriter:
     def _write_inter_cu(self, r, c, x0, y0) -> None:
         cab = self.cab
         h = self.helper
-        motion, lx, ridx = self._motion_of(r, c)
+        motion, ridx2 = self._motion_of(r, c)
         ly, lcb, lcr = self._block_levels(r, c)
         cbf_y = 1 if ly.any() else 0
         cbf_cb = 1 if lcb.any() else 0
@@ -193,26 +210,35 @@ class PSliceWriter:
             self._write_merge_idx(merge_idx, max_merge)
         else:
             cab.encode_bin(ContextSet.idx("merge_flag", 0), 0)
+            flags = motion[0]
             if self.is_b:
                 # inter_pred_idc for a 16x16 PU (never the "small" form):
                 # first bin (ctx = CU depth, 0 here) selects BI, second
-                # (ctx 4) selects the list. Uni-pred only for now.
-                cab.encode_bin(ContextSet.idx("inter_pred_idc", 0), 0)
-                cab.encode_bin(ContextSet.idx("inter_pred_idc", 4),
-                               1 if lx == 1 else 0)
-            n_act = (self.sh.num_ref_idx_l0_active_minus1 + 1 if lx == 0
-                     else self.sh.num_ref_idx_l1_active_minus1 + 1)
-            self._write_ref_idx(ridx, n_act)
-            ref_poc = (self.ref_pocs[ridx] if lx == 0
-                       else self.ref_pocs_l1[ridx])
-            mvps = h.amvp_candidates(x0, y0, N, N, lx, ref_poc)
-            mv = motion[1][lx]
-            costs = [abs(int(mv[0] - m[0])) + abs(int(mv[1] - m[1]))
-                     for m in mvps]
-            flag = 1 if costs[1] < costs[0] else 0
-            mvd = (mv - mvps[flag]).astype(np.int32)
-            self._write_mvd(mvd)
-            cab.encode_bin(ContextSet.idx("mvp_flag", 0), flag)
+                # (ctx 4) selects the list
+                bi = flags[0] and flags[1]
+                cab.encode_bin(ContextSet.idx("inter_pred_idc", 0),
+                               1 if bi else 0)
+                if not bi:
+                    cab.encode_bin(ContextSet.idx("inter_pred_idc", 4),
+                                   1 if flags[1] else 0)
+            for lx in (0, 1):
+                if not flags[lx]:
+                    continue
+                ridx = ridx2[lx]
+                n_act = (self.sh.num_ref_idx_l0_active_minus1 + 1
+                         if lx == 0
+                         else self.sh.num_ref_idx_l1_active_minus1 + 1)
+                self._write_ref_idx(ridx, n_act)
+                ref_poc = (self.ref_pocs[ridx] if lx == 0
+                           else self.ref_pocs_l1[ridx])
+                mvps = h.amvp_candidates(x0, y0, N, N, lx, ref_poc)
+                mv = motion[1][lx]
+                costs = [abs(int(mv[0] - m[0])) + abs(int(mv[1] - m[1]))
+                         for m in mvps]
+                flag = 1 if costs[1] < costs[0] else 0
+                mvd = (mv - mvps[flag]).astype(np.int32)
+                self._write_mvd(mvd)
+                cab.encode_bin(ContextSet.idx("mvp_flag", 0), flag)
         h._mark_inter(x0, y0, N, N, motion, False)
         if merge_idx is None:
             cab.encode_bin(ContextSet.idx("rqt_root_cbf", 0),

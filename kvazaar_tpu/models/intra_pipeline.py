@@ -269,7 +269,8 @@ class IntraPipeline:
         for k, v in out.items():
             if (k.startswith(("lmask_", "lvals_", "sao_"))
                     or k in ("hash", "sse", "modes_flat", "mv", "is_inter",
-                             "ref_idx", "lvl_ovf")):
+                             "ref_idx", "mv2", "ref2", "inter_dir",
+                             "lvl_ovf")):
                 try:
                     v.copy_to_host_async()
                 except (AttributeError, RuntimeError):
@@ -280,7 +281,8 @@ class IntraPipeline:
         stays on device."""
         res = {k: (np.asarray(v) if
                    k in ("hash", "sse", "modes_flat", "mv", "is_inter",
-                         "ref_idx") or k.startswith("sao_")
+                         "ref_idx", "mv2", "ref2", "inter_dir")
+                   or k.startswith("sao_")
                    else v)
                for k, v in out.items()}
         if bool(np.asarray(out["lvl_ovf"])):
@@ -309,6 +311,11 @@ class IntraPipeline:
             res["is_inter"] = res["is_inter"].reshape(self.rows, self.cols)
         if "ref_idx" in res:
             res["ref_idx"] = res["ref_idx"].reshape(self.rows, self.cols)
+        if "mv2" in res:
+            res["mv2"] = res["mv2"].reshape(self.rows, self.cols, 2, 2)
+            res["ref2"] = res["ref2"].reshape(self.rows, self.cols, 2)
+            res["inter_dir"] = res["inter_dir"].reshape(self.rows,
+                                                        self.cols)
         return res
 
     def _transform_quant(self, resi: jax.Array, t: jax.Array, qp: int,

@@ -50,6 +50,32 @@ def test_gop_conformance(kw, n):
         assert pocs == list(range(n))
 
 
+def test_bipred_used_and_conformant():
+    """Noisy translating content must make some blocks choose BI, and the
+    stream must stay hash-exact."""
+    w, h, n = 64, 48, 9
+    cfg = Config(width=w, height=h, ctu_size=16, qp=30, intra_period=0,
+                 gop_len=8)
+    from kvazaar_tpu.api import Encoder
+    enc = Encoder(cfg)
+    orig = enc.finalize_frame
+    dirs = []
+
+    def fin(meta):
+        if meta.get("slice_type") == 0:
+            d = enc._inter_pipeline.materialize(meta["dev"])
+            dirs.extend(np.asarray(d["inter_dir"])[
+                np.asarray(d["is_inter"])].tolist())
+        return orig(meta)
+
+    enc.finalize_frame = fin
+    bs, infos = encode_sequence(cfg, _frames(w, h, n, noise=24),
+                                encoder=enc)
+    assert 3 in dirs, "no block ever chose bi-prediction"
+    for f in HEVCDecoder().decode(bs):
+        assert f.hash_ok, f"hash mismatch poc={f.poc}"
+
+
 def test_gop8_beats_lowdelay_on_smooth_motion():
     """B pyramid should compress smooth translation better than
     low-delay P at matched QP (both conformant)."""
