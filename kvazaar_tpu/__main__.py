@@ -45,6 +45,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--wpp", action="store_true")
     p.add_argument("--no-wpp", dest="wpp", action="store_false")
     p.add_argument("--signhide", action="store_true")
+    p.add_argument("--rdoq", action="store_true")
+    p.add_argument("--gop", type=int, default=0,
+                   choices=[0, 1, 2, 4, 8, 16],
+                   help="hierarchical B GOP length (0 = low delay)")
+    p.add_argument("--ref", type=int, default=1,
+                   help="reference frames per list")
+    p.add_argument("--sao", choices=["off", "edge", "band", "full"],
+                   default="off")
+    p.add_argument("--no-deblock", dest="deblock", action="store_false",
+                   default=True)
     p.add_argument("--hash", choices=["checksum", "md5", "none"],
                    default="checksum")
     p.add_argument("--ctu", type=int, default=16, choices=[16, 64],
@@ -63,11 +73,12 @@ def main(argv=None) -> int:
     cfg = Config(width=reader.width, height=reader.height, qp=args.qp,
                  intra_period=args.period, wpp=args.wpp,
                  signhide_enable=args.signhide, hash=args.hash,
-                 ctu_size=args.ctu, target_bitrate=args.bitrate)
+                 ctu_size=args.ctu, target_bitrate=args.bitrate,
+                 rdoq_enable=args.rdoq, gop_len=args.gop,
+                 ref_frames=args.ref, sao_type=args.sao,
+                 deblock_enable=args.deblock)
     if args.preset:
         apply_preset(cfg, args.preset)
-    if cfg.signhide_enable and cfg.ctu_size == 16:
-        cfg.signhide_enable = False  # device path: SDH lands later
     enc = Encoder(cfg)
     if args.seek:
         reader.seek(args.seek)
@@ -93,6 +104,17 @@ def main(argv=None) -> int:
               f"PSNR Y {info['psnr'][0]:.4f} U {info['psnr'][1]:.4f} "
               f"V {info['psnr'][2]:.4f}", file=sys.stderr)
 
+    def _emit_done(pair):
+        nonlocal n, bits, psnr_acc
+        chunk, info = pair
+        out.write(chunk)
+        bits += len(chunk) * 8
+        psnr_acc += info["psnr"]
+        n += 1
+        print(f"POC {info['poc']:4d} ({len(chunk):6d} bytes) "
+              f"PSNR Y {info['psnr'][0]:.4f} U {info['psnr'][1]:.4f} "
+              f"V {info['psnr'][2]:.4f}", file=sys.stderr)
+
     submitted = 0
     while True:
         if args.frames and submitted >= args.frames:
@@ -100,14 +122,21 @@ def main(argv=None) -> int:
         frame = reader.read_frame()
         if frame is None:
             break
-        meta = enc.submit_frame(*frame)
         submitted += 1
+        if enc.gop_enabled:
+            for pair in enc.push_frame(*frame):
+                _emit_done(pair)
+            continue
+        meta = enc.submit_frame(*frame)
         if pending is not None:
             _emit(pending)
         if overlap:
             pending = meta
         else:
             _emit(meta)
+    if enc.gop_enabled:
+        for pair in enc.flush():
+            _emit_done(pair)
     if pending is not None:
         _emit(pending)
     dt = time.time() - t0

@@ -71,8 +71,7 @@ class Encoder:
         self.cfg = cfg
         # device (JAX) compute path: fixed 16x16 CTU grid for now
         self.use_device = (getattr(cfg, "device", True)
-                           and cfg.ctu_size == 16
-                           and not cfg.signhide_enable)
+                           and cfg.ctu_size == 16)
         align = 16 if self.use_device else 8
         self.pad_w = (-cfg.width) % align
         self.pad_h = (-cfg.height) % align
@@ -90,8 +89,8 @@ class Encoder:
         self.gop_enabled = cfg.gop_len > 1 and self.inter_enabled
         if cfg.gop_len > 1 and not self.inter_enabled:
             raise NotImplementedError(
-                "B-pyramid GOPs require the device pipeline (ctu-size 16, "
-                "no signhide) in this round")
+                "B-pyramid GOPs require the device pipeline "
+                "(ctu-size 16) in this round")
         if self.use_device:
             if self.inter_enabled:
                 from .models.inter_pipeline import InterPipeline
@@ -103,7 +102,9 @@ class Encoder:
                     self.sps.height, self.sps.width, cfg.qp, self.n_refs,
                     deblock=cfg.deblock_enable,
                     deblock_beta=cfg.deblock_beta,
-                    deblock_tc=cfg.deblock_tc, sao=cfg.sao_type)
+                    deblock_tc=cfg.deblock_tc, sao=cfg.sao_type,
+                    sign_hiding=cfg.signhide_enable,
+                    rdoq=cfg.rdoq_enable)
                 self._pipeline = self._inter_pipeline
             else:
                 from .models.intra_pipeline import IntraPipeline
@@ -111,11 +112,13 @@ class Encoder:
                     self.sps.height, self.sps.width, cfg.qp,
                     deblock=cfg.deblock_enable,
                     deblock_beta=cfg.deblock_beta,
-                    deblock_tc=cfg.deblock_tc, sao=cfg.sao_type)
+                    deblock_tc=cfg.deblock_tc, sao=cfg.sao_type,
+                    sign_hiding=cfg.signhide_enable,
+                    rdoq=cfg.rdoq_enable)
         if cfg.sao_type != "off" and not self.use_device:
             raise NotImplementedError(
-                "SAO requires the device pipeline (ctu-size 16, no "
-                "signhide) in this round")
+                "SAO requires the device pipeline (ctu-size 16) "
+                "in this round")
         # DPB: newest-first reconstructed reference pictures (device- or
         # host-resident), trimmed to n_refs
         self._dpb: list[dict] = []
@@ -440,7 +443,8 @@ class Encoder:
                 data, sizes = native.encode_intra_grid(
                     decisions["modes"], decisions["levels_y"],
                     decisions["levels_cb"], decisions["levels_cr"],
-                    sh.qp, wpp)
+                    sh.qp, wpp,
+                    sdh=bool(self.pps.sign_data_hiding_enabled))
                 off = 0
                 for s in sizes:
                     substreams.append(data[off:off + s])

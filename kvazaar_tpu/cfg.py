@@ -85,8 +85,8 @@ class Config:
             raise ValueError("gop must be 0/1/2/4/8/16")
         if self.gop_len > 1:
             if self.intra_period == 1:
-                raise ValueError("gop > 1 conflicts with all-intra")
-            if self.intra_period > 0 and \
+                self.gop_len = 0  # all-intra: GOP structure is moot
+            elif self.intra_period > 0 and \
                     self.intra_period % self.gop_len:
                 raise ValueError("intra period must be a multiple of the "
                                  "gop length (closed GOP)")
@@ -126,20 +126,39 @@ class Config:
 
 
 PRESETS = {
-    # speed ladder mirroring kvazaar's (src/cfg.c:484-766); options narrow
-    # as the engine grows.
-    "ultrafast": dict(rd=0, cu_log2=4, signhide_enable=False,
+    # speed ladder mirroring kvazaar's (src/cfg.c:484-766): gop/ref/sao/
+    # rdoq/signhide follow the reference table; options the engine lacks
+    # (me pattern, smp/amp encode) are omitted until they land.
+    "ultrafast": dict(rd=0, cu_log2=4, gop_len=8, ref_frames=1,
+                      sao_type="off", signhide_enable=False,
                       rdoq_enable=False),
-    "superfast": dict(rd=0, cu_log2=4, signhide_enable=False,
+    "superfast": dict(rd=0, cu_log2=4, gop_len=8, ref_frames=1,
+                      sao_type="full", signhide_enable=False,
                       rdoq_enable=False),
-    "veryfast": dict(rd=0, cu_log2=4, signhide_enable=True),
-    "faster": dict(rd=0, cu_log2=4, signhide_enable=True),
-    "fast": dict(rd=1, cu_log2=4, signhide_enable=True),
-    "medium": dict(rd=1, cu_log2=4, signhide_enable=True),
-    "slow": dict(rd=1, cu_log2=4, signhide_enable=True),
-    "slower": dict(rd=2, cu_log2=4, signhide_enable=True),
-    "veryslow": dict(rd=2, cu_log2=4, signhide_enable=True),
-    "placebo": dict(rd=2, cu_log2=4, signhide_enable=True),
+    "veryfast": dict(rd=0, cu_log2=4, gop_len=8, ref_frames=1,
+                     sao_type="full", signhide_enable=False,
+                     rdoq_enable=False),
+    "faster": dict(rd=0, cu_log2=4, gop_len=8, ref_frames=1,
+                   sao_type="full", signhide_enable=False,
+                   rdoq_enable=False),
+    "fast": dict(rd=0, cu_log2=4, gop_len=8, ref_frames=2,
+                 sao_type="full", signhide_enable=False,
+                 rdoq_enable=False),
+    "medium": dict(rd=0, cu_log2=4, gop_len=16, ref_frames=4,
+                   sao_type="full", signhide_enable=False,
+                   rdoq_enable=True),
+    "slow": dict(rd=1, cu_log2=4, gop_len=16, ref_frames=4,
+                 sao_type="full", signhide_enable=False,
+                 rdoq_enable=True),
+    "slower": dict(rd=2, cu_log2=4, gop_len=16, ref_frames=4,
+                   sao_type="full", signhide_enable=True,
+                   rdoq_enable=True),
+    "veryslow": dict(rd=2, cu_log2=4, gop_len=16, ref_frames=4,
+                     sao_type="full", signhide_enable=True,
+                     rdoq_enable=True),
+    "placebo": dict(rd=2, cu_log2=4, gop_len=16, ref_frames=4,
+                    sao_type="full", signhide_enable=True,
+                    rdoq_enable=True),
 }
 
 

@@ -39,10 +39,11 @@ class InterPipeline(IntraPipeline):
     def __init__(self, height: int, width: int, qp: int,
                  n_refs: int = 1, deblock: bool = False,
                  deblock_beta: int = 0, deblock_tc: int = 0,
-                 sao: str = "off") -> None:
+                 sao: str = "off", sign_hiding: bool = False,
+                 rdoq: bool = False) -> None:
         super().__init__(height, width, qp, deblock=deblock,
                          deblock_beta=deblock_beta, deblock_tc=deblock_tc,
-                         sao=sao)
+                         sao=sao, sign_hiding=sign_hiding, rdoq=rdoq)
         self.n_refs = max(1, n_refs)
         self._inter = jax.jit(self._with_consts(self._inter_impl))
         self._inter_b = jax.jit(self._with_consts(self._inter_b_impl))
@@ -506,8 +507,7 @@ class InterPipeline(IntraPipeline):
         off_i = jnp.left_shift(171, qbits - 9)
         off_p = jnp.left_shift(85, qbits - 9)
         offset = jnp.where(inter_w[:, None, None], off_p, off_i)
-        absq = (jnp.abs(co) * scale + offset) >> qbits
-        levels = (jnp.sign(co) * absq).astype(jnp.int32)
+        levels = self._quant_levels(co, scale, qbits, offset, qp, log2n)
         dshift = bd + log2n - 9
         dscale = jnp.left_shift(
             jnp.asarray(INV_QUANT_SCALES, jnp.int32)[qp % 6], qp // 6)

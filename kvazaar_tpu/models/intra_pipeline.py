@@ -68,12 +68,17 @@ def _wave_structure(rows: int, cols: int) -> tuple[np.ndarray, np.ndarray,
 class IntraPipeline:
     """Jit-compiled all-intra encoder compute path for one frame size."""
 
+    # rate model underestimates real CABAC bin costs; 1.5 won the BD-rate
+    # sweep (intra -0.9%, GOP8 -22% vs deadzone quant on synthetic video)
+    RDOQ_LAMBDA_SCALE = 1.5
+
     def __init__(self, height: int, width: int, qp: int,
                  deblock: bool = False, deblock_beta: int = 0,
                  deblock_tc: int = 0, sao: str = "off",
-                 sign_hiding: bool = False) -> None:
+                 sign_hiding: bool = False, rdoq: bool = False) -> None:
         assert height % LUMA_N == 0 and width % LUMA_N == 0
-        assert not sign_hiding, "SDH on the device path lands later"
+        self.sign_hiding = sign_hiding
+        self.rdoq = rdoq
         self.h, self.w, self.qp = height, width, qp
         self.deblock = deblock
         self.deblock_beta = deblock_beta
@@ -318,6 +323,129 @@ class IntraPipeline:
                                                         self.cols)
         return res
 
+    # 4x4 diagonal scan as flat (y*4+x) indices in scan order — the only
+    # in-CG scan on this path (16x16 luma / 8x8 chroma TUs are always
+    # diagonal per spec 7.4.9.11)
+    _DIAG4 = None
+
+    @classmethod
+    def _diag4(cls):
+        # cached as NUMPY (a cached jnp array created inside a fori_loop
+        # trace would leak tracers across jit scopes)
+        if cls._DIAG4 is None:
+            from ..tables import SCAN_DIAG, scan_order
+            xy = scan_order(SCAN_DIAG, 2)
+            order = np.asarray([y * 4 + x for x, y in xy], np.int32)
+            inv = np.empty(16, np.int32)
+            inv[order] = np.arange(16)
+            cls._DIAG4 = (order, inv)
+        return cls._DIAG4
+
+    def _sdh_fix(self, levels: jax.Array, n: int, err: jax.Array,
+                 qbits) -> jax.Array:
+        """Sign-data-hiding parity fix (spec 7.4.9.11, kvazaar
+        quant-generic.c sign-hiding analog): for each 4x4 coefficient
+        group whose nonzero span covers >= 4 scan positions the writer
+        omits the first coefficient's sign and the decoder infers it from
+        the abs-sum parity. When the parity disagrees, apply the
+        distortion-cheapest |level| +-1 among the nonzero coefficients:
+        +1 where the quantizer rounded down hardest (max err), -1 where
+        it rounded up hardest (min err; only on |level| >= 2 so scan
+        positions and the hidden sign never move)."""
+        order, inv = self._diag4()
+        L = levels.shape[0]
+        g = n // 4
+        big = jnp.int32(1 << 30)
+
+        def reorder(x):
+            x = x.reshape(L, g, 4, g, 4)
+            return jnp.moveaxis(x, 2, 3).reshape(L, g * g, 16)[:, :, order]
+
+        s = reorder(levels)
+        e = reorder(err)
+        nz = s != 0
+        any_nz = nz.any(-1)
+        first = jnp.argmax(nz, axis=-1)
+        last = 15 - jnp.argmax(nz[..., ::-1], axis=-1)
+        total = jnp.abs(s).sum(-1)
+        sfirst = jnp.take_along_axis(s, first[..., None], -1)[..., 0]
+        need = (any_nz & ((last - first) >= 4)
+                & ((total & 1) != (sfirst < 0)))
+        # +1 candidate: nonzero coeff with max rounding deficit
+        e_up = jnp.where(nz, e, -big)
+        pos_up = jnp.argmax(e_up, axis=-1)
+        cost_up = (1 << qbits) - 2 * jnp.take_along_axis(
+            e_up, pos_up[..., None], -1)[..., 0]
+        # -1 candidate: |level| >= 2 coeff with max rounding excess
+        ok_dn = jnp.abs(s) >= 2
+        e_dn = jnp.where(ok_dn, e, big)
+        pos_dn = jnp.argmin(e_dn, axis=-1)
+        cost_dn = (1 << qbits) + 2 * jnp.take_along_axis(
+            e_dn, pos_dn[..., None], -1)[..., 0]
+        use_dn = ok_dn.any(-1) & (cost_dn < cost_up)
+        pos = jnp.where(use_dn, pos_dn, pos_up)
+        step = jnp.where(use_dn, -1, 1)
+        sel = jnp.take_along_axis(s, pos[..., None], -1)[..., 0]
+        bump = jnp.where(need, jnp.sign(sel) * step, 0)
+        onehot = jax.nn.one_hot(pos, 16, dtype=levels.dtype)
+        s = s + onehot * bump[..., None]
+        out = s[:, :, inv].reshape(L, g, g, 4, 4)
+        return jnp.moveaxis(out, 2, 3).reshape(L, n, n)
+
+    def _rdoq_levels(self, co: jax.Array, scale, qbits, qp, log2n: int,
+                     offset) -> jax.Array:
+        """Rate-distortion optimized quantization, batched (replaces
+        kvazaar src/rdo.c kvz_rdoq's sequential coefficient walk with an
+        independent per-coefficient choice): pick |level| among
+        {0, l-1, l} (l = nearest) minimizing e^2 + lambda*R with a
+        context-free CABAC-bin rate model. Non-normative — any level
+        choice stays conformant."""
+        bd = 8
+        absco = jnp.abs(co)
+        l_f = ((absco * scale + (1 << (qbits - 1))) >> qbits)
+
+        lam = 0.57 * 2.0 ** ((qp.astype(jnp.float32) - 12.0) / 3.0)
+        # pixel-SSE = coeff-SSE / 4^(15-bd-log2n); errors computed in the
+        # scaled domain e = |co|*scale - l*2^qbits carry an extra scale^2.
+        # RDOQ_LAMBDA_SCALE compensates the context-free rate model
+        # underestimating real CABAC bin costs (tuned empirically).
+        k = self.RDOQ_LAMBDA_SCALE * lam \
+            * (scale.astype(jnp.float32) ** 2) * 4.0 ** (15 - bd - log2n)
+
+        def rate(l):
+            lf = l.astype(jnp.float32)
+            r3 = 5.0 + 2.0 * jnp.floor(jnp.log2(jnp.maximum(lf - 1.0,
+                                                            1.0)))
+            return jnp.where(l == 0, 1.0,
+                             jnp.where(l == 1, 3.0,
+                                       jnp.where(l == 2, 4.0, r3)))
+
+        def cost(l):
+            e = (absco * scale - (l << qbits)).astype(jnp.float32)
+            return e * e + k * rate(l)
+
+        best = jnp.zeros_like(l_f)
+        best_c = cost(best)
+        for cand in (jnp.maximum(l_f - 1, 0), l_f):
+            c = cost(cand)
+            take = c < best_c
+            best = jnp.where(take, cand, best)
+            best_c = jnp.where(take, c, best_c)
+        return (jnp.sign(co) * best).astype(jnp.int32)
+
+    def _quant_levels(self, co, scale, qbits, offset, qp, log2n):
+        """Quantize: RDOQ when enabled, else the standard offset rule;
+        then the SDH parity fix."""
+        if self.rdoq:
+            levels = self._rdoq_levels(co, scale, qbits, qp, log2n, offset)
+        else:
+            absq = (jnp.abs(co) * scale + offset) >> qbits
+            levels = (jnp.sign(co) * absq).astype(jnp.int32)
+        if self.sign_hiding:
+            err = jnp.abs(co) * scale - (jnp.abs(levels) << qbits)
+            levels = self._sdh_fix(levels, 1 << log2n, err, qbits)
+        return levels
+
     def _transform_quant(self, resi: jax.Array, t: jax.Array, qp: int,
                          n: int) -> tuple[jax.Array, jax.Array]:
         """Forward transform + quant + dequant + inverse; exact int32.
@@ -338,8 +466,7 @@ class IntraPipeline:
         qbits = 14 + qp // 6 + tshift  # traced: qp is a device scalar
         scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qp % 6]
         offset = jnp.left_shift(171, qbits - 9)
-        absq = (jnp.abs(co) * scale + offset) >> qbits  # fits int32
-        levels = (jnp.sign(co) * absq).astype(jnp.int32)
+        levels = self._quant_levels(co, scale, qbits, offset, qp, log2n)
         # dequant
         dshift = bd + log2n - 9
         dscale = jnp.left_shift(

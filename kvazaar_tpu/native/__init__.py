@@ -41,6 +41,7 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
@@ -57,7 +58,8 @@ def available() -> bool:
 
 def encode_intra_grid(modes: np.ndarray, levels_y: np.ndarray,
                       levels_cb: np.ndarray, levels_cr: np.ndarray,
-                      qp: int, wpp: bool) -> tuple[bytes, list[int]]:
+                      qp: int, wpp: bool,
+                      sdh: bool = False) -> tuple[bytes, list[int]]:
     """Encode slice data for the 16x16 grid. Returns (bytes, entry_sizes)."""
     lib = get_lib()
     rows, cols = modes.shape
@@ -72,7 +74,7 @@ def encode_intra_grid(modes: np.ndarray, levels_y: np.ndarray,
     n = lib.kvz_tpu_encode_intra_grid(
         modes.ctypes.data_as(p), ly.ctypes.data_as(p),
         lcb.ctypes.data_as(p), lcr.ctypes.data_as(p),
-        rows, cols, qp, 1 if wpp else 0,
+        rows, cols, qp, 1 if wpp else 0, 1 if sdh else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
         entries.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     if n < 0:

@@ -168,7 +168,7 @@ struct Cabac {
 };
 
 void encode_residual(Cabac& cab, const int32_t* coeffs, int log2_size,
-                     int c_idx) {
+                     int c_idx, int sdh) {
   const int size = 1 << log2_size;
   const int nn = size * size;
   const uint16_t* scan = (size == 16) ? kScanDiag16 : kScanDiag8;
@@ -301,9 +301,15 @@ void encode_residual(Cabac& cab, const int32_t* coeffs, int log2_size,
                          (c_idx ? 4 : 0) + ctx_set,
                      abs_lev[first_g1] > 2);
     }
+    // sign bits; with SDH the sign of the lowest-scan-pos coefficient
+    // is omitted when the nonzero span covers >= 4 scan positions (the
+    // decoder infers it from the abs-sum parity, which the device
+    // quantizer already fixed up)
+    int hide = sdh && (sig_pos[0] - sig_pos[nsig - 1] > 3);
+    int n_signs = hide ? nsig - 1 : nsig;
     uint32_t sign_pat = 0;
-    for (int i = 0; i < nsig; i++) sign_pat = (sign_pat << 1) | signs[i];
-    cab.encode_bins_ep(sign_pat, nsig);  // no SDH on this path
+    for (int i = 0; i < n_signs; i++) sign_pat = (sign_pat << 1) | signs[i];
+    if (n_signs) cab.encode_bins_ep(sign_pat, n_signs);
     int rice = 0, first_coeff2 = 1;
     for (int i = 0; i < nsig; i++) {
       int base = (i < 8) ? (2 + first_coeff2) : 1;
@@ -316,7 +322,8 @@ void encode_residual(Cabac& cab, const int32_t* coeffs, int log2_size,
   }
 }
 
-void encode_ctu(Cabac& cab, int r, int c, int cols, const int32_t* modes,
+void encode_ctu(Cabac& cab, int r, int c, int cols, int sdh,
+                const int32_t* modes,
                 const int32_t* ly, const int32_t* lcb, const int32_t* lcr) {
   const int b = r * cols + c;
   // split_cu_flag at 16x16 (> min CB 8): always 0, neighbour depths all 0
@@ -368,9 +375,9 @@ void encode_ctu(Cabac& cab, int r, int c, int cols, const int32_t* modes,
   cab.encode_bin(KVZ_CTX_CBF_CHROMA + 0, cbf_cb);
   cab.encode_bin(KVZ_CTX_CBF_CHROMA + 0, cbf_cr);
   cab.encode_bin(KVZ_CTX_CBF_LUMA + 1, cbf_y);  // trafo depth 0 -> ctx 1
-  if (cbf_y) encode_residual(cab, cy, 4, 0);
-  if (cbf_cb) encode_residual(cab, cb_, 3, 1);
-  if (cbf_cr) encode_residual(cab, cr_, 3, 2);
+  if (cbf_y) encode_residual(cab, cy, 4, 0, sdh);
+  if (cbf_cb) encode_residual(cab, cb_, 3, 1, sdh);
+  if (cbf_cr) encode_residual(cab, cr_, 3, 2, sdh);
 }
 
 }  // namespace
@@ -383,6 +390,7 @@ extern "C" {
 int64_t kvz_tpu_encode_intra_grid(const int32_t* modes, const int32_t* ly,
                                   const int32_t* lcb, const int32_t* lcr,
                                   int rows, int cols, int qp, int wpp,
+                                  int sdh,
                                   uint8_t* out, int64_t out_cap,
                                   int64_t* entry_sizes) {
   BitWriter bw{out, out_cap};
@@ -395,7 +403,7 @@ int64_t kvz_tpu_encode_intra_grid(const int32_t* modes, const int32_t* ly,
     cab.init_contexts(qp);
     for (int r = 0; r < rows; r++)
       for (int c = 0; c < cols; c++) {
-        encode_ctu(cab, r, c, cols, modes, ly, lcb, lcr);
+        encode_ctu(cab, r, c, cols, sdh, modes, ly, lcb, lcr);
         int last = (r == rows - 1 && c == cols - 1);
         cab.encode_bin_trm(last);
       }
@@ -409,7 +417,7 @@ int64_t kvz_tpu_encode_intra_grid(const int32_t* modes, const int32_t* ly,
       if (r == 0 || cols == 1) cab.init_contexts(qp);
       else cab.copy_contexts(saved);
       for (int c = 0; c < cols; c++) {
-        encode_ctu(cab, r, c, cols, modes, ly, lcb, lcr);
+        encode_ctu(cab, r, c, cols, sdh, modes, ly, lcb, lcr);
         if (c == 1 && cols > 1) saved.copy_contexts(cab);
         int last = (r == rows - 1 && c == cols - 1);
         cab.encode_bin_trm(last);

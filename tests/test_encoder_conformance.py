@@ -95,3 +95,25 @@ def test_abr_stream_decodes(tmp_path, rng):
     assert len(set(qps)) > 1, qps  # rate control actually moved QP
     dec = HEVCDecoder().decode(out)
     assert len(dec) == 6 and all(f.hash_ok for f in dec)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(qp=22, intra_period=1),
+    dict(qp=27, intra_period=0),
+    dict(qp=27, gop_len=8, intra_period=0, sao_type="full"),
+])
+def test_device_sign_hiding(rng, kw):
+    """SDH on the device path (16x16 grid): parity-fixed levels must
+    decode hash-exactly for I/P/B slices."""
+    w, h = 64, 48
+    cfg = Config(width=w, height=h, ctu_size=16, signhide_enable=True,
+                 **kw)
+    frames = [(rng.randint(0, 255, (h, w)).astype(np.uint8),
+               rng.randint(0, 255, (h // 2, w // 2)).astype(np.uint8),
+               rng.randint(0, 255, (h // 2, w // 2)).astype(np.uint8))
+              for _ in range(5)]
+    stream, infos = encode_sequence(cfg, frames)
+    decoded = HEVCDecoder().decode(stream)
+    assert len(decoded) == 5
+    for f in decoded:
+        assert f.hash_ok
