@@ -69,10 +69,14 @@ class Encoder:
     def __init__(self, cfg: Config) -> None:
         cfg.validate()
         self.cfg = cfg
-        # device (JAX) compute path: fixed 16x16 CTU grid for now
-        self.use_device = (getattr(cfg, "device", True)
-                           and cfg.ctu_size == 16)
-        align = 16 if self.use_device else 8
+        # device (JAX) compute paths: multi-depth quadtree at CTB 64
+        # (all-intra) or the fixed 16x16 grid (intra+inter)
+        dev_ok = getattr(cfg, "device", True)
+        # inter coding rides the 16-grid pipeline, so CTB 64 is always
+        # all-intra in this round -> the quadtree path covers it entirely
+        self.use_md = dev_ok and cfg.ctu_size == 64
+        self.use_device = (dev_ok and cfg.ctu_size == 16) or self.use_md
+        align = 64 if self.use_md else 16 if self.use_device else 8
         self.pad_w = (-cfg.width) % align
         self.pad_h = (-cfg.height) % align
         self.sps = build_sps(cfg)
@@ -85,7 +89,8 @@ class Encoder:
         self.poc = 0
         self._pipeline = None
         self._inter_pipeline = None
-        self.inter_enabled = self.use_device and cfg.intra_period != 1
+        self.inter_enabled = (self.use_device and not self.use_md
+                              and cfg.intra_period != 1)
         self.gop_enabled = cfg.gop_len > 1 and self.inter_enabled
         if cfg.gop_len > 1 and not self.inter_enabled:
             raise NotImplementedError(
@@ -107,8 +112,11 @@ class Encoder:
                     rdoq=cfg.rdoq_enable)
                 self._pipeline = self._inter_pipeline
             else:
-                from .models.intra_pipeline import IntraPipeline
-                self._pipeline = IntraPipeline(
+                if self.use_md:
+                    from .models.intra_md import MdIntraPipeline as Pipe
+                else:
+                    from .models.intra_pipeline import IntraPipeline as Pipe
+                self._pipeline = Pipe(
                     self.sps.height, self.sps.width, cfg.qp,
                     deblock=cfg.deblock_enable,
                     deblock_beta=cfg.deblock_beta,
@@ -394,6 +402,9 @@ class Encoder:
             from .engine.sao_writer import SaoWriter
             sao_w = SaoWriter(decisions, bool(sh.sao_luma),
                               bool(sh.sao_chroma))
+        if writer is None and self.use_md and decisions is not None:
+            from .engine.md_writer import MdIntraWriter
+            writer = MdIntraWriter(self.sps, self.pps, sh, decisions)
         if writer is not None:
             writer.sao_w = sao_w
         n_ctu_x = self.sps.width_in_ctbs

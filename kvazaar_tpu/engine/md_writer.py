@@ -1,0 +1,173 @@
+"""Quadtree (multi-depth) intra slice syntax writer.
+
+Consumes the device decisions of models/intra_md.py — a per-8x8-cell size
+map (8/16/32), a leaf mode map, and coefficient-level planes laid out at
+pixel positions — and emits the coding-tree syntax. No sample math
+happens here; reconstruction already happened in-graph.
+
+Reference parity: kvazaar src/encode_coding_tree.c (kvz_encode_coding_tree
+:745 split flags / intra mode coding :467 / TU tree :193) specialised to
+TU == CU (max_transform_hierarchy_depth_intra = 0) and 2Nx2N intra PUs.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..cabac import CabacEncoder, ContextSet
+from ..syntax.residual import encode_residual
+from ..tables import intra_mode_scan_idx
+
+
+class MdIntraWriter:
+    """Writes one I-slice CTB at a time from multi-depth decisions."""
+
+    def __init__(self, sps, pps, sh, decisions) -> None:
+        self.sps = sps
+        self.pps = pps
+        self.sh = sh
+        self.d = decisions
+        self.size8 = np.asarray(decisions["size_map8"], np.int32)
+        self.mode8 = np.asarray(decisions["mode_map8"], np.int32)
+        self.lvl = [np.asarray(decisions["levels_y"]),
+                    np.asarray(decisions["levels_cb"]),
+                    np.asarray(decisions["levels_cr"])]
+        w, h = sps.width, sps.height
+        self.depth = np.zeros((h // 4, w // 4), dtype=np.int8)
+        self.mode4 = np.full((h // 4, w // 4), 1, dtype=np.int8)
+        self.coded = np.zeros((h // 4, w // 4), dtype=bool)
+        self.cab: CabacEncoder | None = None
+        self.sao_w = None
+        self.sdh = bool(pps.sign_data_hiding_enabled)
+
+    # -- neighbor helpers ----------------------------------------------------
+
+    def _coded_at(self, x: int, y: int) -> bool:
+        if x < 0 or y < 0 or x >= self.sps.width or y >= self.sps.height:
+            return False
+        return bool(self.coded[y >> 2, x >> 2])
+
+    def _neighbor_mode(self, x: int, y: int, cur_y: int,
+                       is_above: bool) -> int:
+        if not self._coded_at(x, y):
+            return 1
+        if is_above and (y >> self.sps.ctb_log2) != \
+                (cur_y >> self.sps.ctb_log2):
+            return 1
+        return int(self.mode4[y >> 2, x >> 2])
+
+    def mpm_list(self, x0: int, y0: int) -> list[int]:
+        a = self._neighbor_mode(x0 - 1, y0, y0, False)
+        b = self._neighbor_mode(x0, y0 - 1, y0, True)
+        if a == b:
+            if a < 2:
+                return [0, 1, 26]
+            return [a, 2 + ((a + 29) % 32), 2 + ((a - 2 + 1) % 32)]
+        lst = [a, b]
+        if a != 0 and b != 0:
+            lst.append(0)
+        elif a + b < 2:
+            lst.append(26)
+        else:
+            lst.append(1)
+        return lst
+
+    # -- tree ------------------------------------------------------------------
+
+    def write_ctu(self, ctu_y: int, ctu_x: int) -> None:
+        x0 = ctu_x * self.sps.ctb_size
+        y0 = ctu_y * self.sps.ctb_size
+        if self.sao_w is not None:
+            self.sao_w.write(self.cab, ctu_y, ctu_x, ctu_x > 0, ctu_y > 0)
+        self.coding_quadtree(x0, y0, self.sps.ctb_log2, 0)
+
+    # api intra loop compatibility (encode_ctu takes (x, y))
+    def encode_ctu(self, ctu_x: int, ctu_y: int) -> None:
+        self.write_ctu(ctu_y, ctu_x)
+
+    def coding_quadtree(self, x0: int, y0: int, log2_size: int,
+                        depth: int) -> None:
+        sps = self.sps
+        size = 1 << log2_size
+        inside = (x0 + size <= sps.width) and (y0 + size <= sps.height)
+        leaf_size = int(self.size8[y0 >> 3, x0 >> 3])
+        if inside and log2_size > sps.log2_min_cb_size:
+            split = size > leaf_size
+            ctx_off = 0
+            if self._coded_at(x0 - 1, y0) and \
+                    self.depth[y0 >> 2, (x0 - 1) >> 2] > depth:
+                ctx_off += 1
+            if self._coded_at(x0, y0 - 1) and \
+                    self.depth[(y0 - 1) >> 2, x0 >> 2] > depth:
+                ctx_off += 1
+            self.cab.encode_bin(ContextSet.idx("split_cu_flag", ctx_off),
+                                1 if split else 0)
+        else:
+            split = (not inside and log2_size > sps.log2_min_cb_size) or \
+                (inside and size > leaf_size)
+        if split:
+            half = size >> 1
+            for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
+                if x0 + dx < sps.width and y0 + dy < sps.height:
+                    self.coding_quadtree(x0 + dx, y0 + dy, log2_size - 1,
+                                         depth + 1)
+            return
+        self.depth[y0 >> 2:(y0 + size) >> 2,
+                   x0 >> 2:(x0 + size) >> 2] = depth
+        self.coding_unit(x0, y0, log2_size)
+
+    def coding_unit(self, x0: int, y0: int, log2_size: int) -> None:
+        size = 1 << log2_size
+        cab = self.cab
+        if log2_size == self.sps.log2_min_cb_size:
+            cab.encode_bin(ContextSet.idx("part_mode", 0), 1)  # 2Nx2N
+        mode = int(self.mode8[y0 >> 3, x0 >> 3])
+        mpm = self.mpm_list(x0, y0)
+        if mode in mpm:
+            cab.encode_bin(ContextSet.idx("prev_intra_luma_pred_flag", 0),
+                           1)
+            idx = mpm.index(mode)
+            if idx == 0:
+                cab.encode_bin_ep(0)
+            else:
+                cab.encode_bin_ep(1)
+                cab.encode_bin_ep(idx - 1)
+        else:
+            cab.encode_bin(ContextSet.idx("prev_intra_luma_pred_flag", 0),
+                           0)
+            rem = mode
+            for cand in sorted(mpm, reverse=True):
+                if rem > cand:
+                    rem -= 1
+            cab.encode_bins_ep(rem, 5)
+        self.mode4[y0 >> 2:(y0 + size) >> 2,
+                   x0 >> 2:(x0 + size) >> 2] = mode
+        self.coded[y0 >> 2:(y0 + size) >> 2,
+                   x0 >> 2:(x0 + size) >> 2] = True
+        cab.encode_bin(ContextSet.idx("intra_chroma_pred_mode", 0), 0)
+        self.transform_unit(x0, y0, log2_size, mode)
+
+    def transform_unit(self, x0: int, y0: int, log2_size: int,
+                       mode: int) -> None:
+        size = 1 << log2_size
+        cab = self.cab
+        c_log2 = log2_size - 1
+        csize = size >> 1
+        cy0, cx0 = y0 >> 1, x0 >> 1
+        lv_cb = self.lvl[1][cy0:cy0 + csize, cx0:cx0 + csize]
+        lv_cr = self.lvl[2][cy0:cy0 + csize, cx0:cx0 + csize]
+        lv_y = self.lvl[0][y0:y0 + size, x0:x0 + size]
+        cbf_cb = 1 if lv_cb.any() else 0
+        cbf_cr = 1 if lv_cr.any() else 0
+        cbf_y = 1 if lv_y.any() else 0
+        cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cb)
+        cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cr)
+        cab.encode_bin(ContextSet.idx("cbf_luma", 1), cbf_y)
+        if cbf_y:
+            scan = intra_mode_scan_idx(mode, log2_size, False)
+            encode_residual(cab, lv_y, log2_size, 0, scan, self.sdh)
+        if cbf_cb:
+            scan = intra_mode_scan_idx(mode, c_log2, True)
+            encode_residual(cab, lv_cb, c_log2, 1, scan, self.sdh)
+        if cbf_cr:
+            scan = intra_mode_scan_idx(mode, c_log2, True)
+            encode_residual(cab, lv_cr, c_log2, 2, scan, self.sdh)

@@ -1,0 +1,797 @@
+"""Multi-depth (quadtree) all-intra pipeline: CTB 64, CU/TU leaves 8/16/32.
+
+One jitted program per frame size does all three stages on device:
+
+1. `search`: for every aligned block of every size, evaluate all 35 intra
+   modes (constant-matrix matmuls + Hadamard SATD on the MXU, clamped
+   source refs), then compute a true RD leaf cost (exact integer T/Q/IT
+   distortion + context-free CABAC-bin rate model) for the best mode.
+2. `partition DP`: bottom-up quadtree merge (8->16->32) minimising
+   D + lambda*R with split-flag/mode-bit costs, producing a per-8x8-cell
+   size map and a leaf mode map.
+3. `self-scheduled wavefront recon`: a while_loop fires, each wave, every
+   TU whose reference samples (left / corner / top / below-left /
+   top-right, with z-order availability) are already reconstructed. The
+   ready test is a handful of masked window reductions over the written
+   mask; ready TUs are compacted with static-size nonzero and processed
+   batched per size class. Slot overflow just delays a TU one wave, so
+   the schedule is correct for any partition without host involvement.
+
+This replaces kvazaar's threadqueue job graph (src/threadqueue.c) and
+recursive search_cu (src/search.c:646): the dependency graph *is* the
+device program; scheduling is data-driven inside the jit.
+
+Availability/z-order note: a neighbouring sample is available iff its
+leaf precedes this TU's leaf in coding (z-/Morton) order. Below-left and
+top-right availability are prefix-shaped (Morton order is monotone along
+a column/row), so per-TU counts n_bl/n_tr describe them exactly
+(spec 6.4.1, 8.4.4.2.2).
+
+Reconstruction and coefficient levels are bit-exact vs the spec; the
+decoded-picture-hash SEI is the gate (tests decode every stream).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.intra_matrices import (build_filter_matrix, build_pred_matrices,
+                                  ref_vec_len)
+from ..tables import DCT_MATRICES, chroma_qp
+from .intra_pipeline import IntraPipeline, _hadamard
+
+
+def _morton(rows: int, cols: int) -> np.ndarray:
+    """Morton (z-order) code per cell — the coding-order key."""
+    r = np.arange(rows, dtype=np.int64)[:, None]
+    c = np.arange(cols, dtype=np.int64)[None, :]
+
+    def spread(v):
+        v = v & 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    return (2 * spread(r) + spread(c)).astype(np.int32)
+
+
+class MdIntraPipeline(IntraPipeline):
+    """Quadtree all-intra encoder compute path for one frame size."""
+
+    SIZES = (8, 16, 32)
+    CTB = 64
+    # DP bit-cost constants (CABAC bins; tuned vs reference BD-rate)
+    MODE_BITS = 4.0     # per-CU mode signalling (mpm flag + idx / rem)
+    SPLIT_BITS = 1.0    # per split_cu_flag
+    TU_BITS = 8.0       # cbf + last-pos overhead for a coded TU
+
+    def __init__(self, height: int, width: int, qp: int,
+                 deblock: bool = False, deblock_beta: int = 0,
+                 deblock_tc: int = 0, sao: str = "off",
+                 sign_hiding: bool = False, rdoq: bool = False) -> None:
+        assert height % self.CTB == 0 and width % self.CTB == 0
+        self.sign_hiding = sign_hiding
+        self.rdoq = rdoq
+        self.h, self.w, self.qp = height, width, qp
+        self.deblock = deblock
+        self.deblock_beta = deblock_beta
+        self.deblock_tc = deblock_tc
+        self.sao = sao if sao != "off" else None
+        self.r8, self.c8 = height // 8, width // 8
+
+        # constant matrices per size (luma + chroma halves); weights fit
+        # int8 (max 32), stored narrow to quarter the per-wave gather
+        # traffic — matmuls run in f32 (exact: products < 2^21 << 2^24)
+        self.g8l = jnp.asarray(build_pred_matrices(8), jnp.int8)
+        self.g16l = jnp.asarray(build_pred_matrices(16), jnp.int8)
+        self.g32l = jnp.asarray(build_pred_matrices(32), jnp.int8)
+        self.f8 = jnp.asarray(build_filter_matrix(8), jnp.int8)
+        self.f16l = jnp.asarray(build_filter_matrix(16), jnp.int8)
+        self.f32 = jnp.asarray(build_filter_matrix(32), jnp.int8)
+        self.g4c = jnp.asarray(build_pred_matrices(4, chroma=True),
+                               jnp.int8)
+        self.g8cc = jnp.asarray(build_pred_matrices(8, chroma=True),
+                                jnp.int8)
+        self.g16c = jnp.asarray(build_pred_matrices(16, chroma=True),
+                                jnp.int8)
+        self.t4 = jnp.asarray(DCT_MATRICES[4])
+        self.t8 = jnp.asarray(DCT_MATRICES[8])
+        self.t16 = jnp.asarray(DCT_MATRICES[16])
+        self.t32 = jnp.asarray(DCT_MATRICES[32])
+        self.h8 = jnp.asarray(_hadamard(8))
+        self.m8 = jnp.asarray(_morton(self.r8, self.c8))
+
+        # in-CG coefficient orders for the three scans (diag/hor/ver) —
+        # sign-data hiding must follow the mode-dependent scan of 8x8
+        # luma / 4x4 chroma TUs (spec 7.4.9.11)
+        from ..tables import SCAN_DIAG, SCAN_HOR, SCAN_VER, scan_order
+        ords = np.zeros((3, 16), np.int32)
+        invs = np.zeros((3, 16), np.int32)
+        for si in (SCAN_DIAG, SCAN_HOR, SCAN_VER):
+            xy = scan_order(si, 2)
+            o = np.asarray([y * 4 + x for x, y in xy], np.int32)
+            ords[si] = o
+            invs[si][o] = np.arange(16)
+        self.sdh_ord = jnp.asarray(ords)
+        self.sdh_inv = jnp.asarray(invs)
+
+        def _mask(hh, ww):
+            yy, xx = np.mgrid[0:hh, 0:ww]
+            return jnp.asarray(((xx & 255) ^ (yy & 255) ^ (xx >> 8)
+                                ^ (yy >> 8)).astype(np.uint32))
+        self.hash_mask_y = _mask(height, width)
+        self.hash_mask_c = _mask(height // 2, width // 2)
+
+        self.qp_c = chroma_qp(qp)
+        self.qp2 = jnp.asarray([qp, self.qp_c], jnp.int32)
+        # lambda rides the consts dict like qp so rate control never
+        # retraces (f32 scalar)
+        self.lam2 = jnp.asarray(
+            [0.57 * 2.0 ** ((qp - 12) / 3.0)], jnp.float32)
+
+        self.consts = {k: getattr(self, k) for k in self.CONST_KEYS}
+        self._full = jax.jit(self._with_consts(self._full_impl))
+
+    CONST_KEYS = ("g8l", "g16l", "g32l", "f8", "f16l", "f32", "g4c",
+                  "g8cc", "g16c", "t4", "t8", "t16", "t32", "h8", "m8",
+                  "sdh_ord", "sdh_inv", "hash_mask_y", "hash_mask_c",
+                  "qp2", "lam2")
+
+    def _consts_for(self, qp: int | None):
+        if qp is None or qp == self.qp:
+            return self.consts
+        consts = dict(self.consts)
+        consts["qp2"] = jnp.asarray([qp, chroma_qp(qp)], jnp.int32)
+        consts["lam2"] = jnp.asarray(
+            [0.57 * 2.0 ** ((qp - 12) / 3.0)], jnp.float32)
+        return consts
+
+    # ------------------------------------------------------------------
+    # helpers (size-parametric)
+    # ------------------------------------------------------------------
+
+    def _satd_tiles(self, diff: jax.Array) -> jax.Array:
+        """SATD over trailing [.., n, n] via 8x8 Hadamard tiles (f32
+        matmuls on the MXU; exact — magnitudes stay far below 2^24)."""
+        n = diff.shape[-1]
+        m = n // 8
+        d = diff.astype(jnp.float32).reshape(*diff.shape[:-2], m, 8, m, 8)
+        d = jnp.moveaxis(d, -2, -3)
+        h8f = self.h8.astype(jnp.float32)
+        t = jnp.einsum("ij,...jk,kl->...il", h8f, d, h8f)
+        s = jnp.floor((jnp.abs(t).sum(axis=(-1, -2)) + 2.0) / 4.0)
+        return s.sum(axis=(-1, -2)).astype(jnp.int32)
+
+    def _planar(self, refs: jax.Array, n: int) -> jax.Array:
+        """Planar prediction from (already filtered) refs; any n."""
+        log2n = int(np.log2(n))
+        left = refs[..., :n + 1]        # L[0..n]
+        top = refs[..., 2 * n + 1:3 * n + 2]  # T[0..n]
+        x = jnp.arange(n)
+        y = jnp.arange(n)
+        ln = left[..., n][..., None, None]
+        tn = top[..., n][..., None, None]
+        ly = left[..., :n][..., :, None]
+        tx = top[..., :n][..., None, :]
+        p = ((n - 1 - x)[None, None, :] * ly + (x + 1)[None, None, :] * tn
+             + (n - 1 - y)[None, :, None] * tx + (y + 1)[None, :, None] * ln
+             + n)
+        return (p >> (log2n + 1)).reshape(*refs.shape[:-1], n * n)
+
+    def _filt_refs(self, refs: jax.Array, f: jax.Array) -> jax.Array:
+        """[1 2 1]-filtered refs, exact in f32: (refs @ F + 2) >> 2."""
+        ff = jnp.floor((refs.astype(jnp.float32)
+                        @ f.T.astype(jnp.float32) + 2.0) / 4.0)
+        return ff.astype(jnp.int32)
+
+    def _preds_full(self, refs: jax.Array, g: jax.Array, f: jax.Array,
+                    n: int, is_luma: bool) -> jax.Array:
+        """All-35-mode predictions [B, 35, n*n] with all special cases."""
+        filt = self._filt_refs(refs, f) if is_luma else refs
+        both = jnp.concatenate([refs, filt], axis=1).astype(jnp.float32)
+        gm = g.reshape(-1, g.shape[-1]).astype(jnp.float32)
+        preds = jnp.floor((both @ gm.T + 16.0) / 32.0).astype(jnp.int32) \
+            .reshape(-1, 35, n * n)
+        if n < 32 and is_luma:
+            preds = self._fix_1026(preds, refs, n)
+        preds = preds.at[:, 1, :].set(self._dc_pred(refs, n, is_luma))
+        if is_luma and n == 32:
+            preds = preds.at[:, 0, :].set(self._planar(filt, n))
+        return preds
+
+    def _pred_one(self, refs: jax.Array, modes: jax.Array, g: jax.Array,
+                  f: jax.Array, n: int, is_luma: bool) -> jax.Array:
+        """Per-block single-mode prediction [L, n*n] (recon path)."""
+        filt = self._filt_refs(refs, f) if is_luma else refs
+        both = jnp.concatenate([refs, filt], axis=1).astype(jnp.float32)
+        gsel = jnp.take(g, modes, axis=0).astype(jnp.float32)
+        pred = jnp.floor((jnp.einsum("lpr,lr->lp", gsel, both)
+                          + 16.0) / 32.0).astype(jnp.int32)
+        pred = jnp.where((modes == 1)[:, None],
+                         self._dc_pred(refs, n, is_luma), pred)
+        if is_luma and n == 32:
+            pred = jnp.where((modes == 0)[:, None], self._planar(filt, n),
+                             pred)
+        if is_luma and n < 32:
+            left = refs[:, :n]
+            top = refs[:, 2 * n + 1:3 * n + 1]
+            corner = refs[:, 2 * n]
+            p = pred.reshape(-1, n, n)
+            col = jnp.clip(top[:, :1] + ((left - corner[:, None]) >> 1),
+                           0, 255)
+            row = jnp.clip(left[:, :1] + ((top - corner[:, None]) >> 1),
+                           0, 255)
+            p = jnp.where((modes == 26)[:, None, None],
+                          p.at[:, :, 0].set(col), p)
+            p = jnp.where((modes == 10)[:, None, None],
+                          p.at[:, 0, :].set(row), p)
+            pred = p.reshape(-1, n * n)
+        return pred
+
+    def _src_refs(self, src: jax.Array, n: int) -> jax.Array:
+        """Clamped source refs for every aligned n-block [B, rlen]."""
+        h, w = src.shape
+        rows, cols = h // n, w // n
+        bid = jnp.arange(rows * cols)
+        y0 = (bid // cols) * n
+        x0 = (bid % cols) * n
+        iy = jnp.clip(y0[:, None] + jnp.arange(2 * n)[None, :], 0, h - 1)
+        ix = jnp.clip(x0[:, None] - 1, 0, w - 1)
+        left = src[iy, jnp.broadcast_to(ix, iy.shape)]
+        ty = jnp.clip(y0[:, None] - 1, 0, h - 1)
+        tx = jnp.clip(x0[:, None] + jnp.arange(2 * n)[None, :], 0, w - 1)
+        top = src[jnp.broadcast_to(ty, tx.shape), tx]
+        corner = src[jnp.clip(y0 - 1, 0, h - 1), jnp.clip(x0 - 1, 0, w - 1)]
+        pad = jnp.zeros((rows * cols, 1), jnp.int32)
+        return jnp.concatenate([left, corner[:, None], top, pad], axis=1)
+
+    def _blocks(self, plane: jax.Array, n: int) -> jax.Array:
+        rows, cols = plane.shape[0] // n, plane.shape[1] // n
+        return jnp.moveaxis(plane.reshape(rows, n, cols, n), 1, 2).reshape(
+            rows * cols, n, n)
+
+    @staticmethod
+    def _rate_bins(levels: jax.Array) -> jax.Array:
+        """Context-free CABAC-bin rate estimate per block [L, n, n] -> [L]
+        (same model as the RDOQ level rates)."""
+        al = jnp.abs(levels).astype(jnp.float32)
+        r3 = 5.0 + 2.0 * jnp.floor(jnp.log2(jnp.maximum(al - 1.0, 1.0)))
+        r = jnp.where(al == 0, 0.0,
+                      jnp.where(al == 1, 3.0,
+                                jnp.where(al == 2, 4.0, r3)))
+        return r.sum(axis=(-1, -2))
+
+    # scan-aware sign-data-hiding: when the TU's coefficient scan is
+    # mode-dependent (8x8 luma, 4x4 chroma), the parity fix must walk the
+    # same scan the writer/decoder use. _fire_class sets _sdh_scan_sel
+    # (per-slot scan index) around the _transform_quant call.
+    _sdh_scan_sel = None
+
+    def _sdh_fix(self, levels, n, err, qbits):
+        sel = self._sdh_scan_sel
+        if sel is None:
+            return super()._sdh_fix(levels, n, err, qbits)
+        ordm = jnp.take(self.sdh_ord, sel, axis=0)[:, None, :]  # [L,1,16]
+        invm = jnp.take(self.sdh_inv, sel, axis=0)[:, None, :]
+        L = levels.shape[0]
+        g = n // 4
+        big = jnp.int32(1 << 30)
+
+        def reorder(x, om):
+            x = x.reshape(L, g, 4, g, 4)
+            x = jnp.moveaxis(x, 2, 3).reshape(L, g * g, 16)
+            return jnp.take_along_axis(x, jnp.broadcast_to(
+                om, (L, g * g, 16)), axis=2)
+
+        s = reorder(levels, ordm)
+        e = reorder(err, ordm)
+        nz = s != 0
+        any_nz = nz.any(-1)
+        first = jnp.argmax(nz, axis=-1)
+        last = 15 - jnp.argmax(nz[..., ::-1], axis=-1)
+        total = jnp.abs(s).sum(-1)
+        sfirst = jnp.take_along_axis(s, first[..., None], -1)[..., 0]
+        need = (any_nz & ((last - first) >= 4)
+                & ((total & 1) != (sfirst < 0)))
+        e_up = jnp.where(nz, e, -big)
+        pos_up = jnp.argmax(e_up, axis=-1)
+        cost_up = (1 << qbits) - 2 * jnp.take_along_axis(
+            e_up, pos_up[..., None], -1)[..., 0]
+        ok_dn = jnp.abs(s) >= 2
+        e_dn = jnp.where(ok_dn, e, big)
+        pos_dn = jnp.argmin(e_dn, axis=-1)
+        cost_dn = (1 << qbits) + 2 * jnp.take_along_axis(
+            e_dn, pos_dn[..., None], -1)[..., 0]
+        use_dn = ok_dn.any(-1) & (cost_dn < cost_up)
+        pos = jnp.where(use_dn, pos_dn, pos_up)
+        step = jnp.where(use_dn, -1, 1)
+        selv = jnp.take_along_axis(s, pos[..., None], -1)[..., 0]
+        bump = jnp.where(need, jnp.sign(selv) * step, 0)
+        onehot = jax.nn.one_hot(pos, 16, dtype=levels.dtype)
+        s = s + onehot * bump[..., None]
+        out = jnp.take_along_axis(s, jnp.broadcast_to(
+            invm, (L, g * g, 16)), axis=2)
+        out = out.reshape(L, g, g, 4, 4)
+        return jnp.moveaxis(out, 2, 3).reshape(L, n, n)
+
+    # ------------------------------------------------------------------
+    # stage 1+2: mode search and partition DP
+    # ------------------------------------------------------------------
+
+    def _leaf_rd(self, src_y, src_cb, src_cr, n, g, f, gc, t, tc, lam):
+        """Best mode + RD cost for every aligned n-block.
+        Returns (modes [B], cost [B] f32)."""
+        refs = self._src_refs(src_y, n)
+        preds = self._preds_full(refs, g, f, n, True)
+        blocks = self._blocks(src_y, n)
+        satd = self._satd_tiles(blocks[:, None] -
+                                preds.reshape(-1, 35, n, n))
+        modes = jnp.argmin(satd, axis=1).astype(jnp.int32)
+        pred = jnp.take_along_axis(
+            preds, modes[:, None, None], axis=1)[:, 0].reshape(-1, n, n)
+        resi = blocks - pred
+        levels, r2 = self._transform_quant_plain(resi, t, self.qp2[0], n)
+        dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
+        rate = self._rate_bins(levels) + \
+            self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
+        # chroma (derived mode) at n/2
+        nc = n // 2
+        ccost = jnp.zeros_like(dist)
+        for plane in (src_cb, src_cr):
+            crefs = self._src_refs(plane, nc)
+            cpred = self._pred_one(crefs, modes, gc, gc, nc, False)
+            cblocks = self._blocks(plane, nc)
+            cresi = cblocks - cpred.reshape(-1, nc, nc)
+            clev, cr2 = self._transform_quant_plain(cresi, tc, self.qp2[1],
+                                                    nc)
+            cdist = ((cresi - cr2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
+            crate = self._rate_bins(clev) + \
+                self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
+            ccost = ccost + cdist + lam * crate
+        cost = dist + lam * (rate + self.MODE_BITS) + ccost
+        return modes, cost
+
+    def _transform_quant_plain(self, resi, t, qp, n):
+        """T/Q/IT with plain deadzone quant (search-time costing — the
+        recon stage applies RDOQ/SDH per config)."""
+        saved = (self.rdoq, self.sign_hiding)
+        self.rdoq = self.sign_hiding = False
+        try:
+            return self._transform_quant(resi, t, qp, n)
+        finally:
+            self.rdoq, self.sign_hiding = saved
+
+    def _partition(self, src_y, src_cb, src_cr, lam):
+        """Returns (size_map8 [R8,C8] in {8,16,32}, mode_map8 [R8,C8])."""
+        m8, c8c = self._leaf_rd(src_y, src_cb, src_cr, 8, self.g8l,
+                                self.f8, self.g4c, self.t8, self.t4, lam)
+        m16, c16c = self._leaf_rd(src_y, src_cb, src_cr, 16, self.g16l,
+                                  self.f16l, self.g8cc, self.t16, self.t8,
+                                  lam)
+        m32, c32c = self._leaf_rd(src_y, src_cb, src_cr, 32, self.g32l,
+                                  self.f32, self.g16c, self.t32, self.t16,
+                                  lam)
+        r16, c16n = self.h // 16, self.w // 16
+        r32, c32n = self.h // 32, self.w // 32
+
+        def sum4(c, rows, cols):
+            return c.reshape(rows, 2, cols, 2).sum(axis=(1, 3))
+
+        c8m = c8c.reshape(self.r8, self.c8)
+        sum8 = sum4(c8m, r16, c16n) + lam * (4 * 1.0)  # part_mode bins
+        leaf16 = c16c.reshape(r16, c16n)
+        split16 = sum8 + lam * self.SPLIT_BITS < leaf16
+        best16 = jnp.where(split16, sum8 + lam * self.SPLIT_BITS, leaf16)
+        sum16 = sum4(best16, r32, c32n) + lam * 4 * self.SPLIT_BITS
+        leaf32 = c32c.reshape(r32, c32n)
+        split32 = sum16 + lam * self.SPLIT_BITS < leaf32
+        # expand decisions to the 8-grid
+        e32 = jnp.repeat(jnp.repeat(split32, 2, 0), 2, 1)  # [r16, c16]
+        sz16 = jnp.where(~e32, 32, jnp.where(split16, 8, 16))
+        size_map8 = jnp.repeat(jnp.repeat(sz16, 2, 0), 2, 1) \
+            .astype(jnp.int32)
+        mode16_8 = jnp.repeat(jnp.repeat(m16.reshape(r16, c16n), 2, 0),
+                              2, 1)
+        mode32_8 = jnp.repeat(jnp.repeat(m32.reshape(r32, c32n), 4, 0),
+                              4, 1)
+        mode_map8 = jnp.where(size_map8 == 8, m8.reshape(self.r8, self.c8),
+                              jnp.where(size_map8 == 16, mode16_8,
+                                        mode32_8)).astype(jnp.int32)
+        return size_map8, mode_map8
+
+    # ------------------------------------------------------------------
+    # stage 3: self-scheduled wavefront reconstruction
+    # ------------------------------------------------------------------
+
+    def _leaf_z(self, size_map8):
+        """Morton code of each cell's leaf (coding-order key per cell)."""
+        r = jnp.arange(self.r8)[:, None]
+        c = jnp.arange(self.c8)[None, :]
+        k = size_map8 >> 3  # 1, 2, 4
+        lr = r & ~(k - 1)
+        lc = c & ~(k - 1)
+        return self.m8[lr, lc]
+
+    def _class_deps(self, size_map8, leafz, written, s):
+        """Per class-grid-position ready mask + static avail descriptors.
+        Returns (ready [Rs, Cs], n_bl [Rs, Cs], n_tr [Rs, Cs]).
+
+        All window reductions are expressed as reshape views
+        [Rs+1, k, Cs+1, k] of the zero/big-padded cell maps — reshapes
+        are free on TPU, unlike strided slices."""
+        st = self._class_static(size_map8, leafz, s)
+        ready = self._class_ready(written, st, s)
+        return ready, st["n_bl"], st["n_tr"]
+
+    def _class_static(self, size_map8, leafz, s):
+        """Frame-constant per-class scheduling data (hoisted out of the
+        wave loop): leaf mask + z-order availability masks/counts."""
+        k = s // 8
+        rs, cs = self.r8 // k, self.c8 // k
+        big = jnp.int32(1 << 30)
+        zt = self.m8[::k, ::k]
+        z4 = jnp.pad(leafz, ((0, k), (0, k)), constant_values=big) \
+            .reshape(rs + 1, k, cs + 1, k)
+        # below-left blocks (r+1, j, c-1, k-1); top-right (r-1, k-1, c+1, j)
+        av_bl = z4[1:, :, :cs - 1, k - 1] < zt[:, None, 1:]  # [rs,k,cs-1]
+        av_tr = z4[:rs - 1, k - 1, 1:, :] < zt[1:, :, None]  # [rs-1,cs,k]
+        return {
+            "leaf": size_map8[::k, ::k] == s,
+            "av_bl": av_bl,
+            "av_tr": av_tr,
+            "n_bl": jnp.pad(av_bl.sum(1), ((0, 0), (1, 0))),
+            "n_tr": jnp.pad(av_tr.sum(-1), ((1, 0), (0, 0))),
+        }
+
+    def _class_ready(self, written, st, s):
+        k = s // 8
+        rs, cs = self.r8 // k, self.c8 // k
+        notdone = ~written[::k, ::k]
+        unwr = (~written).astype(jnp.int32)
+        u4 = jnp.pad(unwr, ((0, k), (0, k))).reshape(rs + 1, k, cs + 1, k)
+        # left main: block (r, :, c-1, k-1) unwritten count (c > 0)
+        lm = jnp.pad(u4[:rs, :, :cs - 1, k - 1].sum(1), ((0, 0), (1, 0)))
+        # corner: cell (r-1 blk, k-1, c-1 blk, k-1)
+        cor = jnp.pad(u4[:rs - 1, k - 1, :cs - 1, k - 1],
+                      ((1, 0), (1, 0)))
+        # top main: block (r-1, k-1, c, :) (r > 0)
+        tm = jnp.pad(u4[:rs - 1, k - 1, :cs, :].sum(-1),
+                     ((1, 0), (0, 0)))
+        bl_dep = jnp.pad((st["av_bl"] & (u4[1:, :, :cs - 1, k - 1] > 0))
+                         .sum(1), ((0, 0), (1, 0)))
+        tr_dep = jnp.pad((st["av_tr"] & (u4[:rs - 1, k - 1, 1:, :] > 0))
+                         .sum(-1), ((1, 0), (0, 0)))
+        return st["leaf"] & notdone & (lm == 0) & (cor == 0) & \
+            (tm == 0) & (bl_dep == 0) & (tr_dep == 0)
+
+    @staticmethod
+    def _slice_rows(plane, y0, x0, n):
+        """Window gather: [L] slices plane[y0:y0+1, x0:x0+n] -> [L, n].
+        vmapped dynamic_slice lowers to an XLA window gather, which the
+        TPU executes as contiguous block loads (elementwise gathers are
+        near-serialized)."""
+        return jax.vmap(
+            lambda y, x: jax.lax.dynamic_slice(plane, (y, x), (1, n))[0]
+        )(y0, x0)
+
+    @staticmethod
+    def _slice_cols(plane, y0, x0, n):
+        """[L] slices plane[y0:y0+n, x0:x0+1] -> [L, n]."""
+        return jax.vmap(
+            lambda y, x: jax.lax.dynamic_slice(plane, (y, x), (n, 1))[:, 0]
+        )(y0, x0)
+
+    @staticmethod
+    def _slice_blocks(plane, y0, x0, n):
+        """[L] slices plane[y0:y0+n, x0:x0+n] -> [L, n, n]."""
+        return jax.vmap(
+            lambda y, x: jax.lax.dynamic_slice(plane, (y, x), (n, n))
+        )(y0, x0)
+
+    @staticmethod
+    def _scatter_blocks(plane, y0, x0, upd, valid):
+        """Disjoint scatter of [L, n, n] blocks at (y0, x0); invalid
+        slots are dropped via out-of-range flat indices."""
+        n = upd.shape[-1]
+        yy = y0[:, None, None] + jnp.arange(n)[None, :, None]
+        xx = x0[:, None, None] + jnp.arange(n)[None, None, :]
+        flat = yy * plane.shape[1] + xx
+        flat = jnp.where(valid[:, None, None], flat, plane.size)
+        return plane.reshape(-1).at[flat.reshape(-1)].set(
+            upd.astype(plane.dtype).reshape(-1),
+            mode="drop").reshape(plane.shape)
+
+    def _gather_refs_md(self, rec, y0, x0, n, has_left, has_top, n_bl,
+                        n_tr, cell_px):
+        """Normative refs with substitution for one slot batch.
+        rec: padded plane (offset +1). y0/x0: *unpadded* pixel coords.
+        n_bl/n_tr in grid cells of cell_px pixels. Returns [L, rlen]."""
+        ypix = y0 + 1
+        xpix = x0 + 1
+        # clamp so the 2n-windows stay in the padded plane (values in the
+        # clamped region are garbage; substitution masks them)
+        left_raw = self._slice_cols(
+            rec, jnp.minimum(ypix, rec.shape[0] - 2 * n), xpix - 1, 2 * n)
+        top_raw = self._slice_rows(
+            rec, ypix - 1, jnp.minimum(xpix, rec.shape[1] - 2 * n), 2 * n)
+        corner_raw = rec[ypix - 1, xpix - 1]
+        idx = jnp.arange(2 * n)[None, :]
+        fill = jnp.where(has_top, top_raw[:, 0], 128)
+        # left column: main n px if has_left, below-left first n_bl*cell_px
+        bl_px = n_bl * cell_px
+        last_left = jnp.where(n_bl > 0, n + bl_px - 1, n - 1)
+        lval = jnp.take_along_axis(left_raw, last_left[:, None], axis=1)
+        left = jnp.where(idx < n + bl_px[:, None], left_raw, lval)
+        left = jnp.where(has_left[:, None], left, fill[:, None])
+        has_corner = has_left & has_top
+        corner = jnp.where(has_corner, corner_raw,
+                           jnp.where(has_left, left[:, 0], fill))
+        # top row: main n px if has_top, top-right first n_tr*cell_px
+        tr_px = n_tr * cell_px
+        last_top = jnp.where(n_tr > 0, n + tr_px - 1, n - 1)
+        tval = jnp.take_along_axis(top_raw, last_top[:, None], axis=1)
+        top = jnp.where(idx < n + tr_px[:, None], top_raw, tval)
+        top = jnp.where(has_top[:, None], top, corner[:, None])
+        pad = jnp.zeros((left.shape[0], 1), jnp.int32)
+        return jnp.concatenate([left, corner[:, None], top, pad], axis=1)
+
+    def _class_updates(self, luma, chroma, fired, n_bl, n_tr, s,
+                       modes_map8, srcs, cap):
+        """Compute the pixel/level updates for the fired TUs of size s
+        (one slot per class row — see _recon_md). Returns flat
+        (idx, val) vectors for the stacked luma [2, Hp, Wp] and chroma
+        [4, Hc, Wc] buffers — the caller merges all classes into two
+        scatters per wave."""
+        k = s // 8
+        rs, cs = self.r8 // k, self.c8 // k
+        r, c, valid = fired
+        has_left = (c > 0) & valid
+        has_top = (r > 0) & valid
+        ids_c = r * cs + c
+        nbl = n_bl.reshape(-1)[ids_c]
+        ntr = n_tr.reshape(-1)[ids_c]
+        modes = modes_map8[r * k, c * k]
+        src_y, src_cb, src_cr = srcs
+        g, f, gc, t, tc = {
+            8: (self.g8l, self.f8, self.g4c, self.t8, self.t4),
+            16: (self.g16l, self.f16l, self.g8cc, self.t16, self.t8),
+            32: (self.g32l, self.f32, self.g16c, self.t32, self.t16),
+        }[s]
+
+        def plane(rec, src, n, cell_px, qp, tm, is_luma):
+            y0 = r * n
+            x0 = c * n
+            refs = self._gather_refs_md(rec, y0, x0, n, has_left, has_top,
+                                        nbl, ntr, cell_px)
+            pred = self._pred_one(refs, modes, g if is_luma else gc,
+                                  f if is_luma else gc, n, is_luma)
+            pred = pred.reshape(-1, n, n)
+            srcb = self._slice_blocks(src, y0, x0, n)
+            resi = srcb - pred
+            if (is_luma and n == 8) or (not is_luma and n == 4):
+                # mode-dependent coefficient scan (spec 7.4.9.11)
+                self._sdh_scan_sel = jnp.where(
+                    (modes >= 6) & (modes <= 14), 2,
+                    jnp.where((modes >= 22) & (modes <= 30), 1, 0))
+            try:
+                levels, r2 = self._transform_quant(resi, tm, qp, n)
+            finally:
+                self._sdh_scan_sel = None
+            cbf = jnp.any(levels != 0, axis=(1, 2))
+            rec_blk = jnp.clip(
+                pred + jnp.where(cbf[:, None, None], r2, 0), 0, 255)
+            lvl_blk = jnp.where(cbf[:, None, None], levels, 0)
+            return rec_blk, lvl_blk, y0, x0
+
+        def flat_idx(shape, plane_id, y0, x0, n):
+            """Flat indices into a stacked [P, H, W] buffer at +1 pixel
+            offset; invalid slots point past the end (drop mode)."""
+            _, hh, ww = shape
+            yy = (y0 + 1)[:, None, None] + jnp.arange(n)[None, :, None]
+            xx = (x0 + 1)[:, None, None] + jnp.arange(n)[None, None, :]
+            fi = plane_id * hh * ww + yy * ww + xx
+            size = shape[0] * hh * ww
+            return jnp.where(valid[:, None, None], fi, size).reshape(-1)
+
+        rb, lb, y0, x0 = plane(luma[0], src_y, s, 8, self.qp2[0], t, True)
+        idx_l = jnp.concatenate([flat_idx(luma.shape, 0, y0, x0, s),
+                                 flat_idx(luma.shape, 1, y0, x0, s)])
+        val_l = jnp.concatenate([rb.reshape(-1), lb.reshape(-1)])
+        sc = s // 2
+        rbc, lbc, y0c, x0c = plane(chroma[0], src_cb, sc, 4, self.qp2[1],
+                                   tc, False)
+        rbr, lbr, _, _ = plane(chroma[1], src_cr, sc, 4, self.qp2[1],
+                               tc, False)
+        idx_c = jnp.concatenate([flat_idx(chroma.shape, p_, y0c, x0c, sc)
+                                 for p_ in range(4)])
+        val_c = jnp.concatenate([rbc.reshape(-1), rbr.reshape(-1),
+                                 lbc.reshape(-1), lbr.reshape(-1)])
+        return idx_l, val_l, idx_c, val_c
+
+    def _recon_md(self, src_y, src_cb, src_cr, size_map8, mode_map8):
+        """Self-scheduled recon. State: stacked luma [2, Hp, Wp]
+        (rec, levels) and chroma [4, Hc, Wc] (rec cb/cr, levels cb/cr),
+        both at +1 pixel offset, plus the written-cell mask. Each wave
+        does exactly two scatters (one per stack) for all classes."""
+        h, w = self.h, self.w
+        zseed = (src_y[0, 0] * 0).astype(jnp.int32)
+        luma = jnp.zeros((2, 1 + h + 64, 1 + w + 64), jnp.int32) + zseed
+        chroma = jnp.zeros((4, 1 + h // 2 + 32, 1 + w // 2 + 32),
+                           jnp.int32) + zseed
+        written = jnp.zeros((self.r8, self.c8), bool)
+        leafz = self._leaf_z(size_map8)
+        srcs = (src_y, src_cb, src_cr)
+        statics = {s: self._class_static(size_map8, leafz, s)
+                   for s in self.SIZES}
+
+        def cond(st):
+            return ~jnp.all(st[1][-1])
+
+        def body(st):
+            wave, (luma, chroma, written) = st
+            new_written = written
+            idx_l, val_l, idx_c, val_c = [], [], [], []
+            for s in self.SIZES:
+                k = s // 8
+                rs, cs = self.r8 // k, self.c8 // k
+                ready = self._class_ready(written, statics[s], s)
+                # fire the leftmost ready TU of every class row: the
+                # left-main dependency chains rows, so this is the
+                # natural frontier width — and it compacts slots with a
+                # row argmin instead of a (sort-backed) nonzero
+                c_star = jnp.argmin(
+                    jnp.where(ready, jnp.arange(cs)[None, :], cs),
+                    axis=1).astype(jnp.int32)
+                row_has = ready.any(axis=1)
+                fired_mask = ready & \
+                    (jnp.arange(cs)[None, :] == c_star[:, None])
+                new_written = new_written | jnp.repeat(
+                    jnp.repeat(fired_mask, k, 0), k, 1)
+                fired = (jnp.arange(rs, dtype=jnp.int32), c_star, row_has)
+                il, vl, ic, vc = self._class_updates(
+                    luma, chroma, fired, statics[s]["n_bl"],
+                    statics[s]["n_tr"], s, mode_map8, srcs, rs)
+                idx_l.append(il)
+                val_l.append(vl)
+                idx_c.append(ic)
+                val_c.append(vc)
+            luma = luma.reshape(-1).at[jnp.concatenate(idx_l)].set(
+                jnp.concatenate(val_l), mode="drop").reshape(luma.shape)
+            chroma = chroma.reshape(-1).at[jnp.concatenate(idx_c)].set(
+                jnp.concatenate(val_c), mode="drop").reshape(chroma.shape)
+            return wave + 1, (luma, chroma, new_written)
+
+        state = (luma, chroma, written)
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        return state
+
+    # ------------------------------------------------------------------
+    # full frame
+    # ------------------------------------------------------------------
+
+    def _edge_maps(self, size_map8):
+        """Deblocking BS=2 maps on the TU grid from the partition."""
+        h, w = self.h, self.w
+        k = size_map8 >> 3
+        c = jnp.arange(self.c8)[None, :]
+        r = jnp.arange(self.r8)[:, None]
+        ver8 = ((c & (k - 1)) == 0) & (c > 0)   # [R8, C8]
+        hor8 = ((r & (k - 1)) == 0) & (r > 0)
+        bs_ver = jnp.repeat(ver8, 2, axis=0).astype(jnp.int32) * 2
+        bs_hor = jnp.repeat(hor8, 2, axis=1).astype(jnp.int32) * 2
+        return bs_ver, bs_hor  # [H/4, W/8], [H/8, W/4]
+
+    def _full_impl(self, src_y_u8, src_cb_u8, src_cr_u8):
+        src_y = src_y_u8.astype(jnp.int32)
+        src_cb = src_cb_u8.astype(jnp.int32)
+        src_cr = src_cr_u8.astype(jnp.int32)
+        lam = self.lam2[0]
+        size_map8, mode_map8 = self._partition(src_y, src_cb, src_cr, lam)
+        state = self._recon_md(src_y, src_cb, src_cr, size_map8, mode_map8)
+        luma, chroma, _ = state
+        h, w = self.h, self.w
+        ry = luma[0, 1:1 + h, 1:1 + w]
+        rcb = chroma[0, 1:1 + h // 2, 1:1 + w // 2]
+        rcr = chroma[1, 1:1 + h // 2, 1:1 + w // 2]
+        lvl_y = luma[1, 1:1 + h, 1:1 + w]
+        lvl_cb = chroma[2, 1:1 + h // 2, 1:1 + w // 2]
+        lvl_cr = chroma[3, 1:1 + h // 2, 1:1 + w // 2]
+        if self.deblock:
+            from ..ops.deblock_jax import deblock_frame_jax
+            bs_ver, bs_hor = self._edge_maps(size_map8)
+            ry, rcb, rcr = deblock_frame_jax(
+                ry, rcb, rcr, bs_ver, bs_hor, self.qp2[0], self.qp2[1],
+                self.qp2[1], self.deblock_beta, self.deblock_tc)
+        sao_out = {}
+        if self.sao:
+            from ..ops.sao_jax import sao_chroma, sao_luma
+            lamf = self.lam2[0]
+            ab = self.sao in ("full", "band")
+            ae = self.sao in ("full", "edge")
+            ry, py = sao_luma(src_y, ry, self.CTB, lamf, ab, ae)
+            rcb, rcr, pc = sao_chroma(src_cb, src_cr, rcb, rcr,
+                                      self.CTB // 2, lamf, ab, ae)
+            for kk, v in py.items():
+                sao_out["sao_y_" + kk] = v.astype(jnp.int8)
+            for kk, v in pc.items():
+                sao_out["sao_c_" + kk] = v.astype(jnp.int8)
+
+        def cksum(plane, mask):
+            return jnp.sum((plane.astype(jnp.uint32) ^ mask),
+                           dtype=jnp.uint32)
+
+        def sse(a, b):
+            d = a - b
+            return jnp.sum(d * d, dtype=jnp.int64)
+
+        out = {
+            "rec_y": ry.astype(jnp.uint8),
+            "rec_cb": rcb.astype(jnp.uint8),
+            "rec_cr": rcr.astype(jnp.uint8),
+            "size_map8": size_map8.astype(jnp.int8),
+            "mode_map8": mode_map8.astype(jnp.int8),
+            "levels16_y": lvl_y.astype(jnp.int16),
+            "levels16_cb": lvl_cb.astype(jnp.int16),
+            "levels16_cr": lvl_cr.astype(jnp.int16),
+            "hash": jnp.stack([cksum(ry, self.hash_mask_y),
+                               cksum(rcb, self.hash_mask_c),
+                               cksum(rcr, self.hash_mask_c)]),
+            "sse": jnp.stack([sse(ry, src_y), sse(rcb, src_cb),
+                              sse(rcr, src_cr)]),
+            **sao_out,
+        }
+        ovf = jnp.bool_(False)
+        for name, lv in (("y", lvl_y), ("cb", lvl_cb), ("cr", lvl_cr)):
+            mask_u8, vals, o = self._sparse_pack(lv)
+            out["lmask_" + name] = mask_u8
+            out["lvals_" + name] = vals
+            ovf = ovf | o
+        out["lvl_ovf"] = ovf
+        return out
+
+    # ------------------------------------------------------------------
+    # host interface
+    # ------------------------------------------------------------------
+
+    def submit(self, src_y, src_cb, src_cr, qp: int | None = None):
+        out = self._full(self._consts_for(qp),
+                         jnp.asarray(src_y, jnp.uint8),
+                         jnp.asarray(src_cb, jnp.uint8),
+                         jnp.asarray(src_cr, jnp.uint8))
+        for k, v in out.items():
+            if (k.startswith(("lmask_", "lvals_", "sao_"))
+                    or k in ("hash", "sse", "size_map8", "mode_map8",
+                             "lvl_ovf")):
+                try:
+                    v.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
+        return out
+
+    def materialize(self, out):
+        res = {k: (np.asarray(v)
+                   if k in ("hash", "sse", "size_map8", "mode_map8")
+                   or k.startswith("sao_") else v)
+               for k, v in out.items()}
+        if bool(np.asarray(out["lvl_ovf"])):
+            for p in ("y", "cb", "cr"):
+                res["levels_" + p] = np.asarray(out["levels16_" + p])
+        else:
+            for p in ("y", "cb", "cr"):
+                shape = out["levels16_" + p].shape
+                bits = np.unpackbits(np.asarray(out["lmask_" + p]))
+                flat = np.zeros(bits.shape[0], np.int16)
+                nnz = int(bits.sum())
+                flat[bits.astype(bool)] = \
+                    np.asarray(out["lvals_" + p])[:nnz]
+                res["levels_" + p] = flat.reshape(shape)
+        for p in ("y", "cb", "cr"):
+            res.pop("levels16_" + p, None)
+            res.pop("lmask_" + p, None)
+            res.pop("lvals_" + p, None)
+        res.pop("lvl_ovf", None)
+        return res

@@ -18,6 +18,13 @@ import jax
 # env alone is not enough: the axon hook still routes compilation through
 # the remote compile service unless the platform is also set via config.
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the multi-depth pipeline is expensive to
+# compile; repeated test runs hit the cache (keys include platform, so
+# sharing the directory with TPU runs is safe)
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

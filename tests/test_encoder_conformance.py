@@ -29,8 +29,8 @@ def test_encode_decode_hash(rng, w, h, qp, wpp, sdh):
     assert len(frames) == 2
     for f, info in zip(frames, infos):
         assert f.hash_ok
-        for a, b in zip(f.planes, info["recon"]):
-            assert np.array_equal(a, b)
+        for a, b in zip(f.planes, info["recon_out"]):
+            assert np.array_equal(a, np.asarray(b))
 
 
 def test_encode_noise_high_activity(rng):
