@@ -59,6 +59,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    default="checksum")
     p.add_argument("--ctu", type=int, default=16, choices=[16, 64],
                    help="CTU size (16 uses the TPU device pipeline)")
+    p.add_argument("--tiles", default=None,
+                   help="tile grid CxR (e.g. 2x2); all-intra, ctu 64")
+    p.add_argument("--vaq", type=int, default=0,
+                   help="variance adaptive QP strength")
+    p.add_argument("--roi", default="",
+                   help="ROI delta-QP file ('w h' + w*h integers)")
     p.add_argument("--psnr", action="store_true", default=True)
     p.add_argument("--no-psnr", dest="psnr", action="store_false")
     return p
@@ -76,7 +82,12 @@ def main(argv=None) -> int:
                  ctu_size=args.ctu, target_bitrate=args.bitrate,
                  rdoq_enable=args.rdoq, gop_len=args.gop,
                  ref_frames=args.ref, sao_type=args.sao,
-                 deblock_enable=args.deblock)
+                 deblock_enable=args.deblock, vaq=args.vaq,
+                 roi_file=args.roi)
+    if args.tiles:
+        cfg.parse("tiles", args.tiles)
+    if args.tiles or args.vaq or args.roi:
+        cfg.ctu_size = 64      # these tools ride the quadtree pipeline
     if args.preset:
         apply_preset(cfg, args.preset)
     enc = Encoder(cfg)

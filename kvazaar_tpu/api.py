@@ -85,6 +85,57 @@ class Encoder:
         if self.pad_w or self.pad_h:
             self.sps.conf_win = (0, self.pad_w // 2, 0, self.pad_h // 2)
         self.pps = build_pps(cfg)
+        # tiles: independent rectangles, loop filter not crossing
+        # boundaries (mirrors the reference: PPS writes
+        # loop_filter_across_tiles_enabled_flag=0,
+        # src/encoder_state-bitstream.c:545, and WPP is disabled when
+        # tiles are on, src/cfg.c:927)
+        self.tile_grid = None
+        if tuple(cfg.tiles) != (1, 1):
+            if not self.use_md:
+                # use_md implies all-intra this round, which keeps tiles
+                # free of cross-tile TMVP hazards (the reference likewise
+                # disables TMVP with tiles, src/cfg.c:922)
+                raise NotImplementedError(
+                    "tiles require the quadtree device path "
+                    "(ctu-size 64) in this round")
+            if cfg.wpp:
+                import sys
+                print("Disabling WPP because tiles were enabled.",
+                      file=sys.stderr)
+                cfg.wpp = False
+                self.pps.entropy_coding_sync_enabled = 0
+            from .hevc.tiles import TileGrid
+            cols, rows = cfg.tiles
+            self.tile_grid = TileGrid.make(
+                self.sps.width_in_ctbs, self.sps.height_in_ctbs,
+                cols, rows)
+            self.pps.tiles_enabled = 1
+            self.pps.num_tile_columns = cols
+            self.pps.num_tile_rows = rows
+            self.pps.uniform_spacing = 1
+            self.pps.loop_filter_across_tiles = 0
+        # adaptive QP (VAQ / ROI): per-CTB delta QP, QG == CTB (the
+        # reference likewise uses max_qp_delta_depth 0,
+        # src/encoderstate.c:1531)
+        # LCU-level rate control rides the same delta-QP machinery
+        self.lcu_rc = cfg.target_bitrate > 0 and self.use_md
+        self.dqp_enabled = bool(cfg.vaq or cfg.roi_file) or self.lcu_rc
+        self._roi = None
+        if self.dqp_enabled:
+            if not self.use_md:
+                raise NotImplementedError(
+                    "vaq/roi require the quadtree device path "
+                    "(ctu-size 64) in this round")
+            self.pps.cu_qp_delta_enabled = 1
+            self.pps.diff_cu_qp_delta_depth = 0
+            if cfg.roi_file:
+                with open(cfg.roi_file) as f:
+                    vals = f.read().split()
+                rw, rh = int(vals[0]), int(vals[1])
+                arr = np.asarray(vals[2:2 + rw * rh],
+                                 np.int32).reshape(rh, rw)
+                self._roi = (rw, rh, arr)
         self.frame_num = 0
         self.poc = 0
         self._pipeline = None
@@ -112,17 +163,30 @@ class Encoder:
                     rdoq=cfg.rdoq_enable)
                 self._pipeline = self._inter_pipeline
             else:
-                if self.use_md:
-                    from .models.intra_md import MdIntraPipeline as Pipe
-                else:
-                    from .models.intra_pipeline import IntraPipeline as Pipe
-                self._pipeline = Pipe(
-                    self.sps.height, self.sps.width, cfg.qp,
+                pipe_kw = dict(
                     deblock=cfg.deblock_enable,
                     deblock_beta=cfg.deblock_beta,
                     deblock_tc=cfg.deblock_tc, sao=cfg.sao_type,
                     sign_hiding=cfg.signhide_enable,
                     rdoq=cfg.rdoq_enable)
+                if self.use_md:
+                    pipe_kw.update(delta_qp=self.dqp_enabled,
+                                   wpp=bool(cfg.wpp))
+                if self.tile_grid is not None:
+                    from .parallel.tiled import TiledIntraPipeline
+                    self._pipeline = TiledIntraPipeline(
+                        self.sps.height, self.sps.width, cfg.qp,
+                        self.tile_grid, ctb=64, **pipe_kw)
+                else:
+                    if self.use_md:
+                        from .models.intra_md import \
+                            MdIntraPipeline as Pipe
+                    else:
+                        from .models.intra_pipeline import \
+                            IntraPipeline as Pipe
+                    self._pipeline = Pipe(
+                        self.sps.height, self.sps.width, cfg.qp,
+                        **pipe_kw)
         if cfg.sao_type != "off" and not self.use_device:
             raise NotImplementedError(
                 "SAO requires the device pipeline (ctu-size 16) "
@@ -140,10 +204,13 @@ class Encoder:
         self._rc = None
         if cfg.target_bitrate > 0:
             from .engine.rate_control import RateControl
+            # without inter coding every frame is an IDR, so the RC must
+            # treat the stream as all-intra (no IDR bit boost)
             self._rc = RateControl(self.sps.width, self.sps.height,
                                    cfg.target_bitrate,
                                    cfg.framerate_num / cfg.framerate_denom,
-                                   cfg.intra_period)
+                                   1 if not self.inter_enabled
+                                   else cfg.intra_period)
 
     def _deblock_recon(self, rec, decisions=None, is_idr=True,
                        qp=None, ref_pocs=(), edges=None):
@@ -217,6 +284,44 @@ class Encoder:
 
     # -- frames ----------------------------------------------------------------
 
+    def _qp_map_for(self, y, cb, cr, base_qp: int,
+                    is_idr: bool = True) -> np.ndarray:
+        """Per-CTB QP from LCU-level rate control, VAQ variance offsets
+        and/or the ROI map (kvazaar src/encoderstate.c:1444-1526,
+        rate_control.c:1082)."""
+        cfg = self.cfg
+        rc = self.sps.height // 64
+        cc = self.sps.width // 64
+        if self.lcu_rc and self._rc is not None:
+            qp = self._rc.lcu_qp_map((rc, cc), base_qp, is_idr,
+                                     y_plane=y).astype(np.float64)
+        else:
+            qp = np.full((rc, cc), base_qp, np.float64)
+        if self._roi is not None:
+            rw, rh, arr = self._roi
+            rx = np.arange(cc) * rw // cc
+            ry = np.arange(rc) * rh // rc
+            qp += arr[ry[:, None], rx[None, :]]
+        if cfg.vaq:
+            d = cfg.vaq * 0.1
+            yf = np.asarray(y, np.float64)
+            cbf_ = np.asarray(cb, np.float64)
+            crf = np.asarray(cr, np.float64)
+            fvar = yf.var() + cbf_.var() + crf.var()
+
+            def blkvar(p, n):
+                return p.reshape(rc, n, cc, n).var(axis=(1, 3))
+
+            lvar = blkvar(yf, 64) + blkvar(cbf_, 32) + blkvar(crf, 32)
+            with np.errstate(divide="ignore"):
+                aq = d * (np.log(lvar) - np.log(fvar))
+            off = np.sign(aq) * np.floor(np.abs(aq) + 0.5)  # C round()
+            # half the spec delta range, as the reference clips
+            # (rate_control.c:1163-1166)
+            qp += np.clip(np.nan_to_num(off, nan=0.0, neginf=-13.0),
+                          -13, 12)
+        return np.clip(qp, 0, 51).astype(np.int32)
+
     def submit_frame(self, y: np.ndarray, cb: np.ndarray,
                      cr: np.ndarray) -> dict:
         """Dispatch a frame's device work (async); returns a pending token
@@ -278,7 +383,12 @@ class Encoder:
                 [e["cb"] for e in refs],
                 [e["cr"] for e in refs], qp=qp)
         elif self._pipeline is not None:
-            meta["dev"] = self._pipeline.submit(y, cb, cr, qp=qp)
+            if self.dqp_enabled:
+                meta["dev"] = self._pipeline.submit(
+                    y, cb, cr, qp=qp,
+                    qp_map=self._qp_map_for(y, cb, cr, qp, spec.is_idr))
+            else:
+                meta["dev"] = self._pipeline.submit(y, cb, cr, qp=qp)
         if self.inter_enabled and meta["dev"] is not None and spec.is_ref:
             self._push_ref({"poc": spec.poc, "y": meta["dev"]["rec_y"],
                             "cb": meta["dev"]["rec_cb"],
@@ -405,6 +515,9 @@ class Encoder:
         if writer is None and self.use_md and decisions is not None:
             from .engine.md_writer import MdIntraWriter
             writer = MdIntraWriter(self.sps, self.pps, sh, decisions)
+            if self.tile_grid is not None:
+                writer.tile_ctb = self.tile_grid.tile_id_ctb
+                writer.tile4 = self.tile_grid.tile4_map(self.sps.ctb_size)
         if writer is not None:
             writer.sao_w = sao_w
         n_ctu_x = self.sps.width_in_ctbs
@@ -414,14 +527,49 @@ class Encoder:
         substreams: list[bytes] = []
         saved_ctx: ContextSet | None = None
         native_done = False
+        lcu_bits = (np.zeros((n_ctu_y, n_ctu_x), np.int64)
+                    if self.lcu_rc and writer is not None else None)
+
+        def timed_write(cab, ctu_y, ctu_x):
+            if lcu_bits is None:
+                writer.write_ctu(ctu_y, ctu_x)
+                return
+            b0 = cab.bit_count
+            writer.write_ctu(ctu_y, ctu_x)
+            lcu_bits[ctu_y, ctu_x] = cab.bit_count - b0
         if writer is not None:
-            if not wpp:
+            if self.tile_grid is not None:
+                # tile-scan CTU order, one substream + fresh contexts per
+                # tile, end_of_subset terminator between tiles
+                grid = self.tile_grid
+                last_xy = (grid.col_bd[-1] - 1, grid.row_bd[-1] - 1)
+                bw = cab = None
+                cur = -1
+                for ctu_x, ctu_y, tid, last_in_tile in grid.scan():
+                    if tid != cur:
+                        cur = tid
+                        bw = BitWriter()
+                        cab = CabacEncoder(
+                            bw, ContextSet(2 - slice_type, sh.qp))
+                        writer.cab = cab
+                        if hasattr(writer, "reset_qp_chain"):
+                            writer.reset_qp_chain()
+                    timed_write(cab, ctu_y, ctu_x)
+                    last = last_in_tile and (ctu_x, ctu_y) == last_xy
+                    cab.encode_bin_trm(1 if last else 0)
+                    if last_in_tile:
+                        if not last:
+                            cab.encode_bin_trm(1)  # end_of_subset
+                        cab.finish()
+                        bw.byte_align_one()
+                        substreams.append(bw.get_bytes())
+            elif not wpp:
                 bw = BitWriter()
                 cab = CabacEncoder(bw, ContextSet(2 - slice_type, sh.qp))
                 writer.cab = cab
                 for ctu_y in range(n_ctu_y):
                     for ctu_x in range(n_ctu_x):
-                        writer.write_ctu(ctu_y, ctu_x)
+                        timed_write(cab, ctu_y, ctu_x)
                         last = (ctu_y == n_ctu_y - 1
                                 and ctu_x == n_ctu_x - 1)
                         cab.encode_bin_trm(1 if last else 0)
@@ -435,8 +583,10 @@ class Encoder:
                     bw = BitWriter()
                     cab = CabacEncoder(bw, ctx)
                     writer.cab = cab
+                    if hasattr(writer, "reset_qp_chain"):
+                        writer.reset_qp_chain()
                     for ctu_x in range(n_ctu_x):
-                        writer.write_ctu(ctu_y, ctu_x)
+                        timed_write(cab, ctu_y, ctu_x)
                         if ctu_x == 1 and n_ctu_x > 1:
                             saved_ctx = ctx.copy()
                         last = (ctu_y == n_ctu_y - 1
@@ -566,6 +716,8 @@ class Encoder:
                          [np.asarray(p) for p in crop])
         if self._rc is not None:
             self._rc.update(len(out) * 8, is_idr)
+            if lcu_bits is not None:
+                self._rc.update_lcu(lcu_bits)
         info = {
             "poc": meta["poc"],
             "bytes": len(out),

@@ -82,6 +82,15 @@ class CabacEncoder:
         self.num_buffered = 0
         self.buffered = 0xFF
 
+    @property
+    def bit_count(self) -> int:
+        """Bits produced so far (incl. buffered carry bytes and the
+        arithmetic-coder backlog) — for per-CTU rate-control stats."""
+        base = 0
+        if self.bw is not None:
+            base = 8 * len(self.bw._bytes) + self.bw._nbits
+        return base + 8 * self.num_buffered + (23 - self.bits_left)
+
     # -- engine ------------------------------------------------------------
 
     def _write_out(self) -> None:

@@ -57,6 +57,10 @@ class Config:
     wpp: bool = False
     owf: int = 0
     tiles: tuple[int, int] = (1, 1)
+    # adaptive QP: VAQ strength (kvazaar --vaq) and ROI delta-QP file
+    # (kvazaar --roi: "w h" header + w*h integer deltas)
+    vaq: int = 0
+    roi_file: str = ""
     slices: str = "none"
     threads: int = 0
 
@@ -105,6 +109,9 @@ class Config:
         "transform-skip": ("trskip_enable", bool),
         "lossless": ("lossless", bool),
         "wpp": ("wpp", bool),
+        "tiles": ("tiles", "tiles"),
+        "vaq": ("vaq", int),
+        "roi": ("roi_file", str),
         "owf": ("owf", int),
         "threads": ("threads", int),
         "rd": ("rd", int),
@@ -120,6 +127,10 @@ class Config:
         attr, typ = self._OPTION_MAP[name]
         if typ is bool:
             value = value in (True, 1, "1", "true", "yes", "on")
+        elif typ == "tiles":
+            # "CxR" like the reference's --tiles (src/cfg.c:254-296)
+            c, r = str(value).lower().split("x")
+            value = (int(c), int(r))
         else:
             value = typ(value)
         setattr(self, attr, value)

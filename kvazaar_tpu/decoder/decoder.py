@@ -73,6 +73,10 @@ class _FrameState:
         self.pred_mode = np.full((mh, mw), INTRA, dtype=np.int8)
         self.decoded = np.zeros((mh, mw), dtype=bool)
         self.coded = np.zeros((mh, mw), dtype=bool)
+        # tile id per 4x4 block (all zero when tiles are off); prediction
+        # and z-scan availability never cross tile boundaries (spec 6.4.1)
+        self.tile4 = np.zeros((mh, mw), dtype=np.int32)
+        self.tile_grid = None
         self.qp_map = np.full((mh, mw), self.sh.qp, dtype=np.int8)
         # motion field (per 4x4, per list): mv in qpel, ref poc
         # (-(1<<30) = unused/intra)
@@ -98,6 +102,14 @@ class SliceDecoder:
         self.sps = fs.sps
         self.pps = fs.pps
         self.sh = fs.sh
+        self.cur_tile = 0
+        # delta-QP state (spec 8.6.1): cur_qp doubles as qPY_PREV when a
+        # new quantization group starts; a fresh SliceDecoder is made at
+        # slice/tile/WPP-row starts, which resets it to SliceQpY
+        self.cur_qp = fs.sh.qp
+        self.qg_pred = fs.sh.qp
+        self.qg_delta_coded = True
+        self.qg_rect = None
 
     # -- helpers -------------------------------------------------------------
 
@@ -105,11 +117,15 @@ class SliceDecoder:
         """Sample availability at luma position (x, y) (spec 6.4.1)."""
         if x < 0 or y < 0 or x >= self.sps.width or y >= self.sps.height:
             return False
+        if self.fs.tile4[y >> 2, x >> 2] != self.cur_tile:
+            return False
         return bool(self.fs.decoded[y >> 2, x >> 2])
 
     def _coded(self, x: int, y: int) -> bool:
         """z-scan parse-order availability (spec 6.4.1)."""
         if x < 0 or y < 0 or x >= self.sps.width or y >= self.sps.height:
+            return False
+        if self.fs.tile4[y >> 2, x >> 2] != self.cur_tile:
             return False
         return bool(self.fs.coded[y >> 2, x >> 2])
 
@@ -229,9 +245,16 @@ class SliceDecoder:
         cab = self.cab
         fs = self.fs
         merge_left = merge_up = 0
-        if cx > 0:
+        tg = fs.tile_grid
+        left_ok = cx > 0 and (tg is None or
+                              tg.tile_id_ctb[cy, cx - 1]
+                              == tg.tile_id_ctb[cy, cx])
+        up_ok = cy > 0 and (tg is None or
+                            tg.tile_id_ctb[cy - 1, cx]
+                            == tg.tile_id_ctb[cy, cx])
+        if left_ok:
             merge_left = cab.decode_bin(ContextSet.idx("sao_merge_flag", 0))
-        if not merge_left and cy > 0:
+        if not merge_left and up_ok:
             merge_up = cab.decode_bin(ContextSet.idx("sao_merge_flag", 0))
         if merge_left or merge_up:
             src = (cy, cx - 1) if merge_left else (cy - 1, cx)
@@ -286,10 +309,71 @@ class SliceDecoder:
                     aux = eo_chroma
             fs.sao[c][(cy, cx)] = (typ, offs, aux)
 
+    # -- delta QP (spec 8.6.1, 7.3.8.10) -------------------------------------
+
+    def _start_qg(self, x0: int, y0: int, log2_size: int) -> None:
+        """Open a quantization group at (x0, y0): derive qPY_PRED and
+        prefill the qp map (re-filled if a delta gets coded)."""
+        fs = self.fs
+        ctb_mask = ~((1 << self.sps.ctb_log2) - 1)
+        qp_prev = self.cur_qp
+        qp_a = qp_b = qp_prev
+        # neighbours count only when inside the same CTB as this QG
+        if x0 > 0 and ((x0 - 1) & ctb_mask) == (x0 & ctb_mask) and \
+                self._coded(x0 - 1, y0):
+            qp_a = int(fs.qp_map[y0 >> 2, (x0 - 1) >> 2])
+        if y0 > 0 and ((y0 - 1) & ctb_mask) == (y0 & ctb_mask) and \
+                self._coded(x0, y0 - 1):
+            qp_b = int(fs.qp_map[(y0 - 1) >> 2, x0 >> 2])
+        self.qg_pred = (qp_a + qp_b + 1) >> 1
+        self.cur_qp = self.qg_pred
+        self.qg_delta_coded = False
+        size = 1 << log2_size
+        self.qg_rect = (x0, y0, size)
+        self._fill_qg_qp()
+
+    def _fill_qg_qp(self) -> None:
+        x0, y0, size = self.qg_rect
+        x1 = min(x0 + size, self.sps.width)
+        y1 = min(y0 + size, self.sps.height)
+        self.fs.qp_map[y0 >> 2:(y1 + 3) >> 2,
+                       x0 >> 2:(x1 + 3) >> 2] = self.cur_qp
+
+    def _maybe_decode_qp_delta(self, any_cbf: bool) -> None:
+        if not self.pps.cu_qp_delta_enabled or self.qg_delta_coded \
+                or not any_cbf:
+            return
+        cab = self.cab
+        # TR prefix cMax 5 (ctx 0 for the first bin, ctx 1 after) + EG0
+        v = 0
+        if cab.decode_bin(ContextSet.idx("cu_qp_delta_abs", 0)):
+            v = 1
+            while v < 5 and cab.decode_bin(
+                    ContextSet.idx("cu_qp_delta_abs", 1)):
+                v += 1
+            if v == 5:
+                k = 0
+                while cab.decode_bin_ep():
+                    k += 1
+                    if k > 30:
+                        raise ValueError("cu_qp_delta overflow")
+                v = 5 + ((1 << k) - 1) + (cab.decode_bins_ep(k) if k
+                                          else 0)
+        if v:
+            if cab.decode_bin_ep():
+                v = -v
+        self.qg_delta_coded = True
+        # QpY wrap (spec 8.6.1, 8-bit: QpBdOffsetY = 0)
+        self.cur_qp = (self.qg_pred + v + 52) % 52
+        self._fill_qg_qp()
+
     def coding_quadtree(self, x0: int, y0: int, log2_size: int,
                         depth: int) -> None:
         sps = self.sps
         size = 1 << log2_size
+        if self.pps.cu_qp_delta_enabled and log2_size >= \
+                sps.ctb_log2 - self.pps.diff_cu_qp_delta_depth:
+            self._start_qg(x0, y0, log2_size)
         inside = (x0 + size <= sps.width) and (y0 + size <= sps.height)
         if inside and log2_size > sps.log2_min_cb_size:
             ctx_off = 0
@@ -834,6 +918,9 @@ class SliceDecoder:
         pps = self.pps
         sdh = bool(pps.sign_data_hiding_enabled)
         tse = bool(pps.transform_skip_enabled)
+        chroma_here = log2_size > 2 or blk_idx == 3
+        self._maybe_decode_qp_delta(
+            bool(cbf_luma or (chroma_here and (cbf_cb or cbf_cr))))
         if cbf_luma:
             coeffs, _ = decode_residual(self.cab, log2_size, 0, 0, sdh, tse)
             self._add_residual(x0, y0, log2_size, 0, coeffs)
@@ -961,6 +1048,9 @@ class SliceDecoder:
         pps = self.pps
         # luma mode: for NxN CUs each 4x4 TU is one PU (blk_idx selects it)
         mode = modes[blk_idx] if (intra_split and depth > 0) else modes[0]
+        chroma_here = log2_size > 2 or blk_idx == 3
+        self._maybe_decode_qp_delta(
+            bool(cbf_luma or (chroma_here and (cbf_cb or cbf_cr))))
         coeffs = None
         if cbf_luma:
             scan = intra_mode_scan_idx(mode, log2_size, False)
@@ -1023,8 +1113,6 @@ class HEVCDecoder:
         rbsp, rbsp_pos = ebsp_to_rbsp_ex(ebsp)
         br = BitReader(rbsp)
         sh, pps = parse_slice_header(br, self.sps, self.pps_map, nal_type)
-        if pps.tiles_enabled:
-            raise NotImplementedError("tiles decode")
         sps = self.sps
         # picture order count (spec 8.3.1)
         if nal_type in (19, 20):
@@ -1070,11 +1158,18 @@ class HEVCDecoder:
                 ref_list1 = [l1[i % len(l1)] for i in range(n1)]
         fs = _FrameState(self.sps, pps, sh)
         wpp = bool(pps.entropy_coding_sync_enabled)
+        tiles = bool(pps.tiles_enabled)
         n_ctu_x = sps.width_in_ctbs
         n_ctu_y = sps.height_in_ctbs
+        grid = None
+        if tiles:
+            from ..hevc.tiles import TileGrid
+            grid = TileGrid.from_pps(pps, n_ctu_x, n_ctu_y)
+            fs.tile_grid = grid
+            fs.tile4 = grid.tile4_map(sps.ctb_size)
         init_type = 0 if sh.is_intra else (2 - sh.slice_type)
         data = rbsp[br.byte_pos:]
-        if wpp:
+        if wpp or tiles:
             # entry point offsets are in EBSP bytes (incl. emulation
             # prevention); convert boundaries to RBSP positions
             start_e = rbsp_pos.index(br.byte_pos)
@@ -1083,19 +1178,14 @@ class HEVCDecoder:
                 bounds_e.append(bounds_e[-1] + off)
             bounds_r = [rbsp_pos[min(b, len(ebsp))] for b in bounds_e]
             bounds_r.append(len(rbsp))
-            row_data = [rbsp[bounds_r[i]:bounds_r[i + 1]]
+            sub_data = [rbsp[bounds_r[i]:bounds_r[i + 1]]
                         for i in range(len(bounds_r) - 1)]
         else:
-            row_data = None
-        ctx = ContextSet(init_type, sh.qp)
-        cab = CabacDecoder(BitReader(data if not wpp else row_data[0]), ctx)
-        saved_ctx: ContextSet | None = None
-        for ctu_y in range(n_ctu_y):
-            if wpp and ctu_y > 0:
-                ctx = (saved_ctx.copy() if saved_ctx is not None
-                       else ContextSet(init_type, sh.qp))
-                cab = CabacDecoder(BitReader(row_data[ctu_y]), ctx)
+            sub_data = [data]
+
+        def make_sd(cab: CabacDecoder, tile_id: int = 0) -> SliceDecoder:
             sd = SliceDecoder(fs, cab)
+            sd.cur_tile = tile_id
             sd.poc = poc
             sd.ref_list = ref_list
             sd.ref_list1 = ref_list1
@@ -1108,16 +1198,48 @@ class HEVCDecoder:
                                        len(col_l) - 1)]
             else:
                 sd.col_pic = None
-            for ctu_x in range(n_ctu_x):
+            return sd
+
+        if tiles:
+            # one substream per tile, fresh contexts at each tile start;
+            # the end_of_subset bin after a tile is skipped with the rest
+            # of its substream
+            last_xy = (grid.col_bd[-1] - 1, grid.row_bd[-1] - 1)
+            cab = sd = None
+            cur = -1
+            for ctu_x, ctu_y, tid, last_in_tile in grid.scan():
+                if tid != cur:
+                    cur = tid
+                    ctx = ContextSet(init_type, sh.qp)
+                    cab = CabacDecoder(BitReader(sub_data[tid]), ctx)
+                    sd = make_sd(cab, tid)
                 sd.decode_ctu(ctu_x, ctu_y)
-                if wpp and ctu_x == 1:
-                    saved_ctx = ctx.copy()
-                last = (ctu_y == n_ctu_y - 1 and ctu_x == n_ctu_x - 1)
+                last = (ctu_x, ctu_y) == last_xy and last_in_tile
                 end = cab.decode_bin_trm()
-                if wpp and ctu_x == n_ctu_x - 1 and not last:
-                    break
                 if end and not last:
                     raise ValueError("unexpected end_of_slice")
+        else:
+            ctx = ContextSet(init_type, sh.qp)
+            cab = CabacDecoder(BitReader(sub_data[0]), ctx)
+            saved_ctx: ContextSet | None = None
+            sd = make_sd(cab)
+            for ctu_y in range(n_ctu_y):
+                if wpp and ctu_y > 0:
+                    ctx = (saved_ctx.copy() if saved_ctx is not None
+                           else ContextSet(init_type, sh.qp))
+                    cab = CabacDecoder(BitReader(sub_data[ctu_y]), ctx)
+                    # WPP resets qPY_PREV to SliceQpY per CTB row
+                    sd = make_sd(cab)
+                for ctu_x in range(n_ctu_x):
+                    sd.decode_ctu(ctu_x, ctu_y)
+                    if wpp and ctu_x == 1:
+                        saved_ctx = ctx.copy()
+                    last = (ctu_y == n_ctu_y - 1 and ctu_x == n_ctu_x - 1)
+                    end = cab.decode_bin_trm()
+                    if wpp and ctu_x == n_ctu_x - 1 and not last:
+                        break
+                    if end and not last:
+                        raise ValueError("unexpected end_of_slice")
         if not pps.deblocking_filter_disabled and not \
                 sh.deblocking_filter_disabled:
             from ..ops.deblock import compute_bs, deblock_frame
@@ -1135,24 +1257,55 @@ class HEVCDecoder:
                 bs_hor = compute_bs(fs.edges_hor, False, is_intra4,
                                     fs.nonzero, fs.mv, fs.ref_poc,
                                     -(1 << 30))
+            if tiles and not pps.loop_filter_across_tiles:
+                ctb = sps.ctb_size
+                for xb in grid.col_bd[1:-1]:
+                    bs_ver[:, (xb * ctb) >> 3] = 0
+                for yb in grid.row_bd[1:-1]:
+                    bs_hor[(yb * ctb) >> 3, :] = 0
             deblock_frame(fs.y, fs.cb, fs.cr, bs_ver, bs_hor, sh.qp,
                           _cqp(sh.qp, pps.cb_qp_offset),
                           _cqp(sh.qp, pps.cr_qp_offset), boff, toff,
-                          self.sps.bit_depth_luma)
+                          self.sps.bit_depth_luma,
+                          qp4=(fs.qp_map if pps.cu_qp_delta_enabled
+                               else None),
+                          cb_qp_off=pps.cb_qp_offset,
+                          cr_qp_off=pps.cr_qp_offset)
         if sh.sao_luma or sh.sao_chroma:
             from ..ops.sao import apply_sao_plane
             bd = self.sps.bit_depth_luma
             pw, ph = sps.width, sps.height
+
+            if tiles and not pps.loop_filter_across_tiles:
+                # per-tile application: edge-offset neighbours across the
+                # tile boundary are unavailable, and apply_sao_plane
+                # already leaves samples with out-of-plane neighbours
+                # unmodified — so tile sub-planes give exact semantics
+                def sao_apply(plane, params, ctb):
+                    out = plane.copy()
+                    for tid in range(grid.n_tiles):
+                        tx, ty, tw, th = grid.rect(tid)
+                        y0, x0 = ty * ctb, tx * ctb
+                        y1 = min(y0 + th * ctb, plane.shape[0])
+                        x1 = min(x0 + tw * ctb, plane.shape[1])
+                        sub = {(cy - ty, cx - tx): v
+                               for (cy, cx), v in params.items()
+                               if ty <= cy < ty + th and tx <= cx < tx + tw}
+                        out[y0:y1, x0:x1] = apply_sao_plane(
+                            plane[y0:y1, x0:x1], sub, ctb, bd)
+                    return out
+            else:
+                def sao_apply(plane, params, ctb):
+                    return apply_sao_plane(plane, params, ctb, bd)
+
             if sh.sao_luma:
-                fs.y[:ph, :pw] = apply_sao_plane(fs.y[:ph, :pw], fs.sao[0],
-                                                 sps.ctb_size, bd)
+                fs.y[:ph, :pw] = sao_apply(fs.y[:ph, :pw], fs.sao[0],
+                                           sps.ctb_size)
             if sh.sao_chroma:
-                fs.cb[:ph // 2, :pw // 2] = apply_sao_plane(
-                    fs.cb[:ph // 2, :pw // 2], fs.sao[1],
-                    sps.ctb_size // 2, bd)
-                fs.cr[:ph // 2, :pw // 2] = apply_sao_plane(
-                    fs.cr[:ph // 2, :pw // 2], fs.sao[2],
-                    sps.ctb_size // 2, bd)
+                fs.cb[:ph // 2, :pw // 2] = sao_apply(
+                    fs.cb[:ph // 2, :pw // 2], fs.sao[1], sps.ctb_size // 2)
+                fs.cr[:ph // 2, :pw // 2] = sao_apply(
+                    fs.cr[:ph // 2, :pw // 2], fs.sao[2], sps.ctb_size // 2)
         # crop to conformance window
         cl, cr_, ct, cb_ = self.sps.conf_win
         w, h = sps.width, sps.height

@@ -38,11 +38,31 @@ class MdIntraWriter:
         self.cab: CabacEncoder | None = None
         self.sao_w = None
         self.sdh = bool(pps.sign_data_hiding_enabled)
+        # tiles: availability never crosses tile boundaries (spec 6.4.1)
+        self.tile_ctb = None   # [ctbs_y, ctbs_x] tile ids
+        self.tile4 = None      # per-4x4 tile ids
+        self.cur_tile = 0
+        # delta QP (QG == CTB: diff_cu_qp_delta_depth is always 0 here,
+        # so qPY_A/B fall outside the CTB and qPY_PRED == qPY_PREV)
+        self.dqp = bool(pps.cu_qp_delta_enabled)
+        self.qp_ctb = (np.asarray(decisions["qp_ctb"], np.int32)
+                       if self.dqp else None)
+        self.qp_prev = sh.qp
+        self.qg_qp = sh.qp
+        self.qg_pred = sh.qp
+        self.qg_coded = True
+
+    def reset_qp_chain(self) -> None:
+        """qPY_PREV reset at slice / tile / WPP-row starts."""
+        self.qp_prev = self.sh.qp
 
     # -- neighbor helpers ----------------------------------------------------
 
     def _coded_at(self, x: int, y: int) -> bool:
         if x < 0 or y < 0 or x >= self.sps.width or y >= self.sps.height:
+            return False
+        if self.tile4 is not None and \
+                self.tile4[y >> 2, x >> 2] != self.cur_tile:
             return False
         return bool(self.coded[y >> 2, x >> 2])
 
@@ -76,9 +96,47 @@ class MdIntraWriter:
     def write_ctu(self, ctu_y: int, ctu_x: int) -> None:
         x0 = ctu_x * self.sps.ctb_size
         y0 = ctu_y * self.sps.ctb_size
+        left_ok, up_ok = ctu_x > 0, ctu_y > 0
+        if self.tile_ctb is not None:
+            tid = self.tile_ctb[ctu_y, ctu_x]
+            self.cur_tile = int(tid)
+            left_ok = left_ok and self.tile_ctb[ctu_y, ctu_x - 1] == tid
+            up_ok = up_ok and self.tile_ctb[ctu_y - 1, ctu_x] == tid
         if self.sao_w is not None:
-            self.sao_w.write(self.cab, ctu_y, ctu_x, ctu_x > 0, ctu_y > 0)
+            self.sao_w.write(self.cab, ctu_y, ctu_x, left_ok, up_ok)
+        if self.dqp:
+            self.qg_pred = self.qp_prev
+            self.qg_qp = int(self.qp_ctb[ctu_y, ctu_x])
+            self.qg_coded = False
+            # the device final-QP chain guarantees qg_qp == qg_pred when
+            # the CTB codes no coefficients, so advancing unconditionally
+            # mirrors the decoder's qPY_PREV
+            self.qp_prev = self.qg_qp
         self.coding_quadtree(x0, y0, self.sps.ctb_log2, 0)
+
+    def _write_qp_delta(self) -> None:
+        cab = self.cab
+        v = self.qg_qp - self.qg_pred
+        a = abs(v)
+        prefix = min(a, 5)
+        cab.encode_bin(ContextSet.idx("cu_qp_delta_abs", 0),
+                       1 if prefix > 0 else 0)
+        for i in range(1, prefix):
+            cab.encode_bin(ContextSet.idx("cu_qp_delta_abs", 1), 1)
+        if 0 < prefix < 5:
+            cab.encode_bin(ContextSet.idx("cu_qp_delta_abs", 1), 0)
+        if prefix == 5:                      # EG0 suffix: N = a - 5
+            rem = a - 5
+            k = (rem + 1).bit_length() - 1
+            suffix = rem - ((1 << k) - 1)
+            for _ in range(k):
+                cab.encode_bin_ep(1)
+            cab.encode_bin_ep(0)
+            for i in range(k - 1, -1, -1):
+                cab.encode_bin_ep((suffix >> i) & 1)
+        if a:
+            cab.encode_bin_ep(1 if v < 0 else 0)
+        self.qg_coded = True
 
     # api intra loop compatibility (encode_ctu takes (x, y))
     def encode_ctu(self, ctu_x: int, ctu_y: int) -> None:
@@ -162,6 +220,8 @@ class MdIntraWriter:
         cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cb)
         cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cr)
         cab.encode_bin(ContextSet.idx("cbf_luma", 1), cbf_y)
+        if self.dqp and not self.qg_coded and (cbf_y or cbf_cb or cbf_cr):
+            self._write_qp_delta()
         if cbf_y:
             scan = intra_mode_scan_idx(mode, log2_size, False)
             encode_residual(cab, lv_y, log2_size, 0, scan, self.sdh)

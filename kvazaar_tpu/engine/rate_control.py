@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 
 class RateControl:
     MIN_QP, MAX_QP = 0, 51
@@ -31,6 +33,47 @@ class RateControl:
         # virtual buffer: positive = we have spent less than allotted
         self.surplus = 0.0
         self._last: tuple[float, float] | None = None  # (lambda, bpp used)
+        # LCU-level allocation state (kvazaar rate_control.c
+        # lcu_allocate_bits / kvz_set_lcu_lambda_and_qp analog):
+        # per-CTB bit weights measured from the previous frame
+        self.lcu_bits: np.ndarray | None = None
+
+    # -- LCU-level QP map ------------------------------------------------------
+
+    def lcu_qp_map(self, shape: tuple[int, int], frame_qp: int,
+                   is_idr: bool, y_plane=None) -> np.ndarray:
+        """Per-CTB QP from lambda-domain bit allocation. Weights come
+        from the previous frame's measured per-CTB bits; the first frame
+        falls back to source-activity (variance) weighting."""
+        rc, cc = shape
+        if self.lcu_bits is not None and self.lcu_bits.shape == shape:
+            w = self.lcu_bits.astype(np.float64) + 1.0
+        elif y_plane is not None:
+            y = np.asarray(y_plane, np.float64)
+            w = y.reshape(rc, 64, cc, 64).var(axis=(1, 3)) + 1.0
+        else:
+            w = np.ones(shape)
+        w = w / w.sum()
+        target = self.frame_target_bits(is_idr)
+        lam_frame = (self._last[0] if self._last is not None
+                     else self.alpha * (target / self.pixels) ** self.beta)
+        bits_i = target * w
+        bpp_i = np.maximum(bits_i / (64 * 64), 1e-6)
+        lam_i = self.alpha * bpp_i ** self.beta
+        # clip to the frame lambda band (eq. 26, rate_control.c:1135-38)
+        lam_i = np.clip(lam_i, lam_frame * 0.6299605249474366,
+                        lam_frame * 1.5874010519681994)
+        qp_i = np.round(4.2005 * np.log(lam_i) + 13.7122)
+        qp_i = np.clip(qp_i, frame_qp - 2, frame_qp + 2)
+        return np.clip(qp_i, self.MIN_QP, self.MAX_QP).astype(np.int32)
+
+    def update_lcu(self, bits_map: np.ndarray) -> None:
+        """Feed the measured per-CTB bits of the last written frame."""
+        bits_map = np.asarray(bits_map, np.float64)
+        if self.lcu_bits is None or self.lcu_bits.shape != bits_map.shape:
+            self.lcu_bits = bits_map
+        else:
+            self.lcu_bits = 0.5 * self.lcu_bits + 0.5 * bits_map
 
     # -- QP decision -----------------------------------------------------------
 
@@ -71,8 +114,10 @@ class RateControl:
         lam_comp = self.alpha * (bpp_real ** self.beta)
         lam_comp = min(max(lam_comp, 0.1), 10000.0)
         err = math.log(lam_used) - math.log(lam_comp)
-        # K0103 adaptation rates
+        # K0103 adaptation rates; log(bpp) enters clipped to [-5, -1]
+        # (reference update_parameters, rate_control.c:157) so the beta
+        # step always opposes the lambda error even at bpp > 1
         self.alpha += 0.10 * err * self.alpha
-        self.beta += 0.05 * err * math.log(bpp_real)
+        self.beta += 0.05 * err * min(max(math.log(bpp_real), -5.0), -1.0)
         self.alpha = min(max(self.alpha, 0.05), 20.0)
         self.beta = min(max(self.beta, -3.0), -0.1)

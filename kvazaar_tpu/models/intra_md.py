@@ -44,7 +44,9 @@ from .intra_pipeline import IntraPipeline, _hadamard
 
 
 def _morton(rows: int, cols: int) -> np.ndarray:
-    """Morton (z-order) code per cell — the coding-order key."""
+    """Coding-order key per 8x8 cell: CTB raster index, then Morton
+    (z-order) within the CTB. Plain whole-grid Morton would be wrong for
+    non-square CTB grids (it would order CTB(1,1) before CTB(0,2))."""
     r = np.arange(rows, dtype=np.int64)[:, None]
     c = np.arange(cols, dtype=np.int64)[None, :]
 
@@ -56,7 +58,10 @@ def _morton(rows: int, cols: int) -> np.ndarray:
         v = (v | (v << 1)) & 0x55555555
         return v
 
-    return (2 * spread(r) + spread(c)).astype(np.int32)
+    ctbs_per_row = (cols + 7) // 8
+    ctb_idx = (r >> 3) * ctbs_per_row + (c >> 3)
+    inner = 2 * spread(r & 7) + spread(c & 7)
+    return (ctb_idx * 64 + inner).astype(np.int32)
 
 
 class MdIntraPipeline(IntraPipeline):
@@ -72,10 +77,15 @@ class MdIntraPipeline(IntraPipeline):
     def __init__(self, height: int, width: int, qp: int,
                  deblock: bool = False, deblock_beta: int = 0,
                  deblock_tc: int = 0, sao: str = "off",
-                 sign_hiding: bool = False, rdoq: bool = False) -> None:
+                 sign_hiding: bool = False, rdoq: bool = False,
+                 delta_qp: bool = False, wpp: bool = False) -> None:
         assert height % self.CTB == 0 and width % self.CTB == 0
         self.sign_hiding = sign_hiding
         self.rdoq = rdoq
+        # delta_qp: per-CTB QP maps (VAQ/ROI/LCU rate control); wpp only
+        # affects the final-QP chain (qPY_PREV resets per CTB row)
+        self.delta_qp = delta_qp
+        self.wpp = wpp
         self.h, self.w, self.qp = height, width, qp
         self.deblock = deblock
         self.deblock_beta = deblock_beta
@@ -132,14 +142,24 @@ class MdIntraPipeline(IntraPipeline):
         # retraces (f32 scalar)
         self.lam2 = jnp.asarray(
             [0.57 * 2.0 ** ((qp - 12) / 3.0)], jnp.float32)
+        if delta_qp:
+            rc, cc = height // self.CTB, width // self.CTB
+            self.qpmap_y = jnp.full((rc, cc), qp, jnp.int32)
+            self.qpmap_c = jnp.full((rc, cc), self.qp_c, jnp.int32)
+            self.lammap = jnp.full(
+                (rc, cc), 0.57 * 2.0 ** ((qp - 12) / 3.0), jnp.float32)
 
-        self.consts = {k: getattr(self, k) for k in self.CONST_KEYS}
+        self.consts = {k: getattr(self, k) for k in self.const_keys()}
         self._full = jax.jit(self._with_consts(self._full_impl))
 
     CONST_KEYS = ("g8l", "g16l", "g32l", "f8", "f16l", "f32", "g4c",
                   "g8cc", "g16c", "t4", "t8", "t16", "t32", "h8", "m8",
                   "sdh_ord", "sdh_inv", "hash_mask_y", "hash_mask_c",
                   "qp2", "lam2")
+
+    def const_keys(self):
+        return self.CONST_KEYS + (("qpmap_y", "qpmap_c", "lammap")
+                                  if self.delta_qp else ())
 
     def _consts_for(self, qp: int | None):
         if qp is None or qp == self.qp:
@@ -148,6 +168,13 @@ class MdIntraPipeline(IntraPipeline):
         consts["qp2"] = jnp.asarray([qp, chroma_qp(qp)], jnp.int32)
         consts["lam2"] = jnp.asarray(
             [0.57 * 2.0 ** ((qp - 12) / 3.0)], jnp.float32)
+        if self.delta_qp:
+            rc, cc = self.h // self.CTB, self.w // self.CTB
+            consts["qpmap_y"] = jnp.full((rc, cc), qp, jnp.int32)
+            consts["qpmap_c"] = jnp.full((rc, cc), chroma_qp(qp),
+                                         jnp.int32)
+            consts["lammap"] = jnp.full(
+                (rc, cc), 0.57 * 2.0 ** ((qp - 12) / 3.0), jnp.float32)
         return consts
 
     # ------------------------------------------------------------------
@@ -280,6 +307,9 @@ class MdIntraPipeline(IntraPipeline):
         L = levels.shape[0]
         g = n // 4
         big = jnp.int32(1 << 30)
+        qbits = jnp.asarray(qbits)
+        if qbits.ndim:                       # per-block QP: [L,1,1]->[L,1]
+            qbits = qbits.reshape(L, 1)
 
         def reorder(x, om):
             x = x.reshape(L, g, 4, g, 4)
@@ -322,9 +352,29 @@ class MdIntraPipeline(IntraPipeline):
     # stage 1+2: mode search and partition DP
     # ------------------------------------------------------------------
 
+    def _ctb_vec(self, m: jax.Array, n: int) -> jax.Array:
+        """Per-aligned-n-block vector of a per-CTB map value [B]."""
+        rows, cols = self.h // n, self.w // n
+        k = self.CTB // n
+        r = jnp.arange(rows) // k
+        c = jnp.arange(cols) // k
+        return m[r[:, None], c[None, :]].reshape(-1)
+
+    def _qp_lam_for(self, n: int):
+        """(qp_y, qp_c, lam) per aligned n-block — scalars without
+        delta-QP, [B] vectors with."""
+        if not self.delta_qp:
+            return self.qp2[0], self.qp2[1], self.lam2[0]
+        return (self._ctb_vec(self.qpmap_y, n),
+                self._ctb_vec(self.qpmap_c, n),
+                self._ctb_vec(self.lammap, n))
+
     def _leaf_rd(self, src_y, src_cb, src_cr, n, g, f, gc, t, tc, lam):
         """Best mode + RD cost for every aligned n-block.
         Returns (modes [B], cost [B] f32)."""
+        qp_y, qp_c, lam_n = self._qp_lam_for(n)
+        if self.delta_qp:
+            lam = lam_n
         refs = self._src_refs(src_y, n)
         preds = self._preds_full(refs, g, f, n, True)
         blocks = self._blocks(src_y, n)
@@ -334,7 +384,7 @@ class MdIntraPipeline(IntraPipeline):
         pred = jnp.take_along_axis(
             preds, modes[:, None, None], axis=1)[:, 0].reshape(-1, n, n)
         resi = blocks - pred
-        levels, r2 = self._transform_quant_plain(resi, t, self.qp2[0], n)
+        levels, r2 = self._transform_quant_plain(resi, t, qp_y, n)
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
         rate = self._rate_bins(levels) + \
             self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
@@ -346,8 +396,7 @@ class MdIntraPipeline(IntraPipeline):
             cpred = self._pred_one(crefs, modes, gc, gc, nc, False)
             cblocks = self._blocks(plane, nc)
             cresi = cblocks - cpred.reshape(-1, nc, nc)
-            clev, cr2 = self._transform_quant_plain(cresi, tc, self.qp2[1],
-                                                    nc)
+            clev, cr2 = self._transform_quant_plain(cresi, tc, qp_c, nc)
             cdist = ((cresi - cr2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
             crate = self._rate_bins(clev) + \
                 self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
@@ -377,18 +426,23 @@ class MdIntraPipeline(IntraPipeline):
                                   lam)
         r16, c16n = self.h // 16, self.w // 16
         r32, c32n = self.h // 32, self.w // 32
+        if self.delta_qp:
+            lam16 = self._ctb_vec(self.lammap, 16).reshape(r16, c16n)
+            lam32 = self._ctb_vec(self.lammap, 32).reshape(r32, c32n)
+        else:
+            lam16 = lam32 = lam
 
         def sum4(c, rows, cols):
             return c.reshape(rows, 2, cols, 2).sum(axis=(1, 3))
 
         c8m = c8c.reshape(self.r8, self.c8)
-        sum8 = sum4(c8m, r16, c16n) + lam * (4 * 1.0)  # part_mode bins
+        sum8 = sum4(c8m, r16, c16n) + lam16 * (4 * 1.0)  # part_mode bins
         leaf16 = c16c.reshape(r16, c16n)
-        split16 = sum8 + lam * self.SPLIT_BITS < leaf16
-        best16 = jnp.where(split16, sum8 + lam * self.SPLIT_BITS, leaf16)
-        sum16 = sum4(best16, r32, c32n) + lam * 4 * self.SPLIT_BITS
+        split16 = sum8 + lam16 * self.SPLIT_BITS < leaf16
+        best16 = jnp.where(split16, sum8 + lam16 * self.SPLIT_BITS, leaf16)
+        sum16 = sum4(best16, r32, c32n) + lam32 * 4 * self.SPLIT_BITS
         leaf32 = c32c.reshape(r32, c32n)
-        split32 = sum16 + lam * self.SPLIT_BITS < leaf32
+        split32 = sum16 + lam32 * self.SPLIT_BITS < leaf32
         # expand decisions to the 8-grid
         e32 = jnp.repeat(jnp.repeat(split32, 2, 0), 2, 1)  # [r16, c16]
         sz16 = jnp.where(~e32, 32, jnp.where(split16, 8, 16))
@@ -555,6 +609,13 @@ class MdIntraPipeline(IntraPipeline):
         nbl = n_bl.reshape(-1)[ids_c]
         ntr = n_tr.reshape(-1)[ids_c]
         modes = modes_map8[r * k, c * k]
+        if self.delta_qp:
+            ctb_r = (r * s) // self.CTB
+            ctb_c = (c * s) // self.CTB
+            qp_y = self.qpmap_y[ctb_r, ctb_c]
+            qp_c = self.qpmap_c[ctb_r, ctb_c]
+        else:
+            qp_y, qp_c = self.qp2[0], self.qp2[1]
         src_y, src_cb, src_cr = srcs
         g, f, gc, t, tc = {
             8: (self.g8l, self.f8, self.g4c, self.t8, self.t4),
@@ -597,14 +658,14 @@ class MdIntraPipeline(IntraPipeline):
             size = shape[0] * hh * ww
             return jnp.where(valid[:, None, None], fi, size).reshape(-1)
 
-        rb, lb, y0, x0 = plane(luma[0], src_y, s, 8, self.qp2[0], t, True)
+        rb, lb, y0, x0 = plane(luma[0], src_y, s, 8, qp_y, t, True)
         idx_l = jnp.concatenate([flat_idx(luma.shape, 0, y0, x0, s),
                                  flat_idx(luma.shape, 1, y0, x0, s)])
         val_l = jnp.concatenate([rb.reshape(-1), lb.reshape(-1)])
         sc = s // 2
-        rbc, lbc, y0c, x0c = plane(chroma[0], src_cb, sc, 4, self.qp2[1],
+        rbc, lbc, y0c, x0c = plane(chroma[0], src_cb, sc, 4, qp_c,
                                    tc, False)
-        rbr, lbr, _, _ = plane(chroma[1], src_cr, sc, 4, self.qp2[1],
+        rbr, lbr, _, _ = plane(chroma[1], src_cr, sc, 4, qp_c,
                                tc, False)
         idx_c = jnp.concatenate([flat_idx(chroma.shape, p_, y0c, x0c, sc)
                                  for p_ in range(4)])
@@ -673,6 +734,30 @@ class MdIntraPipeline(IntraPipeline):
     # full frame
     # ------------------------------------------------------------------
 
+    def _final_qp(self, lvl_y, lvl_cb, lvl_cr) -> jax.Array:
+        """Final per-CTB QP (spec 8.6.1 via the qPY_PREV chain): a CTB
+        with no coded coefficients never codes its delta, so its QP is
+        the running predecessor QP (slice QP at frame/row start)."""
+        rc, cc = self.h // self.CTB, self.w // self.CTB
+        n, nc2 = self.CTB, self.CTB // 2
+        cbf = ((lvl_y.reshape(rc, n, cc, n) != 0).any(axis=(1, 3))
+               | (lvl_cb.reshape(rc, nc2, cc, nc2) != 0).any(axis=(1, 3))
+               | (lvl_cr.reshape(rc, nc2, cc, nc2) != 0).any(axis=(1, 3)))
+        qs = self.qp2[0]
+        if self.wpp:
+            pos = jnp.where(cbf, jnp.arange(cc)[None, :], -1)
+            last = jax.lax.cummax(pos, axis=1)
+            return jnp.where(last >= 0,
+                             jnp.take_along_axis(
+                                 self.qpmap_y, jnp.maximum(last, 0),
+                                 axis=1), qs).astype(jnp.int32)
+        flat_cbf = cbf.reshape(-1)
+        pos = jnp.where(flat_cbf, jnp.arange(rc * cc), -1)
+        last = jax.lax.cummax(pos)
+        fq = jnp.where(last >= 0,
+                       self.qpmap_y.reshape(-1)[jnp.maximum(last, 0)], qs)
+        return fq.reshape(rc, cc).astype(jnp.int32)
+
     def _edge_maps(self, size_map8):
         """Deblocking BS=2 maps on the TU grid from the partition."""
         h, w = self.h, self.w
@@ -700,12 +785,24 @@ class MdIntraPipeline(IntraPipeline):
         lvl_y = luma[1, 1:1 + h, 1:1 + w]
         lvl_cb = chroma[2, 1:1 + h // 2, 1:1 + w // 2]
         lvl_cr = chroma[3, 1:1 + h // 2, 1:1 + w // 2]
+        fq = None
+        if self.delta_qp:
+            fq = self._final_qp(lvl_y, lvl_cb, lvl_cr)
         if self.deblock:
             from ..ops.deblock_jax import deblock_frame_jax
             bs_ver, bs_hor = self._edge_maps(size_map8)
-            ry, rcb, rcr = deblock_frame_jax(
-                ry, rcb, rcr, bs_ver, bs_hor, self.qp2[0], self.qp2[1],
-                self.qp2[1], self.deblock_beta, self.deblock_tc)
+            if self.delta_qp:
+                qp4 = jnp.repeat(jnp.repeat(fq, self.CTB // 4, 0),
+                                 self.CTB // 4, 1)
+                ry, rcb, rcr = deblock_frame_jax(
+                    ry, rcb, rcr, bs_ver, bs_hor, self.qp2[0],
+                    self.qp2[1], self.qp2[1], self.deblock_beta,
+                    self.deblock_tc, qp4=qp4)
+            else:
+                ry, rcb, rcr = deblock_frame_jax(
+                    ry, rcb, rcr, bs_ver, bs_hor, self.qp2[0],
+                    self.qp2[1], self.qp2[1], self.deblock_beta,
+                    self.deblock_tc)
         sao_out = {}
         if self.sao:
             from ..ops.sao_jax import sao_chroma, sao_luma
@@ -744,6 +841,8 @@ class MdIntraPipeline(IntraPipeline):
                               sse(rcr, src_cr)]),
             **sao_out,
         }
+        if fq is not None:
+            out["qp_ctb"] = fq.astype(jnp.int8)
         ovf = jnp.bool_(False)
         for name, lv in (("y", lvl_y), ("cb", lvl_cb), ("cr", lvl_cr)):
             mask_u8, vals, o = self._sparse_pack(lv)
@@ -757,15 +856,28 @@ class MdIntraPipeline(IntraPipeline):
     # host interface
     # ------------------------------------------------------------------
 
-    def submit(self, src_y, src_cb, src_cr, qp: int | None = None):
-        out = self._full(self._consts_for(qp),
+    def submit(self, src_y, src_cb, src_cr, qp: int | None = None,
+               consts_extra: dict | None = None, qp_map=None):
+        consts = self._consts_for(qp)
+        if qp_map is not None:
+            assert self.delta_qp
+            qm = np.asarray(qp_map, np.int32)
+            consts = dict(consts)
+            consts["qpmap_y"] = jnp.asarray(qm)
+            consts["qpmap_c"] = jnp.asarray(
+                np.vectorize(chroma_qp)(qm).astype(np.int32))
+            consts["lammap"] = jnp.asarray(
+                0.57 * 2.0 ** ((qm - 12) / 3.0), jnp.float32)
+        if consts_extra:
+            consts = {**consts, **consts_extra}
+        out = self._full(consts,
                          jnp.asarray(src_y, jnp.uint8),
                          jnp.asarray(src_cb, jnp.uint8),
                          jnp.asarray(src_cr, jnp.uint8))
         for k, v in out.items():
             if (k.startswith(("lmask_", "lvals_", "sao_"))
                     or k in ("hash", "sse", "size_map8", "mode_map8",
-                             "lvl_ovf")):
+                             "lvl_ovf", "qp_ctb")):
                 try:
                     v.copy_to_host_async()
                 except (AttributeError, RuntimeError):
@@ -774,7 +886,8 @@ class MdIntraPipeline(IntraPipeline):
 
     def materialize(self, out):
         res = {k: (np.asarray(v)
-                   if k in ("hash", "sse", "size_map8", "mode_map8")
+                   if k in ("hash", "sse", "size_map8", "mode_map8",
+                            "qp_ctb")
                    or k.startswith("sao_") else v)
                for k, v in out.items()}
         if bool(np.asarray(out["lvl_ovf"])):

@@ -356,6 +356,9 @@ class IntraPipeline:
         L = levels.shape[0]
         g = n // 4
         big = jnp.int32(1 << 30)
+        qbits = jnp.asarray(qbits)
+        if qbits.ndim:                       # per-block QP: [L,1,1]->[L,1]
+            qbits = qbits.reshape(L, 1)
 
         def reorder(x):
             x = x.reshape(L, g, 4, g, 4)
@@ -449,7 +452,8 @@ class IntraPipeline:
     def _transform_quant(self, resi: jax.Array, t: jax.Array, qp: int,
                          n: int) -> tuple[jax.Array, jax.Array]:
         """Forward transform + quant + dequant + inverse; exact int32.
-        resi [L, n, n] -> (levels, recon_resi)."""
+        resi [L, n, n] -> (levels, recon_resi). qp: traced device scalar
+        or a per-block [L] vector (delta-QP paths)."""
         log2n = int(np.log2(n))
         bd = 8
         shift1 = log2n + bd - 9
@@ -461,16 +465,18 @@ class IntraPipeline:
         co = jnp.einsum("ij,ljk->lik", tt, jnp.swapaxes(tmp, 1, 2),
                         preferred_element_type=jnp.int32)
         co = (co + (1 << (shift2 - 1))) >> shift2
-        # quant
+        # quant (qp quantities broadcast [L, 1, 1] when qp is a vector)
+        qp = jnp.asarray(qp)
+        qb = qp if qp.ndim == 0 else qp[:, None, None]
         tshift = 15 - bd - log2n
-        qbits = 14 + qp // 6 + tshift  # traced: qp is a device scalar
-        scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qp % 6]
+        qbits = 14 + qb // 6 + tshift
+        scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qb % 6]
         offset = jnp.left_shift(171, qbits - 9)
-        levels = self._quant_levels(co, scale, qbits, offset, qp, log2n)
+        levels = self._quant_levels(co, scale, qbits, offset, qb, log2n)
         # dequant
         dshift = bd + log2n - 9
         dscale = jnp.left_shift(
-            jnp.asarray(INV_QUANT_SCALES, jnp.int32)[qp % 6], qp // 6)
+            jnp.asarray(INV_QUANT_SCALES, jnp.int32)[qb % 6], qb // 6)
         deq = (levels * dscale + (1 << (dshift - 1))) >> dshift
         deq = jnp.clip(deq, -32768, 32767).astype(jnp.int32)
         # inverse

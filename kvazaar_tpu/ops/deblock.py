@@ -129,13 +129,19 @@ def _filter_chroma_edge_cols(rec: np.ndarray, x: int, ys: np.ndarray,
 
 
 def deblock_frame(rec_y, rec_cb, rec_cr, bs_ver, bs_hor, qp,
-                  qp_cb, qp_cr, beta_off, tc_off, bit_depth=8):
+                  qp_cb, qp_cr, beta_off, tc_off, bit_depth=8,
+                  qp4=None, cb_qp_off=0, cr_qp_off=0):
     """Deblock a 4:2:0 picture in place.
 
     bs_ver [H/4, W/8] / bs_hor [H/8, W/4]: luma-grid boundary strengths
     (bool maps mean BS 2 everywhere flagged). Chroma edges/strengths are
     derived from the luma maps (4:2:0; chroma filtered where BS == 2 at
     16-aligned luma columns/rows, 2 chroma rows per luma segment).
+
+    qp4: optional per-4x4 luma QP map [H/4, W/4] (delta-QP streams) —
+    each edge then uses qpL = (QpQ + QpP + 1) >> 1 of its two sides
+    (spec 8.7.2.5.3); qp_cb/qp_cr are ignored and chroma QPs derive from
+    qpL via the chroma table with cb_qp_off/cr_qp_off.
     """
     if bs_ver.dtype == bool:
         bs_ver = bs_ver.astype(np.int8) * 2
@@ -143,44 +149,103 @@ def deblock_frame(rec_y, rec_cb, rec_cr, bs_ver, bs_hor, qp,
         bs_hor = bs_hor.astype(np.int8) * 2
     rec_y = rec_y.astype(np.int32, copy=False)
     h, w = rec_y.shape
-    beta_idx = int(np.clip(qp + (beta_off << 1), 0, 51))
-    beta = int(BETA_TABLE[beta_idx]) << (bit_depth - 8)
+
+    def beta_for(q):
+        idx = int(np.clip(q + (beta_off << 1), 0, 51))
+        return int(BETA_TABLE[idx]) << (bit_depth - 8)
 
     def tc_for(q, bs):
         idx = int(np.clip(q + 2 * (bs - 1) + (tc_off << 1), 0, 53))
         return int(TC_TABLE[idx]) << (bit_depth - 8)
 
-    # ---- luma ----
+    def seg_groups_ver(bsmap, xe, bs, px, py_scale, qoff):
+        """Group segment rows of one edge column by their edge QP.
+        Yields (qpl, rows_array)."""
+        rows = np.nonzero(bsmap[:, xe] == bs)[0]
+        if len(rows) == 0:
+            return
+        if qp4 is None:
+            yield qp, rows * py_scale
+            return
+        # luma-grid 4x4 indices of the q/p sides of this edge
+        y4 = rows * py_scale // 4
+        qx4 = px // 4
+        px4 = (px - 1) // 4
+        qps = (qp4[y4, qx4].astype(int) + qp4[y4, px4] + 1) >> 1
+        for val in np.unique(qps):
+            yield int(val) + qoff, rows[qps == val] * py_scale
+
+    # ---- luma: vertical edges ----
     for bs in (1, 2):
-        tc = tc_for(qp, bs)
         for xe in range(1, w // 8):
-            ys = np.nonzero(bs_ver[:, xe] == bs)[0] * 4
-            _filter_luma_edge_cols(rec_y, xe * 8, ys, beta, tc, bit_depth)
+            for qpl, ys in seg_groups_ver(bs_ver, xe, bs, xe * 8, 4, 0):
+                _filter_luma_edge_cols(rec_y, xe * 8, ys, beta_for(qpl),
+                                       tc_for(qpl, bs), bit_depth)
+    # horizontal edges on the transposed plane
     rec_t = np.ascontiguousarray(rec_y.T)
+    qp4_t = qp4.T if qp4 is not None else None
     for bs in (1, 2):
-        tc = tc_for(qp, bs)
         for ye in range(1, h // 8):
-            xs = np.nonzero(bs_hor[ye, :] == bs)[0] * 4
-            _filter_luma_edge_cols(rec_t, ye * 8, xs, beta, tc, bit_depth)
+            rows = np.nonzero(bs_hor[ye, :] == bs)[0]
+            if len(rows) == 0:
+                continue
+            if qp4 is None:
+                groups = [(qp, rows * 4)]
+            else:
+                x4 = rows
+                qy4 = (ye * 8) // 4
+                py4 = (ye * 8 - 1) // 4
+                qps = (qp4[qy4, x4].astype(int) + qp4[py4, x4] + 1) >> 1
+                groups = [(int(v), rows[qps == v] * 4)
+                          for v in np.unique(qps)]
+            for qpl, xs in groups:
+                _filter_luma_edge_cols(rec_t, ye * 8, xs, beta_for(qpl),
+                                       tc_for(qpl, bs), bit_depth)
     rec_y[:] = rec_t.T
 
     # ---- chroma (BS == 2 only) ----
-    for plane, q in ((rec_cb, qp_cb), (rec_cr, qp_cr)):
+    from ..tables import chroma_qp as _cqp
+    for plane, q_scalar, qoff in ((rec_cb, qp_cb, cb_qp_off),
+                                  (rec_cr, qp_cr, cr_qp_off)):
         plane = plane.astype(np.int32, copy=False)
         hc, wc = plane.shape
-        tc2 = tc_for(q, 2)
         # ceil bounds: an 8-aligned chroma edge exists wherever the
         # 16-aligned LUMA edge is inside the picture, even when the
         # chroma dimension is not a multiple of 8 (e.g. hc = 20)
         for xec in range(1, -(-wc // 8)):
-            ys = np.nonzero(bs_ver[:, 2 * xec] == 2)[0] * 2
-            _filter_chroma_edge_cols(plane, xec * 8, ys, tc2, bit_depth,
-                                     seg_h=2)
+            rows = np.nonzero(bs_ver[:, 2 * xec] == 2)[0]
+            if len(rows) == 0:
+                continue
+            if qp4 is None:
+                groups = [(q_scalar, rows * 2)]
+            else:
+                y4 = rows
+                qx4 = (xec * 16) // 4
+                px4 = (xec * 16 - 1) // 4
+                qpl = (qp4[y4, qx4].astype(int) + qp4[y4, px4] + 1) >> 1
+                groups = [(_cqp(int(v), qoff), rows[qpl == v] * 2)
+                          for v in np.unique(qpl)]
+            for qc, ys in groups:
+                _filter_chroma_edge_cols(plane, xec * 8, ys,
+                                         tc_for(qc, 2), bit_depth,
+                                         seg_h=2)
         pt = np.ascontiguousarray(plane.T)
         for yec in range(1, -(-hc // 8)):
-            xs = np.nonzero(bs_hor[2 * yec, :] == 2)[0] * 2
-            _filter_chroma_edge_cols(pt, yec * 8, xs, tc2, bit_depth,
-                                     seg_h=2)
+            rows = np.nonzero(bs_hor[2 * yec, :] == 2)[0]
+            if len(rows) == 0:
+                continue
+            if qp4 is None:
+                groups = [(q_scalar, rows * 2)]
+            else:
+                x4 = rows
+                qy4 = (yec * 16) // 4
+                py4 = (yec * 16 - 1) // 4
+                qpl = (qp4[qy4, x4].astype(int) + qp4[py4, x4] + 1) >> 1
+                groups = [(_cqp(int(v), qoff), rows[qpl == v] * 2)
+                          for v in np.unique(qpl)]
+            for qc, xs in groups:
+                _filter_chroma_edge_cols(pt, yec * 8, xs, tc_for(qc, 2),
+                                         bit_depth, seg_h=2)
         plane[:] = pt.T
     return rec_y, rec_cb, rec_cr
 

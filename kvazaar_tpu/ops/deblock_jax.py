@@ -124,6 +124,8 @@ def _chroma_pass_ver(rec, bs2_rows, qp_c, tc_off, bit_depth):
     p1, p0, q0, q1 = (win[..., k] for k in range(4))
     tc_idx = jnp.clip(qp_c + 2 + (tc_off << 1), 0, 53)
     tc = jnp.asarray(TC_TABLE)[tc_idx] << (bit_depth - 8)
+    # qp_c may be a per-edge [S, E] map; line up with the [S, 2, E] rows
+    tc = jnp.broadcast_to(tc, (s, n_e))[:, None, :]
     on = bs2_rows[:, 1:n_e + 1][:, None, :]
     delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
     delta = jnp.where(on, delta, 0)
@@ -135,15 +137,49 @@ def _chroma_pass_ver(rec, bs2_rows, qp_c, tc_off, bit_depth):
     return rec.at[:, cols].set(vals.reshape(hc, -1))
 
 
+# chroma QP mapping (spec table 8-10, 8-bit)
+_CQP = np.arange(58)
+_CQP[30:44] = [29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37]
+_CQP[44:] = _CQP[44:] - 6
+CHROMA_QP_TABLE = _CQP.astype(np.int32)
+
+
+def _edge_qp_ver(qp4, n_e):
+    """Per-edge luma QP for the vertical pass: [H/4, E] from the
+    per-4x4 QP map (spec 8.7.2.5.3: (QpQ + QpP + 1) >> 1)."""
+    xe4 = (jnp.arange(n_e) + 1) * 2
+    return (qp4[:, xe4] + qp4[:, xe4 - 1] + 1) >> 1
+
+
 def deblock_frame_jax(rec_y, rec_cb, rec_cr, bs_ver, bs_hor, qp,
-                      qp_cb, qp_cr, beta_off=0, tc_off=0, bit_depth=8):
+                      qp_cb, qp_cr, beta_off=0, tc_off=0, bit_depth=8,
+                      qp4=None, cb_qp_off=0, cr_qp_off=0):
     """Device deblock of a 4:2:0 picture; bit-exact vs
     ops.deblock.deblock_frame. bs_ver [H/4, W/8] / bs_hor [H/8, W/4]
-    int 0/1/2 (luma grid). qp/qp_cb/qp_cr may be traced scalars."""
+    int 0/1/2 (luma grid). qp/qp_cb/qp_cr may be traced scalars; with
+    qp4 (per-4x4 luma QP map [H/4, W/4], delta-QP streams) every edge
+    uses its own (QpQ + QpP + 1) >> 1 and the chroma QPs derive from it
+    via the chroma table."""
+    h, w = rec_y.shape
+    if qp4 is not None:
+        qp_v = _edge_qp_ver(qp4, w // 8 - 1)
+        qp_h = _edge_qp_ver(qp4.T, h // 8 - 1)
+        ctab = jnp.asarray(CHROMA_QP_TABLE)
+        # chroma edges sit at 16-aligned luma edges (odd edge index);
+        # the chroma 2-row segment grid maps 1:1 onto the luma 4-row
+        # segment grid (4:2:0)
+        qcb_v = ctab[jnp.clip(qp_v[:, 1::2] + cb_qp_off, 0, 57)]
+        qcr_v = ctab[jnp.clip(qp_v[:, 1::2] + cr_qp_off, 0, 57)]
+        qcb_h = ctab[jnp.clip(qp_h[:, 1::2] + cb_qp_off, 0, 57)]
+        qcr_h = ctab[jnp.clip(qp_h[:, 1::2] + cr_qp_off, 0, 57)]
+    else:
+        qp_v = qp_h = qp
+        qcb_v = qcb_h = qp_cb
+        qcr_v = qcr_h = qp_cr
     rec_y = rec_y.astype(jnp.int32)
-    rec_y = _luma_pass_ver(rec_y, bs_ver.astype(jnp.int32), qp,
+    rec_y = _luma_pass_ver(rec_y, bs_ver.astype(jnp.int32), qp_v,
                            beta_off, tc_off, bit_depth)
-    rec_y = _luma_pass_ver(rec_y.T, bs_hor.T.astype(jnp.int32), qp,
+    rec_y = _luma_pass_ver(rec_y.T, bs_hor.T.astype(jnp.int32), qp_h,
                            beta_off, tc_off, bit_depth).T
     # chroma: BS==2 at 16-aligned luma edges only. A chroma 8-aligned
     # column edge xec sits at luma column 16*xec (bs_ver col 2*xec), and
@@ -151,10 +187,12 @@ def deblock_frame_jax(rec_y, rec_cb, rec_cr, bs_ver, bs_hor, qp,
     # segment grid (4:2:0).
     bsv_c = (bs_ver == 2)[:, ::2]            # [Hc/2, Wc/8]
     bsh_c = (bs_hor == 2)[::2, :].T          # [Wc/2, Hc/8] (transposed)
-    out_cb = _chroma_pass_ver(rec_cb.astype(jnp.int32), bsv_c, qp_cb,
+    out_cb = _chroma_pass_ver(rec_cb.astype(jnp.int32), bsv_c, qcb_v,
                               tc_off, bit_depth)
-    out_cr = _chroma_pass_ver(rec_cr.astype(jnp.int32), bsv_c, qp_cr,
+    out_cr = _chroma_pass_ver(rec_cr.astype(jnp.int32), bsv_c, qcr_v,
                               tc_off, bit_depth)
-    out_cb = _chroma_pass_ver(out_cb.T, bsh_c, qp_cb, tc_off, bit_depth).T
-    out_cr = _chroma_pass_ver(out_cr.T, bsh_c, qp_cr, tc_off, bit_depth).T
+    out_cb = _chroma_pass_ver(out_cb.T, bsh_c, qcb_h, tc_off,
+                              bit_depth).T
+    out_cr = _chroma_pass_ver(out_cr.T, bsh_c, qcr_h, tc_off,
+                              bit_depth).T
     return rec_y, out_cb, out_cr

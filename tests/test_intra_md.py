@@ -33,7 +33,10 @@ def test_partition_adapts(rng):
     assert hist[8] + hist[16] > 0  # noise quadrant splits
 
 
-@pytest.mark.parametrize("w,h", [(128, 128), (80, 72), (192, 64)])
+# (192, 128): ≥2 CTB rows x ≥3 CTB cols — regression for the coding-order
+# key (whole-grid Morton ordered CTB(1,1) before CTB(0,2))
+@pytest.mark.parametrize("w,h", [(128, 128), (80, 72), (192, 64),
+                                 (192, 128)])
 @pytest.mark.parametrize("qp,tools", [(22, {}),
                                       (32, dict(signhide_enable=True,
                                                 rdoq_enable=True,
