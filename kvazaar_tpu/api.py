@@ -35,6 +35,7 @@ def build_sps(cfg: Config) -> SPS:
     sps.max_transform_hierarchy_depth_intra = cfg.tr_depth_intra
     sps.max_transform_hierarchy_depth_inter = 0
     sps.sao_enabled = 0 if cfg.sao_type == "off" else 1
+    sps.scaling_list_enabled = 0 if cfg.scaling_list == "off" else 1
     sps.amp_enabled = 1 if cfg.amp_enable else 0
     sps.strong_intra_smoothing = 1 if cfg.strong_intra_smoothing else 0
     sps.temporal_mvp_enabled = 0
@@ -172,6 +173,13 @@ class Encoder:
                 if self.use_md:
                     pipe_kw.update(delta_qp=self.dqp_enabled,
                                    wpp=bool(cfg.wpp))
+                    if cfg.scaling_list != "off":
+                        from .hevc.scaling import ScalingLists
+                        pipe_kw.update(scaling=ScalingLists())
+                elif cfg.scaling_list != "off":
+                    raise NotImplementedError(
+                        "scaling lists require the quadtree device "
+                        "path (ctu-size 64) in this round")
                 if self.tile_grid is not None:
                     from .parallel.tiled import TiledIntraPipeline
                     self._pipeline = TiledIntraPipeline(

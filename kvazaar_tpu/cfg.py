@@ -61,6 +61,8 @@ class Config:
     # (kvazaar --roi: "w h" header + w*h integer deltas)
     vaq: int = 0
     roi_file: str = ""
+    # quantization matrices: "off" or "default" (kvazaar --scaling-list)
+    scaling_list: str = "off"
     slices: str = "none"
     threads: int = 0
 
@@ -112,6 +114,7 @@ class Config:
         "tiles": ("tiles", "tiles"),
         "vaq": ("vaq", int),
         "roi": ("roi_file", str),
+        "scaling-list": ("scaling_list", str),
         "owf": ("owf", int),
         "threads": ("threads", int),
         "rd": ("rd", int),

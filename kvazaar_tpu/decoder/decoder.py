@@ -77,6 +77,7 @@ class _FrameState:
         # and z-scan availability never cross tile boundaries (spec 6.4.1)
         self.tile4 = np.zeros((mh, mw), dtype=np.int32)
         self.tile_grid = None
+        self.scaling = None  # ScalingLists when scaling_list_enabled
         self.qp_map = np.full((mh, mw), self.sh.qp, dtype=np.int8)
         # motion field (per 4x4, per list): mv in qpel, ref poc
         # (-(1<<30) = unused/intra)
@@ -190,7 +191,8 @@ class SliceDecoder:
             self.sps.bit_depth_luma)
 
     def _intra_recon_tu(self, x: int, y: int, log2_size: int, c_idx: int,
-                        mode: int, coeffs: np.ndarray | None) -> None:
+                        mode: int, coeffs: np.ndarray | None,
+                        ts: bool = False) -> None:
         size = 1 << log2_size
         fs = self.fs
         plane = (fs.y, fs.cb, fs.cr)[c_idx]
@@ -209,10 +211,19 @@ class SliceDecoder:
             if c_idx:
                 qp = chroma_qp(qp, self.pps.cb_qp_offset if c_idx == 1
                                else self.pps.cr_qp_offset)
-            deq = ops.dequantize(coeffs, qp, self.sps.bit_depth_luma)
-            is_dst = (c_idx == 0 and log2_size == 2)
-            resi = ops.inverse_transform(deq, is_dst,
-                                         self.sps.bit_depth_luma)
+            m = (fs.scaling.matrix(size, c_idx)
+                 if fs.scaling is not None else None)
+            deq = ops.dequantize(coeffs, qp, self.sps.bit_depth_luma,
+                                 m=m)
+            if ts:
+                bd = self.sps.bit_depth_luma
+                resi = ((deq.astype(np.int64) << 7)
+                        + (1 << (19 - bd))) >> (20 - bd)
+                resi = resi.astype(np.int32)
+            else:
+                is_dst = (c_idx == 0 and log2_size == 2)
+                resi = ops.inverse_transform(deq, is_dst,
+                                             self.sps.bit_depth_luma)
             pred = pred + resi
         max_val = (1 << self.sps.bit_depth_luma) - 1
         plane[py:py + size, px:px + size] = np.clip(pred, 0, max_val)
@@ -892,7 +903,7 @@ class SliceDecoder:
                                    depth, blk_idx, cbf_luma, cbf_cb, cbf_cr)
 
     def _add_residual(self, x: int, y: int, log2_size: int, c_idx: int,
-                      coeffs: np.ndarray) -> None:
+                      coeffs: np.ndarray, ts: bool = False) -> None:
         fs = self.fs
         plane = (fs.y, fs.cb, fs.cr)[c_idx]
         scale = 2 if c_idx else 1
@@ -902,8 +913,16 @@ class SliceDecoder:
         if c_idx:
             qp = chroma_qp(qp, self.pps.cb_qp_offset if c_idx == 1
                            else self.pps.cr_qp_offset)
-        deq = ops.dequantize(coeffs, qp, self.sps.bit_depth_luma)
-        resi = ops.inverse_transform(deq, False, self.sps.bit_depth_luma)
+        m = (fs.scaling.matrix(size, 3 + c_idx)
+             if fs.scaling is not None else None)
+        deq = ops.dequantize(coeffs, qp, self.sps.bit_depth_luma, m=m)
+        if ts:
+            bd = self.sps.bit_depth_luma
+            resi = (((deq.astype(np.int64) << 7)
+                     + (1 << (19 - bd))) >> (20 - bd)).astype(np.int32)
+        else:
+            resi = ops.inverse_transform(deq, False,
+                                         self.sps.bit_depth_luma)
         max_val = (1 << self.sps.bit_depth_luma) - 1
         plane[py:py + size, px:px + size] = np.clip(
             plane[py:py + size, px:px + size] + resi, 0, max_val)
@@ -922,8 +941,9 @@ class SliceDecoder:
         self._maybe_decode_qp_delta(
             bool(cbf_luma or (chroma_here and (cbf_cb or cbf_cr))))
         if cbf_luma:
-            coeffs, _ = decode_residual(self.cab, log2_size, 0, 0, sdh, tse)
-            self._add_residual(x0, y0, log2_size, 0, coeffs)
+            coeffs, ts = decode_residual(self.cab, log2_size, 0, 0, sdh,
+                                         tse)
+            self._add_residual(x0, y0, log2_size, 0, coeffs, ts)
         if log2_size > 2:
             c_log2, cx, cy = log2_size - 1, x0, y0
         elif blk_idx == 3:
@@ -932,9 +952,9 @@ class SliceDecoder:
             return
         for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
             if cbf:
-                coeffs, _ = decode_residual(self.cab, c_log2, c_idx, 0,
-                                            sdh, tse)
-                self._add_residual(cx, cy, c_log2, c_idx, coeffs)
+                coeffs, ts = decode_residual(self.cab, c_log2, c_idx, 0,
+                                             sdh, tse)
+                self._add_residual(cx, cy, c_log2, c_idx, coeffs, ts)
 
     def _coding_unit_intra(self, x0: int, y0: int, log2_size: int) -> None:
         sps = self.sps
@@ -1052,13 +1072,14 @@ class SliceDecoder:
         self._maybe_decode_qp_delta(
             bool(cbf_luma or (chroma_here and (cbf_cb or cbf_cr))))
         coeffs = None
+        ts = False
         if cbf_luma:
             scan = intra_mode_scan_idx(mode, log2_size, False)
-            coeffs, _ = decode_residual(
+            coeffs, ts = decode_residual(
                 self.cab, log2_size, 0, scan,
                 bool(pps.sign_data_hiding_enabled),
                 bool(pps.transform_skip_enabled))
-        self._intra_recon_tu(x0, y0, log2_size, 0, mode, coeffs)
+        self._intra_recon_tu(x0, y0, log2_size, 0, mode, coeffs, ts)
         # chroma (4:2:0): at log2==2, only after the 4th luma TU
         if log2_size > 2:
             c_log2 = log2_size - 1
@@ -1070,13 +1091,15 @@ class SliceDecoder:
             return
         for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
             ccoef = None
+            cts = False
             if cbf:
                 scan = intra_mode_scan_idx(chroma_mode, c_log2, True)
-                ccoef, _ = decode_residual(
+                ccoef, cts = decode_residual(
                     self.cab, c_log2, c_idx, scan,
                     bool(pps.sign_data_hiding_enabled),
                     bool(pps.transform_skip_enabled))
-            self._intra_recon_tu(cx, cy, c_log2, c_idx, chroma_mode, ccoef)
+            self._intra_recon_tu(cx, cy, c_log2, c_idx, chroma_mode,
+                                 ccoef, cts)
 
 
 class HEVCDecoder:
@@ -1157,6 +1180,10 @@ class HEVCDecoder:
                 n1 = sh.num_ref_idx_l1_active_minus1 + 1
                 ref_list1 = [l1[i % len(l1)] for i in range(n1)]
         fs = _FrameState(self.sps, pps, sh)
+        if sps.scaling_list_enabled:
+            from ..hevc.scaling import ScalingLists
+            fs.scaling = (pps.scaling_lists or sps.scaling_lists
+                          or ScalingLists())
         wpp = bool(pps.entropy_coding_sync_enabled)
         tiles = bool(pps.tiles_enabled)
         n_ctu_x = sps.width_in_ctbs

@@ -200,7 +200,12 @@ def write_sps(sps: SPS) -> bytes:
     bw.ue(sps.max_transform_hierarchy_depth_inter)
     bw.ue(sps.max_transform_hierarchy_depth_intra)
     bw.u(sps.scaling_list_enabled, 1)
-    assert not sps.scaling_list_enabled, "scaling lists TODO"
+    if sps.scaling_list_enabled:
+        custom = getattr(sps, "scaling_lists", None)
+        bw.u(1 if custom is not None else 0, 1)
+        if custom is not None:
+            from .scaling import write_scaling_list_data
+            write_scaling_list_data(bw, custom)
     bw.u(sps.amp_enabled, 1)
     bw.u(sps.sao_enabled, 1)
     bw.u(sps.pcm_enabled, 1)
@@ -264,9 +269,11 @@ def parse_sps(data: bytes) -> SPS:
     sps.max_transform_hierarchy_depth_inter = br.ue()
     sps.max_transform_hierarchy_depth_intra = br.ue()
     sps.scaling_list_enabled = br.u(1)
+    sps.scaling_lists = None
     if sps.scaling_list_enabled:
         if br.u(1):
-            raise NotImplementedError("scaling list data")
+            from .scaling import parse_scaling_list_data
+            sps.scaling_lists = parse_scaling_list_data(br)
     sps.amp_enabled = br.u(1)
     sps.sao_enabled = br.u(1)
     sps.pcm_enabled = br.u(1)
@@ -431,8 +438,10 @@ def parse_pps(data: bytes) -> PPS:
         if not pps.deblocking_filter_disabled:
             pps.beta_offset_div2 = br.se()
             pps.tc_offset_div2 = br.se()
+    pps.scaling_lists = None
     if br.u(1):
-        raise NotImplementedError("pps scaling lists")
+        from .scaling import parse_scaling_list_data
+        pps.scaling_lists = parse_scaling_list_data(br)
     pps.lists_modification_present = br.u(1)
     pps.log2_parallel_merge_level = br.ue() + 2
     pps.slice_segment_header_extension_present = br.u(1)

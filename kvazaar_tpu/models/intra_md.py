@@ -78,10 +78,25 @@ class MdIntraPipeline(IntraPipeline):
                  deblock: bool = False, deblock_beta: int = 0,
                  deblock_tc: int = 0, sao: str = "off",
                  sign_hiding: bool = False, rdoq: bool = False,
-                 delta_qp: bool = False, wpp: bool = False) -> None:
+                 delta_qp: bool = False, wpp: bool = False,
+                 scaling=None) -> None:
         assert height % self.CTB == 0 and width % self.CTB == 0
         self.sign_hiding = sign_hiding
         self.rdoq = rdoq
+        # scaling lists: per-position quant tables + dequant matrices
+        # (intra ids: luma 0, chroma 1 — default cb/cr lists are equal)
+        self.use_scaling = scaling is not None
+        if scaling is not None:
+            for n in (8, 16, 32):
+                setattr(self, f"qt{n}",
+                        jnp.asarray(scaling.quant_table(n, 0)))
+                setattr(self, f"dm{n}",
+                        jnp.asarray(scaling.matrix(n, 0), jnp.int32))
+            for n in (4, 8, 16):
+                setattr(self, f"qt{n}c",
+                        jnp.asarray(scaling.quant_table(n, 1)))
+                setattr(self, f"dm{n}c",
+                        jnp.asarray(scaling.matrix(n, 1), jnp.int32))
         # delta_qp: per-CTB QP maps (VAQ/ROI/LCU rate control); wpp only
         # affects the final-QP chain (qPY_PREV resets per CTB row)
         self.delta_qp = delta_qp
@@ -158,8 +173,20 @@ class MdIntraPipeline(IntraPipeline):
                   "qp2", "lam2")
 
     def const_keys(self):
-        return self.CONST_KEYS + (("qpmap_y", "qpmap_c", "lammap")
+        keys = self.CONST_KEYS + (("qpmap_y", "qpmap_c", "lammap")
                                   if self.delta_qp else ())
+        if self.use_scaling:
+            keys = keys + ("qt8", "qt16", "qt32", "dm8", "dm16", "dm32",
+                           "qt4c", "qt8c", "qt16c", "dm4c", "dm8c",
+                           "dm16c")
+        return keys
+
+    def _mats_for(self, n: int, is_luma: bool):
+        if not self.use_scaling:
+            return None
+        sfx = "" if is_luma else "c"
+        return (getattr(self, f"qt{n}{sfx}"),
+                getattr(self, f"dm{n}{sfx}"))
 
     def _consts_for(self, qp: int | None):
         if qp is None or qp == self.qp:
@@ -384,7 +411,8 @@ class MdIntraPipeline(IntraPipeline):
         pred = jnp.take_along_axis(
             preds, modes[:, None, None], axis=1)[:, 0].reshape(-1, n, n)
         resi = blocks - pred
-        levels, r2 = self._transform_quant_plain(resi, t, qp_y, n)
+        levels, r2 = self._transform_quant_plain(
+            resi, t, qp_y, n, mats=self._mats_for(n, True))
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
         rate = self._rate_bins(levels) + \
             self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
@@ -396,7 +424,8 @@ class MdIntraPipeline(IntraPipeline):
             cpred = self._pred_one(crefs, modes, gc, gc, nc, False)
             cblocks = self._blocks(plane, nc)
             cresi = cblocks - cpred.reshape(-1, nc, nc)
-            clev, cr2 = self._transform_quant_plain(cresi, tc, qp_c, nc)
+            clev, cr2 = self._transform_quant_plain(
+                cresi, tc, qp_c, nc, mats=self._mats_for(nc, False))
             cdist = ((cresi - cr2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
             crate = self._rate_bins(clev) + \
                 self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
@@ -404,13 +433,13 @@ class MdIntraPipeline(IntraPipeline):
         cost = dist + lam * (rate + self.MODE_BITS) + ccost
         return modes, cost
 
-    def _transform_quant_plain(self, resi, t, qp, n):
+    def _transform_quant_plain(self, resi, t, qp, n, mats=None):
         """T/Q/IT with plain deadzone quant (search-time costing — the
         recon stage applies RDOQ/SDH per config)."""
         saved = (self.rdoq, self.sign_hiding)
         self.rdoq = self.sign_hiding = False
         try:
-            return self._transform_quant(resi, t, qp, n)
+            return self._transform_quant(resi, t, qp, n, mats=mats)
         finally:
             self.rdoq, self.sign_hiding = saved
 
@@ -639,7 +668,8 @@ class MdIntraPipeline(IntraPipeline):
                     (modes >= 6) & (modes <= 14), 2,
                     jnp.where((modes >= 22) & (modes <= 30), 1, 0))
             try:
-                levels, r2 = self._transform_quant(resi, tm, qp, n)
+                levels, r2 = self._transform_quant(
+                    resi, tm, qp, n, mats=self._mats_for(n, is_luma))
             finally:
                 self._sdh_scan_sel = None
             cbf = jnp.any(levels != 0, axis=(1, 2))

@@ -450,10 +450,12 @@ class IntraPipeline:
         return levels
 
     def _transform_quant(self, resi: jax.Array, t: jax.Array, qp: int,
-                         n: int) -> tuple[jax.Array, jax.Array]:
+                         n: int, mats=None) -> tuple[jax.Array, jax.Array]:
         """Forward transform + quant + dequant + inverse; exact int32.
         resi [L, n, n] -> (levels, recon_resi). qp: traced device scalar
-        or a per-block [L] vector (delta-QP paths)."""
+        or a per-block [L] vector (delta-QP paths). mats: optional
+        (quant_table [6, n, n], dequant matrix m [n, n]) for scaling
+        lists (spec 8.6.3; kvazaar scalinglist.c quant/dequant coeffs)."""
         log2n = int(np.log2(n))
         bd = 8
         shift1 = log2n + bd - 9
@@ -470,14 +472,36 @@ class IntraPipeline:
         qb = qp if qp.ndim == 0 else qp[:, None, None]
         tshift = 15 - bd - log2n
         qbits = 14 + qb // 6 + tshift
-        scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qb % 6]
+        if mats is None:
+            scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qb % 6]
+        else:
+            # per-position forward scale: [n, n] or [L, n, n]
+            scale = jnp.take(mats[0], qp % 6, axis=0)
         offset = jnp.left_shift(171, qbits - 9)
         levels = self._quant_levels(co, scale, qbits, offset, qb, log2n)
         # dequant
-        dshift = bd + log2n - 9
-        dscale = jnp.left_shift(
-            jnp.asarray(INV_QUANT_SCALES, jnp.int32)[qb % 6], qb // 6)
-        deq = (levels * dscale + (1 << (dshift - 1))) >> dshift
+        if mats is None:
+            dscale = jnp.left_shift(
+                jnp.asarray(INV_QUANT_SCALES, jnp.int32)[qb % 6],
+                qb // 6)
+            dshift = bd + log2n - 9
+            deq = (levels * dscale + (1 << (dshift - 1))) >> dshift
+        else:
+            # spec 8.6.3 with m: (lvl*m*ls << qp/6 + rnd) >> bdShift.
+            # int32-safe: fold the qp/6 left shift into the right shift
+            # (exact) and pre-clamp when the fold goes negative — the
+            # final clip to +-32767 absorbs the saturation
+            ils = jnp.asarray(INV_QUANT_SCALES, jnp.int32)[qb % 6]
+            x = levels * mats[1] * ils        # |x| <= 2^15*255*72 < 2^31
+            dshift = bd + log2n - 5           # bdShift
+            s_fold = dshift - qb // 6
+            pos = jnp.maximum(s_fold, 0)
+            bias = jnp.where(pos > 0,
+                             jnp.left_shift(1, jnp.maximum(pos - 1, 0)),
+                             0)
+            d_rs = (x + bias) >> pos
+            d_ls = jnp.clip(x, -40000, 40000) << jnp.maximum(-s_fold, 0)
+            deq = jnp.where(s_fold > 0, d_rs, d_ls)
         deq = jnp.clip(deq, -32768, 32767).astype(jnp.int32)
         # inverse
         ishift1, ishift2 = 7, 20 - bd

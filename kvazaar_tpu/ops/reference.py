@@ -218,14 +218,21 @@ def quantize(coeffs: np.ndarray, qp: int, is_intra: bool,
     return (np.sign(c) * level).astype(np.int32)
 
 
-def dequantize(levels: np.ndarray, qp: int, bit_depth: int = 8) -> np.ndarray:
-    # spec 8.6.3 with flat scaling matrix m=16 folded into the shift:
-    # shift = BitDepth + Log2(nTbS) - 5 - 4
+def dequantize(levels: np.ndarray, qp: int, bit_depth: int = 8,
+               m: np.ndarray | None = None) -> np.ndarray:
+    # spec 8.6.3; with a flat scaling matrix (m=16, the None fast path)
+    # the 16 folds into the shift: shift = BitDepth + Log2(nTbS) - 5 - 4
     n = levels.shape[0]
     log2n = int(np.log2(n))
-    shift = bit_depth + log2n - 9
     scale = int(INV_QUANT_SCALES[qp % 6]) << (qp // 6)
-    d = (levels.astype(np.int64) * scale + (1 << (shift - 1))) >> shift
+    if m is None:
+        shift = bit_depth + log2n - 9
+        d = (levels.astype(np.int64) * scale
+             + (1 << (shift - 1))) >> shift
+    else:
+        shift = bit_depth + log2n - 5      # bdShift
+        d = (levels.astype(np.int64) * m.astype(np.int64) * scale
+             + (1 << (shift - 1))) >> shift
     return np.clip(d, -32768, 32767).astype(np.int32)
 
 
