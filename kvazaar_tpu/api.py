@@ -55,6 +55,7 @@ def build_pps(cfg: Config) -> PPS:
     pps.init_qp = cfg.qp
     pps.sign_data_hiding_enabled = 1 if cfg.signhide_enable else 0
     pps.transform_skip_enabled = 1 if cfg.trskip_enable else 0
+    pps.transquant_bypass_enabled = 1 if cfg.lossless else 0
     pps.entropy_coding_sync_enabled = 1 if cfg.wpp else 0
     pps.deblocking_filter_control_present = 1
     pps.deblocking_filter_disabled = 0 if cfg.deblock_enable else 1
@@ -69,6 +70,13 @@ class Encoder:
 
     def __init__(self, cfg: Config) -> None:
         cfg.validate()
+        if cfg.lossless:
+            # transquant bypass: loop filters never touch bypass samples
+            # and SDH/RDOQ have nothing to optimize
+            cfg.deblock_enable = False
+            cfg.sao_type = "off"
+            cfg.signhide_enable = False
+            cfg.rdoq_enable = False
         self.cfg = cfg
         # device (JAX) compute paths: multi-depth quadtree at CTB 64
         # (all-intra) or the fixed 16x16 grid (intra+inter)
@@ -176,6 +184,14 @@ class Encoder:
                     if cfg.scaling_list != "off":
                         from .hevc.scaling import ScalingLists
                         pipe_kw.update(scaling=ScalingLists())
+                    if cfg.lossless:
+                        pipe_kw.update(lossless=True, deblock=False,
+                                       sao="off", sign_hiding=False,
+                                       rdoq=False)
+                elif cfg.lossless:
+                    raise NotImplementedError(
+                        "lossless requires the quadtree device path "
+                        "(ctu-size 64) in this round")
                 elif cfg.scaling_list != "off":
                     raise NotImplementedError(
                         "scaling lists require the quadtree device "

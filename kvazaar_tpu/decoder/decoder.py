@@ -78,6 +78,9 @@ class _FrameState:
         self.tile4 = np.zeros((mh, mw), dtype=np.int32)
         self.tile_grid = None
         self.scaling = None  # ScalingLists when scaling_list_enabled
+        # per-4x4 transquant-bypass map (lossless CUs): such samples are
+        # exempt from deblocking and SAO (spec 8.7.2/8.7.3)
+        self.bypass4 = np.zeros((mh, mw), dtype=bool)
         self.qp_map = np.full((mh, mw), self.sh.qp, dtype=np.int8)
         # motion field (per 4x4, per list): mv in qpel, ref poc
         # (-(1<<30) = unused/intra)
@@ -207,24 +210,28 @@ class SliceDecoder:
         pred = ops.intra_predict(left, top, corner, size, mode, c_idx > 0,
                                  self.sps.bit_depth_luma)
         if coeffs is not None:
-            qp = int(fs.qp_map[y >> 2, x >> 2])
-            if c_idx:
-                qp = chroma_qp(qp, self.pps.cb_qp_offset if c_idx == 1
-                               else self.pps.cr_qp_offset)
-            m = (fs.scaling.matrix(size, c_idx)
-                 if fs.scaling is not None else None)
-            deq = ops.dequantize(coeffs, qp, self.sps.bit_depth_luma,
-                                 m=m)
-            if ts:
-                bd = self.sps.bit_depth_luma
-                resi = ((deq.astype(np.int64) << 7)
-                        + (1 << (19 - bd))) >> (20 - bd)
-                resi = resi.astype(np.int32)
+            if getattr(self, "cu_bypass", False):
+                pred = pred + coeffs         # lossless: raw residual
             else:
-                is_dst = (c_idx == 0 and log2_size == 2)
-                resi = ops.inverse_transform(deq, is_dst,
-                                             self.sps.bit_depth_luma)
-            pred = pred + resi
+                qp = int(fs.qp_map[y >> 2, x >> 2])
+                if c_idx:
+                    qp = chroma_qp(qp,
+                                   self.pps.cb_qp_offset if c_idx == 1
+                                   else self.pps.cr_qp_offset)
+                m = (fs.scaling.matrix(size, c_idx)
+                     if fs.scaling is not None else None)
+                deq = ops.dequantize(coeffs, qp,
+                                     self.sps.bit_depth_luma, m=m)
+                if ts:
+                    bd = self.sps.bit_depth_luma
+                    resi = ((deq.astype(np.int64) << 7)
+                            + (1 << (19 - bd))) >> (20 - bd)
+                    resi = resi.astype(np.int32)
+                else:
+                    is_dst = (c_idx == 0 and log2_size == 2)
+                    resi = ops.inverse_transform(
+                        deq, is_dst, self.sps.bit_depth_luma)
+                pred = pred + resi
         max_val = (1 << self.sps.bit_depth_luma) - 1
         plane[py:py + size, px:px + size] = np.clip(pred, 0, max_val)
         if c_idx == 0:
@@ -667,8 +674,14 @@ class SliceDecoder:
             fs.edges_hor[y0 >> 3, x0 >> 2:(x0 + w) >> 2] = True
 
     def coding_unit(self, x0: int, y0: int, log2_size: int) -> None:
+        self.cu_bypass = False
         if self.pps.transquant_bypass_enabled:
-            raise NotImplementedError("transquant bypass")
+            self.cu_bypass = bool(self.cab.decode_bin(
+                ContextSet.idx("cu_transquant_bypass_flag", 0)))
+            if self.cu_bypass:
+                size = 1 << log2_size
+                self.fs.bypass4[y0 >> 2:(y0 + size) >> 2,
+                                x0 >> 2:(x0 + size) >> 2] = True
         if not self.sh.is_intra:
             self._coding_unit_p(x0, y0, log2_size)
             return
@@ -913,16 +926,21 @@ class SliceDecoder:
         if c_idx:
             qp = chroma_qp(qp, self.pps.cb_qp_offset if c_idx == 1
                            else self.pps.cr_qp_offset)
-        m = (fs.scaling.matrix(size, 3 + c_idx)
-             if fs.scaling is not None else None)
-        deq = ops.dequantize(coeffs, qp, self.sps.bit_depth_luma, m=m)
-        if ts:
-            bd = self.sps.bit_depth_luma
-            resi = (((deq.astype(np.int64) << 7)
-                     + (1 << (19 - bd))) >> (20 - bd)).astype(np.int32)
+        if getattr(self, "cu_bypass", False):
+            resi = coeffs                    # lossless: raw residual
         else:
-            resi = ops.inverse_transform(deq, False,
-                                         self.sps.bit_depth_luma)
+            m = (fs.scaling.matrix(size, 3 + c_idx)
+                 if fs.scaling is not None else None)
+            deq = ops.dequantize(coeffs, qp, self.sps.bit_depth_luma,
+                                 m=m)
+            if ts:
+                bd = self.sps.bit_depth_luma
+                resi = (((deq.astype(np.int64) << 7)
+                         + (1 << (19 - bd))) >> (20 - bd)) \
+                    .astype(np.int32)
+            else:
+                resi = ops.inverse_transform(deq, False,
+                                             self.sps.bit_depth_luma)
         max_val = (1 << self.sps.bit_depth_luma) - 1
         plane[py:py + size, px:px + size] = np.clip(
             plane[py:py + size, px:px + size] + resi, 0, max_val)
@@ -935,8 +953,9 @@ class SliceDecoder:
                               blk_idx: int, cbf_luma: int, cbf_cb: int,
                               cbf_cr: int) -> None:
         pps = self.pps
-        sdh = bool(pps.sign_data_hiding_enabled)
-        tse = bool(pps.transform_skip_enabled)
+        byp = getattr(self, "cu_bypass", False)
+        sdh = bool(pps.sign_data_hiding_enabled) and not byp
+        tse = bool(pps.transform_skip_enabled) and not byp
         chroma_here = log2_size > 2 or blk_idx == 3
         self._maybe_decode_qp_delta(
             bool(cbf_luma or (chroma_here and (cbf_cb or cbf_cr))))
@@ -1071,14 +1090,15 @@ class SliceDecoder:
         chroma_here = log2_size > 2 or blk_idx == 3
         self._maybe_decode_qp_delta(
             bool(cbf_luma or (chroma_here and (cbf_cb or cbf_cr))))
+        byp = getattr(self, "cu_bypass", False)
         coeffs = None
         ts = False
         if cbf_luma:
             scan = intra_mode_scan_idx(mode, log2_size, False)
             coeffs, ts = decode_residual(
                 self.cab, log2_size, 0, scan,
-                bool(pps.sign_data_hiding_enabled),
-                bool(pps.transform_skip_enabled))
+                bool(pps.sign_data_hiding_enabled) and not byp,
+                bool(pps.transform_skip_enabled) and not byp)
         self._intra_recon_tu(x0, y0, log2_size, 0, mode, coeffs, ts)
         # chroma (4:2:0): at log2==2, only after the 4th luma TU
         if log2_size > 2:
@@ -1096,8 +1116,8 @@ class SliceDecoder:
                 scan = intra_mode_scan_idx(chroma_mode, c_log2, True)
                 ccoef, cts = decode_residual(
                     self.cab, c_log2, c_idx, scan,
-                    bool(pps.sign_data_hiding_enabled),
-                    bool(pps.transform_skip_enabled))
+                    bool(pps.sign_data_hiding_enabled) and not byp,
+                    bool(pps.transform_skip_enabled) and not byp)
             self._intra_recon_tu(cx, cy, c_log2, c_idx, chroma_mode,
                                  ccoef, cts)
 
@@ -1267,6 +1287,9 @@ class HEVCDecoder:
                         break
                     if end and not last:
                         raise ValueError("unexpected end_of_slice")
+        byp_pre = None
+        if pps.transquant_bypass_enabled and fs.bypass4.any():
+            byp_pre = (fs.y.copy(), fs.cb.copy(), fs.cr.copy())
         if not pps.deblocking_filter_disabled and not \
                 sh.deblocking_filter_disabled:
             from ..ops.deblock import compute_bs, deblock_frame
@@ -1333,6 +1356,13 @@ class HEVCDecoder:
                     fs.cb[:ph // 2, :pw // 2], fs.sao[1], sps.ctb_size // 2)
                 fs.cr[:ph // 2, :pw // 2] = sao_apply(
                     fs.cr[:ph // 2, :pw // 2], fs.sao[2], sps.ctb_size // 2)
+        if byp_pre is not None:
+            # lossless CUs are exempt from deblocking and SAO
+            my = np.repeat(np.repeat(fs.bypass4, 4, 0), 4, 1)
+            mc = my[::2, ::2]
+            fs.y[my] = byp_pre[0][my]
+            fs.cb[mc] = byp_pre[1][mc]
+            fs.cr[mc] = byp_pre[2][mc]
         # crop to conformance window
         cl, cr_, ct, cb_ = self.sps.conf_win
         w, h = sps.width, sps.height

@@ -176,6 +176,10 @@ class MdIntraWriter:
     def coding_unit(self, x0: int, y0: int, log2_size: int) -> None:
         size = 1 << log2_size
         cab = self.cab
+        if self.pps.transquant_bypass_enabled:
+            # all-lossless encode: every CU bypasses transform+quant
+            cab.encode_bin(
+                ContextSet.idx("cu_transquant_bypass_flag", 0), 1)
         if log2_size == self.sps.log2_min_cb_size:
             cab.encode_bin(ContextSet.idx("part_mode", 0), 1)  # 2Nx2N
         mode = int(self.mode8[y0 >> 3, x0 >> 3])

@@ -79,8 +79,13 @@ class MdIntraPipeline(IntraPipeline):
                  deblock_tc: int = 0, sao: str = "off",
                  sign_hiding: bool = False, rdoq: bool = False,
                  delta_qp: bool = False, wpp: bool = False,
-                 scaling=None) -> None:
+                 scaling=None, lossless: bool = False) -> None:
         assert height % self.CTB == 0 and width % self.CTB == 0
+        # lossless (transquant bypass): residual passes through
+        # untouched; SDH/RDOQ are meaningless and forced off
+        self.lossless = lossless
+        if lossless:
+            sign_hiding = rdoq = False
         self.sign_hiding = sign_hiding
         self.rdoq = rdoq
         # scaling lists: per-position quant tables + dequant matrices
@@ -432,6 +437,11 @@ class MdIntraPipeline(IntraPipeline):
             ccost = ccost + cdist + lam * crate
         cost = dist + lam * (rate + self.MODE_BITS) + ccost
         return modes, cost
+
+    def _transform_quant(self, resi, t, qp, n, mats=None):
+        if self.lossless:
+            return resi, resi
+        return super()._transform_quant(resi, t, qp, n, mats=mats)
 
     def _transform_quant_plain(self, resi, t, qp, n, mats=None):
         """T/Q/IT with plain deadzone quant (search-time costing — the
