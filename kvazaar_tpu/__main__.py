@@ -65,6 +65,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="variance adaptive QP strength")
     p.add_argument("--roi", default="",
                    help="ROI delta-QP file ('w h' + w*h integers)")
+    p.add_argument("--input-bitdepth", type=int, default=8,
+                   choices=[8, 10])
+    p.add_argument("--lossless", action="store_true")
+    p.add_argument("--scaling-list", dest="scaling_list",
+                   choices=["off", "default"], default="off")
     p.add_argument("--psnr", action="store_true", default=True)
     p.add_argument("--no-psnr", dest="psnr", action="store_false")
     return p
@@ -75,7 +80,8 @@ def main(argv=None) -> int:
     w = h = 0
     if args.input_res:
         w, h = (int(v) for v in args.input_res.split("x"))
-    reader = YUVReader(args.input, w, h)
+    reader = YUVReader(args.input, w, h,
+                       bit_depth=args.input_bitdepth)
     cfg = Config(width=reader.width, height=reader.height, qp=args.qp,
                  intra_period=args.period, wpp=args.wpp,
                  signhide_enable=args.signhide, hash=args.hash,
@@ -83,10 +89,12 @@ def main(argv=None) -> int:
                  rdoq_enable=args.rdoq, gop_len=args.gop,
                  ref_frames=args.ref, sao_type=args.sao,
                  deblock_enable=args.deblock, vaq=args.vaq,
-                 roi_file=args.roi)
+                 roi_file=args.roi, input_bitdepth=reader.bit_depth,
+                 lossless=args.lossless, scaling_list=args.scaling_list)
     if args.tiles:
         cfg.parse("tiles", args.tiles)
-    if args.tiles or args.vaq or args.roi:
+    if args.tiles or args.vaq or args.roi or args.lossless \
+            or reader.bit_depth > 8 or args.scaling_list != "off":
         cfg.ctu_size = 64      # these tools ride the quadtree pipeline
     if args.preset:
         apply_preset(cfg, args.preset)

@@ -25,7 +25,9 @@ def build_sps(cfg: Config) -> SPS:
     sps = SPS()
     sps.width = cfg.width
     sps.height = cfg.height
-    sps.bit_depth_luma = sps.bit_depth_chroma = 8
+    sps.bit_depth_luma = sps.bit_depth_chroma = cfg.input_bitdepth
+    if cfg.input_bitdepth > 8:
+        sps.ptl.general_profile_idc = 2      # Main 10
     ctb_log2 = int(math.log2(cfg.ctu_size))
     min_cb_log2 = int(math.log2(cfg.min_cu_size))
     sps.log2_min_cb_size = min_cb_log2
@@ -84,6 +86,10 @@ class Encoder:
         # inter coding rides the 16-grid pipeline, so CTB 64 is always
         # all-intra in this round -> the quadtree path covers it entirely
         self.use_md = dev_ok and cfg.ctu_size == 64
+        if cfg.input_bitdepth > 8 and not self.use_md:
+            raise NotImplementedError(
+                "10-bit requires the quadtree device path (ctu-size 64) "
+                "in this round")
         self.use_device = (dev_ok and cfg.ctu_size == 16) or self.use_md
         align = 64 if self.use_md else 16 if self.use_device else 8
         self.pad_w = (-cfg.width) % align
@@ -180,7 +186,8 @@ class Encoder:
                     rdoq=cfg.rdoq_enable)
                 if self.use_md:
                     pipe_kw.update(delta_qp=self.dqp_enabled,
-                                   wpp=bool(cfg.wpp))
+                                   wpp=bool(cfg.wpp),
+                                   bit_depth=cfg.input_bitdepth)
                     if cfg.scaling_list != "off":
                         from .hevc.scaling import ScalingLists
                         pipe_kw.update(scaling=ScalingLists())
@@ -535,7 +542,8 @@ class Encoder:
         if self.sps.sao_enabled and decisions is not None:
             from .engine.sao_writer import SaoWriter
             sao_w = SaoWriter(decisions, bool(sh.sao_luma),
-                              bool(sh.sao_chroma))
+                              bool(sh.sao_chroma),
+                              bit_depth=self.sps.bit_depth_luma)
         if writer is None and self.use_md and decisions is not None:
             from .engine.md_writer import MdIntraWriter
             writer = MdIntraWriter(self.sps, self.pps, sh, decisions)
@@ -717,10 +725,12 @@ class Encoder:
             htype = HASH_CHECKSUM if cfg.hash == "checksum" else HASH_MD5
             if (htype == HASH_CHECKSUM and device_final
                     and decisions is not None and "hash" in decisions):
-                sei = write_hash_sei([], htype, 8,
+                sei = write_hash_sei([], htype,
+                                     self.sps.bit_depth_luma,
                                      checksums=decisions["hash"])
             else:
-                sei = write_hash_sei([np.asarray(p) for p in rec], htype, 8)
+                sei = write_hash_sei([np.asarray(p) for p in rec], htype,
+                                     self.sps.bit_depth_luma)
             out += nal_unit(sei, NAL_SUFFIX_SEI)
 
         crop = [rec[0][:cfg.height, :cfg.width],
@@ -730,14 +740,16 @@ class Encoder:
             npix = [self.sps.width * self.sps.height,
                     self.sps.width * self.sps.height // 4,
                     self.sps.width * self.sps.height // 4]
+            mv = float((1 << self.sps.bit_depth_luma) - 1)
             psnr = [99.0 if s_ == 0 else
-                    10.0 * np.log10(255.0 ** 2 * n_ / s_)
+                    10.0 * np.log10(mv ** 2 * n_ / s_)
                     for s_, n_ in zip(decisions["sse"], npix)]
         else:
             psnr = _psnr((y[:cfg.height, :cfg.width],
                           cb[:cfg.height // 2, :cfg.width // 2],
                           cr[:cfg.height // 2, :cfg.width // 2]),
-                         [np.asarray(p) for p in crop])
+                         [np.asarray(p) for p in crop],
+                         self.sps.bit_depth_luma)
         if self._rc is not None:
             self._rc.update(len(out) * 8, is_idr)
             if lcu_bits is not None:
@@ -766,12 +778,12 @@ def _grid_edges(h: int, w: int, tu: int):
     return ev, eh
 
 
-def _psnr(src_planes, rec_planes) -> list[float]:
+def _psnr(src_planes, rec_planes, bit_depth: int = 8) -> list[float]:
     out = []
+    mv = float((1 << bit_depth) - 1)
     for s, r in zip(src_planes, rec_planes):
         mse = np.mean((s.astype(np.float64) - r.astype(np.float64)) ** 2)
-        out.append(99.0 if mse == 0 else
-                   10.0 * np.log10(255.0 ** 2 / mse))
+        out.append(99.0 if mse == 0 else 10.0 * np.log10(mv ** 2 / mse))
     return out
 
 

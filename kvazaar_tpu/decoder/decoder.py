@@ -218,6 +218,8 @@ class SliceDecoder:
                     qp = chroma_qp(qp,
                                    self.pps.cb_qp_offset if c_idx == 1
                                    else self.pps.cr_qp_offset)
+                # dequant runs at Qp' = Qp + QpBdOffset (spec 8.6.3)
+                qp += 6 * (self.sps.bit_depth_luma - 8)
                 m = (fs.scaling.matrix(size, c_idx)
                      if fs.scaling is not None else None)
                 deq = ops.dequantize(coeffs, qp,
@@ -926,6 +928,7 @@ class SliceDecoder:
         if c_idx:
             qp = chroma_qp(qp, self.pps.cb_qp_offset if c_idx == 1
                            else self.pps.cr_qp_offset)
+        qp += 6 * (self.sps.bit_depth_luma - 8)   # QpBdOffset (8.6.3)
         if getattr(self, "cu_bypass", False):
             resi = coeffs                    # lossless: raw residual
         else:

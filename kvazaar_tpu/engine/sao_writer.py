@@ -20,7 +20,9 @@ SAO_OFF, SAO_BAND, SAO_EDGE = 0, 1, 2
 class SaoWriter:
     """Per-frame SAO syntax state (param tensors + merge comparison)."""
 
-    def __init__(self, sao: dict, sao_luma: bool, sao_chroma: bool) -> None:
+    def __init__(self, sao: dict, sao_luma: bool, sao_chroma: bool,
+                 bit_depth: int = 8) -> None:
+        self.cmax = (1 << (min(bit_depth, 10) - 5)) - 1
         self.luma = sao_luma and "sao_y_typ" in sao
         self.chroma = sao_chroma and "sao_c_typ" in sao
         g = lambda k: np.asarray(sao[k])
@@ -49,12 +51,12 @@ class SaoWriter:
         return tuple(parts)
 
     def _write_offsets(self, cab: CabacEncoder, offs, band: bool) -> None:
-        # 4 abs values TU(cMax=7), then band signs
+        # 4 abs values TU(cMax), then band signs
         for v in offs:
             a = abs(int(v))
             for _ in range(a):
                 cab.encode_bin_ep(1)
-            if a < 7:
+            if a < self.cmax:
                 cab.encode_bin_ep(0)
         if band:
             for v in offs:

@@ -79,8 +79,16 @@ class MdIntraPipeline(IntraPipeline):
                  deblock_tc: int = 0, sao: str = "off",
                  sign_hiding: bool = False, rdoq: bool = False,
                  delta_qp: bool = False, wpp: bool = False,
-                 scaling=None, lossless: bool = False) -> None:
+                 scaling=None, lossless: bool = False,
+                 bit_depth: int = 8) -> None:
         assert height % self.CTB == 0 and width % self.CTB == 0
+        self.bd = bit_depth
+        self.maxv = (1 << bit_depth) - 1
+        # TPU f32 matmuls default to bf16 inputs — exact for 8-bit
+        # samples (<= 2^9 fits the bf16 mantissa) but NOT for 10-bit;
+        # the normative prediction matmuls then need full f32
+        self._prec = (jax.lax.Precision.HIGHEST if bit_depth > 8
+                      else None)
         # lossless (transquant bypass): residual passes through
         # untouched; SDH/RDOQ are meaningless and forced off
         self.lossless = lossless
@@ -243,9 +251,10 @@ class MdIntraPipeline(IntraPipeline):
 
     def _filt_refs(self, refs: jax.Array, f: jax.Array) -> jax.Array:
         """[1 2 1]-filtered refs, exact in f32: (refs @ F + 2) >> 2."""
-        ff = jnp.floor((refs.astype(jnp.float32)
-                        @ f.T.astype(jnp.float32) + 2.0) / 4.0)
-        return ff.astype(jnp.int32)
+        prod = jnp.matmul(refs.astype(jnp.float32),
+                          f.T.astype(jnp.float32),
+                          precision=self._prec)
+        return jnp.floor((prod + 2.0) / 4.0).astype(jnp.int32)
 
     def _preds_full(self, refs: jax.Array, g: jax.Array, f: jax.Array,
                     n: int, is_luma: bool) -> jax.Array:
@@ -268,7 +277,8 @@ class MdIntraPipeline(IntraPipeline):
         filt = self._filt_refs(refs, f) if is_luma else refs
         both = jnp.concatenate([refs, filt], axis=1).astype(jnp.float32)
         gsel = jnp.take(g, modes, axis=0).astype(jnp.float32)
-        pred = jnp.floor((jnp.einsum("lpr,lr->lp", gsel, both)
+        pred = jnp.floor((jnp.einsum("lpr,lr->lp", gsel, both,
+                                     precision=self._prec)
                           + 16.0) / 32.0).astype(jnp.int32)
         pred = jnp.where((modes == 1)[:, None],
                          self._dc_pred(refs, n, is_luma), pred)
@@ -281,9 +291,9 @@ class MdIntraPipeline(IntraPipeline):
             corner = refs[:, 2 * n]
             p = pred.reshape(-1, n, n)
             col = jnp.clip(top[:, :1] + ((left - corner[:, None]) >> 1),
-                           0, 255)
+                           0, self.maxv)
             row = jnp.clip(left[:, :1] + ((top - corner[:, None]) >> 1),
-                           0, 255)
+                           0, self.maxv)
             p = jnp.where((modes == 26)[:, None, None],
                           p.at[:, :, 0].set(col), p)
             p = jnp.where((modes == 10)[:, None, None],
@@ -613,7 +623,7 @@ class MdIntraPipeline(IntraPipeline):
             rec, ypix - 1, jnp.minimum(xpix, rec.shape[1] - 2 * n), 2 * n)
         corner_raw = rec[ypix - 1, xpix - 1]
         idx = jnp.arange(2 * n)[None, :]
-        fill = jnp.where(has_top, top_raw[:, 0], 128)
+        fill = jnp.where(has_top, top_raw[:, 0], 1 << (self.bd - 1))
         # left column: main n px if has_left, below-left first n_bl*cell_px
         bl_px = n_bl * cell_px
         last_left = jnp.where(n_bl > 0, n + bl_px - 1, n - 1)
@@ -684,7 +694,7 @@ class MdIntraPipeline(IntraPipeline):
                 self._sdh_scan_sel = None
             cbf = jnp.any(levels != 0, axis=(1, 2))
             rec_blk = jnp.clip(
-                pred + jnp.where(cbf[:, None, None], r2, 0), 0, 255)
+                pred + jnp.where(cbf[:, None, None], r2, 0), 0, self.maxv)
             lvl_blk = jnp.where(cbf[:, None, None], levels, 0)
             return rec_blk, lvl_blk, y0, x0
 
@@ -837,38 +847,44 @@ class MdIntraPipeline(IntraPipeline):
                 ry, rcb, rcr = deblock_frame_jax(
                     ry, rcb, rcr, bs_ver, bs_hor, self.qp2[0],
                     self.qp2[1], self.qp2[1], self.deblock_beta,
-                    self.deblock_tc, qp4=qp4)
+                    self.deblock_tc, bit_depth=self.bd, qp4=qp4)
             else:
                 ry, rcb, rcr = deblock_frame_jax(
                     ry, rcb, rcr, bs_ver, bs_hor, self.qp2[0],
                     self.qp2[1], self.qp2[1], self.deblock_beta,
-                    self.deblock_tc)
+                    self.deblock_tc, bit_depth=self.bd)
         sao_out = {}
         if self.sao:
             from ..ops.sao_jax import sao_chroma, sao_luma
             lamf = self.lam2[0]
             ab = self.sao in ("full", "band")
             ae = self.sao in ("full", "edge")
-            ry, py = sao_luma(src_y, ry, self.CTB, lamf, ab, ae)
+            ry, py = sao_luma(src_y, ry, self.CTB, lamf, ab, ae,
+                              bit_depth=self.bd)
             rcb, rcr, pc = sao_chroma(src_cb, src_cr, rcb, rcr,
-                                      self.CTB // 2, lamf, ab, ae)
+                                      self.CTB // 2, lamf, ab, ae,
+                                      bit_depth=self.bd)
             for kk, v in py.items():
                 sao_out["sao_y_" + kk] = v.astype(jnp.int8)
             for kk, v in pc.items():
                 sao_out["sao_c_" + kk] = v.astype(jnp.int8)
 
         def cksum(plane, mask):
-            return jnp.sum((plane.astype(jnp.uint32) ^ mask),
-                           dtype=jnp.uint32)
+            p32 = plane.astype(jnp.uint32)
+            tot = jnp.sum((p32 & 0xFF) ^ mask, dtype=jnp.uint32)
+            if self.bd > 8:
+                tot = tot + jnp.sum((p32 >> 8) ^ mask, dtype=jnp.uint32)
+            return tot
 
         def sse(a, b):
             d = a - b
             return jnp.sum(d * d, dtype=jnp.int64)
 
+        pix_t = jnp.uint8 if self.bd == 8 else jnp.uint16
         out = {
-            "rec_y": ry.astype(jnp.uint8),
-            "rec_cb": rcb.astype(jnp.uint8),
-            "rec_cr": rcr.astype(jnp.uint8),
+            "rec_y": ry.astype(pix_t),
+            "rec_cb": rcb.astype(pix_t),
+            "rec_cr": rcr.astype(pix_t),
             "size_map8": size_map8.astype(jnp.int8),
             "mode_map8": mode_map8.astype(jnp.int8),
             "levels16_y": lvl_y.astype(jnp.int16),
@@ -910,10 +926,11 @@ class MdIntraPipeline(IntraPipeline):
                 0.57 * 2.0 ** ((qm - 12) / 3.0), jnp.float32)
         if consts_extra:
             consts = {**consts, **consts_extra}
+        pix_t = jnp.uint8 if self.bd == 8 else jnp.uint16
         out = self._full(consts,
-                         jnp.asarray(src_y, jnp.uint8),
-                         jnp.asarray(src_cb, jnp.uint8),
-                         jnp.asarray(src_cr, jnp.uint8))
+                         jnp.asarray(src_y, pix_t),
+                         jnp.asarray(src_cb, pix_t),
+                         jnp.asarray(src_cr, pix_t))
         for k, v in out.items():
             if (k.startswith(("lmask_", "lvals_", "sao_"))
                     or k in ("hash", "sse", "size_map8", "mode_map8",

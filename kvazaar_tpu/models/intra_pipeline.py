@@ -403,7 +403,7 @@ class IntraPipeline:
         {0, l-1, l} (l = nearest) minimizing e^2 + lambda*R with a
         context-free CABAC-bin rate model. Non-normative — any level
         choice stays conformant."""
-        bd = 8
+        bd = getattr(self, "bd", 8)
         absco = jnp.abs(co)
         l_f = ((absco * scale + (1 << (qbits - 1))) >> qbits)
 
@@ -453,11 +453,12 @@ class IntraPipeline:
                          n: int, mats=None) -> tuple[jax.Array, jax.Array]:
         """Forward transform + quant + dequant + inverse; exact int32.
         resi [L, n, n] -> (levels, recon_resi). qp: traced device scalar
-        or a per-block [L] vector (delta-QP paths). mats: optional
+        or a per-block [L] vector (delta-QP paths) in the Qp' domain
+        (i.e. incl. QpBdOffset for 10-bit). mats: optional
         (quant_table [6, n, n], dequant matrix m [n, n]) for scaling
         lists (spec 8.6.3; kvazaar scalinglist.c quant/dequant coeffs)."""
         log2n = int(np.log2(n))
-        bd = 8
+        bd = getattr(self, "bd", 8)
         shift1 = log2n + bd - 9
         shift2 = log2n + 6
         tt = t.astype(jnp.int32)
@@ -467,8 +468,9 @@ class IntraPipeline:
         co = jnp.einsum("ij,ljk->lik", tt, jnp.swapaxes(tmp, 1, 2),
                         preferred_element_type=jnp.int32)
         co = (co + (1 << (shift2 - 1))) >> shift2
-        # quant (qp quantities broadcast [L, 1, 1] when qp is a vector)
-        qp = jnp.asarray(qp)
+        # quant (qp quantities broadcast [L, 1, 1] when qp is a vector);
+        # quantization runs in the Qp' domain (QpY + QpBdOffset, 8.6.3)
+        qp = jnp.asarray(qp) + 6 * (bd - 8)
         qb = qp if qp.ndim == 0 else qp[:, None, None]
         tshift = 15 - bd - log2n
         qbits = 14 + qb // 6 + tshift

@@ -70,7 +70,8 @@ def _round_div(s, c):
     return jnp.where(c > 0, q, 0)
 
 
-def _plane_option_stats(src, rec, n, lam, cats, valid):
+def _plane_option_stats(src, rec, n, lam, cats, valid, bit_depth=8):
+    cmax = (1 << (min(bit_depth, 10) - 5)) - 1
     """Per-CTB rate-adjusted gains for every SAO option of one plane.
 
     Returns dict with: eo_net [4cls, R, C] (offset-rate-adjusted distortion
@@ -87,8 +88,8 @@ def _plane_option_stats(src, rec, n, lam, cats, valid):
     eo_cnt = jnp.stack(eo_cnt, axis=1)                 # [4cls, 4cat, R, C]
     eo_sum = jnp.stack(eo_sum, axis=1)
     est = _round_div(eo_sum, eo_cnt)
-    lo = jnp.asarray([0, 0, -7, -7], jnp.int32)[None, :, None, None]
-    hi = jnp.asarray([7, 7, 0, 0], jnp.int32)[None, :, None, None]
+    lo = jnp.asarray([0, 0, -cmax, -cmax], jnp.int32)[None, :, None, None]
+    hi = jnp.asarray([cmax, cmax, 0, 0], jnp.int32)[None, :, None, None]
     offs = jnp.clip(est, lo, hi)
     gain = 2 * offs * eo_sum - offs * offs * eo_cnt
     # drop an offset to 0 when its gain doesn't pay its extra TU bins
@@ -98,7 +99,7 @@ def _plane_option_stats(src, rec, n, lam, cats, valid):
     rate = jnp.abs(offs).sum(axis=1) + 4               # TU bins, 4 offsets
     eo_net = gain.sum(axis=1).astype(jnp.float32) - lam * rate
     # --- band offsets ---
-    band = rec >> 3
+    band = rec >> (bit_depth - 5)
     b_cnt, b_sum = [], []
     for b in range(32):
         m = band == b
@@ -106,7 +107,7 @@ def _plane_option_stats(src, rec, n, lam, cats, valid):
         b_sum.append(_breduce(jnp.where(m, diff, 0), n))
     b_cnt = jnp.stack(b_cnt)                           # [32, R, C]
     b_sum = jnp.stack(b_sum)
-    boff = jnp.clip(_round_div(b_sum, b_cnt), -7, 7)
+    boff = jnp.clip(_round_div(b_sum, b_cnt), -cmax, cmax)
     bgain = 2 * boff * b_sum - boff * boff * b_cnt
     bkeep = bgain.astype(jnp.float32) >= lam * (jnp.abs(boff) + 1)
     boff = jnp.where(bkeep, boff, 0)
@@ -137,7 +138,8 @@ def _expand(m, n):
     return jnp.repeat(jnp.repeat(m, n, axis=0), n, axis=1)
 
 
-def _apply(rec, cats, valid, typ, cls, offs, pos, n, max_val=255):
+def _apply(rec, cats, valid, typ, cls, offs, pos, n, max_val=255,
+           bit_depth=8):
     """Apply per-CTB SAO params to one plane. offs [4, R, C], rest [R, C]."""
     typ_p = _expand(typ, n)
     cls_p = _expand(cls, n)[None]
@@ -146,7 +148,7 @@ def _apply(rec, cats, valid, typ, cls, offs, pos, n, max_val=255):
     off_eo = jnp.zeros_like(rec)
     for i, cv in enumerate(_CAT_VALS):
         off_eo = off_eo + _expand(offs[i], n) * (cat_sel == cv)
-    band = rec >> 3
+    band = rec >> (bit_depth - 5)
     pos_p = _expand(pos, n)
     off_band = jnp.zeros_like(rec)
     for i in range(4):
@@ -163,11 +165,12 @@ def _type_bits(allow_band, allow_edge):
             jnp.float32(0.0) if allow_edge else big)
 
 
-def sao_luma(src, rec, n, lam, allow_band=True, allow_edge=True):
+def sao_luma(src, rec, n, lam, allow_band=True, allow_edge=True,
+             bit_depth=8):
     """Search + apply SAO for the luma plane. Returns (filtered, params)
     with params: typ/cls/pos [R, C] int32, offs [4, R, C] int32."""
     cats, valid = _eo_cat_maps(rec)
-    st = _plane_option_stats(src, rec, n, lam, cats, valid)
+    st = _plane_option_stats(src, rec, n, lam, cats, valid, bit_depth)
     pen_band, pen_edge = _type_bits(allow_band, allow_edge)
     g_off = -lam * 1.0
     g_band = st["band_net"] - lam * (2 + 5) - pen_band
@@ -178,18 +181,21 @@ def sao_luma(src, rec, n, lam, allow_band=True, allow_edge=True):
                     jnp.where(g_edge > g_off, SAO_EDGE, SAO_OFF)) \
         .astype(jnp.int32)
     offs, pos = _select(st, typ, cls)
-    out = _apply(rec, cats, valid, typ, cls, offs, pos, n)
+    out = _apply(rec, cats, valid, typ, cls, offs, pos, n,
+                 max_val=(1 << bit_depth) - 1, bit_depth=bit_depth)
     return out, {"typ": typ, "cls": cls, "offs": offs, "pos": pos}
 
 
 def sao_chroma(src_cb, src_cr, rec_cb, rec_cr, n, lam,
-               allow_band=True, allow_edge=True):
+               allow_band=True, allow_edge=True, bit_depth=8):
     """Joint Cb/Cr SAO (shared type + EO class). Returns
     (filtered_cb, filtered_cr, params) with offs/pos per component."""
     cats_b, valid_b = _eo_cat_maps(rec_cb)
     cats_r, valid_r = _eo_cat_maps(rec_cr)
-    st_b = _plane_option_stats(src_cb, rec_cb, n, lam, cats_b, valid_b)
-    st_r = _plane_option_stats(src_cr, rec_cr, n, lam, cats_r, valid_r)
+    st_b = _plane_option_stats(src_cb, rec_cb, n, lam, cats_b, valid_b,
+                               bit_depth)
+    st_r = _plane_option_stats(src_cr, rec_cr, n, lam, cats_r, valid_r,
+                               bit_depth)
     pen_band, pen_edge = _type_bits(allow_band, allow_edge)
     g_off = -lam * 1.0
     g_band = st_b["band_net"] + st_r["band_net"] - lam * (2 + 5 + 5) \
@@ -203,8 +209,11 @@ def sao_chroma(src_cb, src_cr, rec_cb, rec_cr, n, lam,
         .astype(jnp.int32)
     offs_b, pos_b = _select(st_b, typ, cls)
     offs_r, pos_r = _select(st_r, typ, cls)
-    out_b = _apply(rec_cb, cats_b, valid_b, typ, cls, offs_b, pos_b, n)
-    out_r = _apply(rec_cr, cats_r, valid_r, typ, cls, offs_r, pos_r, n)
+    mv = (1 << bit_depth) - 1
+    out_b = _apply(rec_cb, cats_b, valid_b, typ, cls, offs_b, pos_b, n,
+                   max_val=mv, bit_depth=bit_depth)
+    out_r = _apply(rec_cr, cats_r, valid_r, typ, cls, offs_r, pos_r, n,
+                   max_val=mv, bit_depth=bit_depth)
     return out_b, out_r, {"typ": typ, "cls": cls, "offs_cb": offs_b,
                           "pos_cb": pos_b, "offs_cr": offs_r,
                           "pos_cr": pos_r}

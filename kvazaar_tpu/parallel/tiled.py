@@ -39,6 +39,7 @@ class TiledIntraPipeline:
         assert height == grid.row_bd[-1] * ctb
         assert width == grid.col_bd[-1] * ctb
         self.h, self.w, self.ctb = height, width, ctb
+        self.bd = pipe_kw.get("bit_depth", 8)
         self.grid = grid
         self.pipes: dict[tuple[int, int], MdIntraPipeline] = {}
         self.tile_masks = []
@@ -82,10 +83,11 @@ class TiledIntraPipeline:
     def materialize(self, outs) -> dict:
         c = self.ctb
         res: dict = {}
+        pix_t = np.uint8 if self.bd == 8 else np.uint16
         full = {
-            "rec_y": np.zeros((self.h, self.w), np.uint8),
-            "rec_cb": np.zeros((self.h // 2, self.w // 2), np.uint8),
-            "rec_cr": np.zeros((self.h // 2, self.w // 2), np.uint8),
+            "rec_y": np.zeros((self.h, self.w), pix_t),
+            "rec_cb": np.zeros((self.h // 2, self.w // 2), pix_t),
+            "rec_cr": np.zeros((self.h // 2, self.w // 2), pix_t),
             "size_map8": np.zeros((self.h // 8, self.w // 8), np.int32),
             "mode_map8": np.zeros((self.h // 8, self.w // 8), np.int32),
             "levels_y": np.zeros((self.h, self.w), np.int16),

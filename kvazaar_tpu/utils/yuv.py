@@ -9,12 +9,14 @@ import numpy as np
 
 
 class YUVReader:
-    """Planar 4:2:0 reader (8-bit), raw .yuv or .y4m."""
+    """Planar 4:2:0 reader (8- or 10+-bit LE), raw .yuv or .y4m."""
 
-    def __init__(self, path: str, width: int = 0, height: int = 0) -> None:
+    def __init__(self, path: str, width: int = 0, height: int = 0,
+                 bit_depth: int = 8) -> None:
         self.f = open(path, "rb")
         self.width = width
         self.height = height
+        self.bit_depth = bit_depth
         self.y4m = path.endswith(".y4m")
         if self.y4m:
             header = b""
@@ -25,8 +27,11 @@ class YUVReader:
                     self.width = int(tok[1:])
                 elif tok.startswith("H"):
                     self.height = int(tok[1:])
-                elif tok.startswith("C") and not tok.startswith("C420"):
-                    raise ValueError("only 4:2:0 y4m supported")
+                elif tok.startswith("C"):
+                    if tok.startswith("C420p10"):
+                        self.bit_depth = 10
+                    elif not tok.startswith("C420"):
+                        raise ValueError("only 4:2:0 y4m supported")
         if not self.width or not self.height:
             raise ValueError("resolution required for raw yuv")
 
@@ -42,10 +47,12 @@ class YUVReader:
             if not line.startswith(b"FRAME"):
                 return None
         w, h = self.width, self.height
-        data = self.f.read(w * h * 3 // 2)
-        if len(data) < w * h * 3 // 2:
+        bpp = 2 if self.bit_depth > 8 else 1
+        data = self.f.read(w * h * 3 // 2 * bpp)
+        if len(data) < w * h * 3 // 2 * bpp:
             return None
-        buf = np.frombuffer(data, dtype=np.uint8)
+        buf = np.frombuffer(data,
+                            dtype=np.uint8 if bpp == 1 else "<u2")
         y = buf[:w * h].reshape(h, w)
         cb = buf[w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
         cr = buf[w * h + w * h // 4:].reshape(h // 2, w // 2)
