@@ -49,6 +49,15 @@ def build_sps(cfg: Config) -> SPS:
         sps.max_dec_pic_buffering_minus1 = max(1, cfg.ref_frames)
         sps.max_num_reorder_pics = 0
     sps.vui_timing = (cfg.framerate_denom, cfg.framerate_num)
+    # level: explicit (--level, stored as level*10 like kvazaar's 40
+    # for 4.0) or auto-selected from resolution/rate (spec A.4)
+    from .hevc.levels import select_level
+    if cfg.level:
+        sps.ptl.general_level_idc = cfg.level * 3
+    else:
+        fps = cfg.framerate_num / max(cfg.framerate_denom, 1)
+        sps.ptl.general_level_idc, sps.ptl.general_tier_flag = \
+            select_level(cfg.width, cfg.height, fps, cfg.target_bitrate)
     return sps
 
 
@@ -99,6 +108,14 @@ class Encoder:
         self.sps.height = cfg.height + self.pad_h
         if self.pad_w or self.pad_h:
             self.sps.conf_win = (0, self.pad_w // 2, 0, self.pad_h // 2)
+        # field coding (kvazaar_field_encoding_adapter,
+        # src/kvazaar.c:311-392): each field is a picture of half height
+        self.field_mode = cfg.source_scan_type in ("tff", "bff")
+        if self.field_mode:
+            self.sps.field_seq_flag = 1
+            self.sps.ptl.general_interlaced_source_flag = 1
+            self.sps.ptl.general_progressive_source_flag = 0
+            self.sps.ptl.general_frame_only_constraint_flag = 0
         self.pps = build_pps(cfg)
         # tiles: independent rectangles, loop filter not crossing
         # boundaries (mirrors the reference: PPS writes
@@ -187,7 +204,8 @@ class Encoder:
                 if self.use_md:
                     pipe_kw.update(delta_qp=self.dqp_enabled,
                                    wpp=bool(cfg.wpp),
-                                   bit_depth=cfg.input_bitdepth)
+                                   bit_depth=cfg.input_bitdepth,
+                                   pu_depth=tuple(cfg.pu_depth_intra))
                     if cfg.scaling_list != "off":
                         from .hevc.scaling import ScalingLists
                         pipe_kw.update(scaling=ScalingLists())
@@ -234,14 +252,16 @@ class Encoder:
             self._next_disp = 0
         self._rc = None
         if cfg.target_bitrate > 0:
-            from .engine.rate_control import RateControl
+            from .engine.rate_control import OBARateControl, RateControl
             # without inter coding every frame is an IDR, so the RC must
             # treat the stream as all-intra (no IDR bit boost)
-            self._rc = RateControl(self.sps.width, self.sps.height,
-                                   cfg.target_bitrate,
-                                   cfg.framerate_num / cfg.framerate_denom,
-                                   1 if not self.inter_enabled
-                                   else cfg.intra_period)
+            rc_cls = (OBARateControl if cfg.rc_algorithm == "oba"
+                      else RateControl)
+            self._rc = rc_cls(self.sps.width, self.sps.height,
+                              cfg.target_bitrate,
+                              cfg.framerate_num / cfg.framerate_denom,
+                              1 if not self.inter_enabled
+                              else cfg.intra_period)
 
     def _deblock_recon(self, rec, decisions=None, is_idr=True,
                        qp=None, ref_pocs=(), edges=None):
@@ -694,6 +714,13 @@ class Encoder:
         out = b""
         if meta["frame_num"] == 0:
             out += self.headers()
+        if self.field_mode:
+            from .bitstream import NAL_PREFIX_SEI
+            from .hevc.sei import write_pic_timing_sei
+            top_first = self.cfg.source_scan_type == "tff"
+            is_top = (meta["frame_num"] % 2 == 0) == top_first
+            out += nal_unit(write_pic_timing_sei(1 if is_top else 2),
+                            NAL_PREFIX_SEI)
         out += nal_unit(slice_rbsp, nal_type)
 
         # decoded picture hash SEI covers the full (pre-crop) picture
@@ -754,6 +781,8 @@ class Encoder:
             self._rc.update(len(out) * 8, is_idr)
             if lcu_bits is not None:
                 self._rc.update_lcu(lcu_bits)
+                if hasattr(self._rc, "update_oba"):
+                    self._rc.update_oba(lcu_bits, (y, cb, cr), rec)
         info = {
             "poc": meta["poc"],
             "bytes": len(out),
@@ -795,6 +824,21 @@ def encode_sequence(cfg: Config, frames,
     frame N (the OWF analog) whenever the reference picture stays on
     device. Pass `encoder` to reuse an already-warm Encoder (its jitted
     pipelines are per-instance)."""
+    if cfg.source_scan_type in ("tff", "bff") and \
+            not getattr(cfg, "_fields_split", False):
+        # field-coding adapter (kvazaar src/kvazaar.c:311-392): each
+        # frame becomes two half-height field pictures
+        import copy
+        fcfg = copy.copy(cfg)
+        fcfg.height = cfg.height // 2
+        fcfg._fields_split = True
+        tff = cfg.source_scan_type == "tff"
+        fields = []
+        for (y, cb, cr) in frames:
+            a = (y[0::2], cb[0::2], cr[0::2])
+            b = (y[1::2], cb[1::2], cr[1::2])
+            fields.extend((a, b) if tff else (b, a))
+        return encode_sequence(fcfg, fields, encoder=encoder)
     enc = encoder if encoder is not None else Encoder(cfg)
     out = b""
     infos = []

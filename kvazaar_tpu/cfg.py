@@ -49,6 +49,9 @@ class Config:
     strong_intra_smoothing: bool = False
 
     # mode search
+    # intra PU depth range (kvazaar --pu-depth-intra min-max); depths on
+    # the quadtree path: 1=32x32, 2=16x16, 3=8x8 (64 and 4x4 NxN later)
+    pu_depth_intra: tuple[int, int] = (1, 3)
     rd: int = 0
     intra_rdo_et: bool = False
     full_intra_search: bool = False
@@ -65,6 +68,10 @@ class Config:
     scaling_list: str = "off"
     slices: str = "none"
     threads: int = 0
+    # interlacing: "progressive" | "tff" | "bff" (kvazaar
+    # --source-scan-type; field coding splits frames into two fields)
+    source_scan_type: str = "progressive"
+
 
     # rate control
     target_bitrate: int = 0
@@ -115,6 +122,9 @@ class Config:
         "vaq": ("vaq", int),
         "roi": ("roi_file", str),
         "scaling-list": ("scaling_list", str),
+        "pu-depth-intra": ("pu_depth_intra", "range"),
+        "source-scan-type": ("source_scan_type", str),
+        "rc-algorithm": ("rc_algorithm", str),
         "owf": ("owf", int),
         "threads": ("threads", int),
         "rd": ("rd", int),
@@ -134,6 +144,9 @@ class Config:
             # "CxR" like the reference's --tiles (src/cfg.c:254-296)
             c, r = str(value).lower().split("x")
             value = (int(c), int(r))
+        elif typ == "range":
+            lo, hi = str(value).split("-")
+            value = (int(lo), int(hi))
         else:
             value = typ(value)
         setattr(self, attr, value)

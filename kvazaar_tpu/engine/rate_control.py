@@ -121,3 +121,88 @@ class RateControl:
         self.beta += 0.05 * err * min(max(math.log(bpp_real), -5.0), -1.0)
         self.alpha = min(max(self.alpha, 0.05), 20.0)
         self.beta = min(max(self.beta, -3.0), -0.1)
+
+
+class OBARateControl(RateControl):
+    """OBA rate control (kvazaar --rc-algorithm oba; rate_control.c
+    kvz_estimate_pic_lambda :492 / kvz_update_after_picture :904,
+    following doi 10.1109/TIP.2014.2336550).
+
+    Per-CTB R-D model D = C * bpp^K with lambda = -dD/dR =
+    -C*K*bpp^(K-1). The picture lambda solves
+    sum_i (a_i / lambda)^{b_i} = target_bits (a_i = -C_i K_i /
+    pixels^(K_i-1), b_i = -1/(K_i-1)); at the optimum every CTB shares
+    that lambda (the OBA theorem), so the QP map is flat unless VAQ/ROI
+    offsets ride on top. After each picture the per-CTB C/K adapt from
+    measured bits and distortion (update_ck, rate_control.c:857-885)."""
+
+    def __init__(self, width: int, height: int, target_bitrate: float,
+                 framerate: float, intra_period: int = 0) -> None:
+        super().__init__(width, height, target_bitrate, framerate,
+                         intra_period)
+        self.rc_ctbs = ((height + 63) // 64, (width + 63) // 64)
+        n = self.rc_ctbs[0] * self.rc_ctbs[1]
+        self.c_ctu = np.full(n, 4.2)
+        self.k_ctu = np.full(n, -1.2)
+        self.ctu_pixels = 64 * 64
+        self.prev_lambda = -1.0
+        self._model_ready = False
+        self._last_lam = None
+
+    def _solve_lambda(self, target_bits: float, lam0: float) -> float:
+        """Newton solve of sum (a_i/lam)^{b_i} = target (the reference
+        iterates a cubic Taylor expansion, rate_control.c:399-473)."""
+        a = -self.c_ctu * self.k_ctu /             self.ctu_pixels ** (self.k_ctu - 1.0)
+        b = -1.0 / (self.k_ctu - 1.0)
+        lam = min(max(lam0, 0.1), 10000.0)
+        for _ in range(12):
+            r = (a / lam) ** b
+            f = r.sum() - target_bits
+            if abs(f) < 0.01:
+                break
+            df = -(b * r / lam).sum()
+            if df == 0:
+                break
+            lam = min(max(lam - f / df, 0.001), 1e8)
+        return lam
+
+    def frame_qp(self, is_idr: bool) -> int:
+        target = self.frame_target_bits(is_idr)
+        bpp = target / self.pixels
+        lam = self.alpha * bpp ** self.beta
+        if is_idr and self.intra_period != 1:
+            lam *= 0.5      # reference's intra reduction (:531)
+        if self._model_ready and not (is_idr and self.intra_period != 1):
+            lam = self._solve_lambda(target, lam)
+        if self.prev_lambda > 0:
+            p = min(max(self.prev_lambda, 0.1), 2000.0)
+            lam = min(max(lam, p * 2.0 ** (-10 / 3)), p * 2.0 ** (10 / 3))
+        lam = min(max(lam, 0.1), 10000.0)
+        self._last = (lam, bpp)
+        self._last_lam = lam
+        qp = round(4.2005 * math.log(lam) + 13.7122)
+        return int(min(max(qp, self.MIN_QP), self.MAX_QP))
+
+    def update_oba(self, bits_map, src_planes, rec_planes) -> None:
+        """Post-picture model update from per-CTB bits and distortion."""
+        if self._last_lam is None:
+            return
+        lam = self._last_lam
+        y_s = np.asarray(src_planes[0], np.float64)
+        y_r = np.asarray(rec_planes[0], np.float64)
+        h, w = y_s.shape
+        rc, cc = self.rc_ctbs
+        pady, padx = rc * 64 - h, cc * 64 - w
+        if pady or padx:
+            y_s = np.pad(y_s, ((0, pady), (0, padx)), mode="edge")
+            y_r = np.pad(y_r, ((0, pady), (0, padx)), mode="edge")
+        d = ((y_s - y_r) ** 2).reshape(rc, 64, cc, 64).sum(axis=(1, 3))
+        dist = np.maximum(d.reshape(-1) / self.ctu_pixels, 1e-4)
+        bpp = np.clip(np.asarray(bits_map, np.float64).reshape(-1)
+                      / self.ctu_pixels, 1e-4, 10.0)
+        new_k = np.clip(-bpp * lam / dist, -3.0, -0.001)
+        new_c = np.clip(dist / bpp ** new_k, 0.1, 100.0)
+        self.c_ctu = new_c
+        self.k_ctu = new_k
+        self.prev_lambda = lam
+        self._model_ready = True

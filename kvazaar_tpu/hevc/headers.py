@@ -222,8 +222,9 @@ def write_sps(sps: SPS) -> bytes:
         bw.u(0, 1)  # video_signal_type_present_flag
         bw.u(0, 1)  # chroma_loc_info_present_flag
         bw.u(0, 1)  # neutral_chroma_indication_flag
-        bw.u(0, 1)  # field_seq_flag
-        bw.u(0, 1)  # frame_field_info_present_flag
+        fsf = getattr(sps, "field_seq_flag", 0)
+        bw.u(fsf, 1)  # field_seq_flag
+        bw.u(fsf, 1)  # frame_field_info_present_flag
         bw.u(0, 1)  # default_display_window_flag
         bw.u(1, 1)  # vui_timing_info_present_flag
         bw.u(sps.vui_timing[0], 32)

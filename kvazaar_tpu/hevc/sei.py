@@ -114,3 +114,21 @@ def parse_hash_sei(payload: bytes) -> tuple[int, list[bytes]]:
     hashes = [payload[1 + i * size:1 + (i + 1) * size]
               for i in range((len(payload) - 1) // size)]
     return hash_type, hashes
+
+
+def write_pic_timing_sei(pic_struct: int, field_seq: bool = True) -> bytes:
+    """pic_timing SEI RBSP (spec D.2.3/D.3.3): pic_struct only, as the
+    reference writes for field coding (encoder_state-bitstream.c
+    pic-timing SEI; pic_struct 1 = top field, 2 = bottom field)."""
+    from ..bitstream import BitWriter
+    body = BitWriter()
+    body.u(pic_struct, 4)
+    body.u(0, 2)    # source_scan_type: interlaced
+    body.u(0, 1)    # duplicate_flag
+    body.byte_align_one()
+    payload = body.get_bytes()
+    bw = BitWriter()
+    bw.u(1, 8)      # payload type: pic_timing
+    bw.u(len(payload), 8)
+    out = bytes(bw.get_bytes()) + payload
+    return out + b"\x80"  # rbsp trailing bits

@@ -80,10 +80,19 @@ class MdIntraPipeline(IntraPipeline):
                  sign_hiding: bool = False, rdoq: bool = False,
                  delta_qp: bool = False, wpp: bool = False,
                  scaling=None, lossless: bool = False,
-                 bit_depth: int = 8) -> None:
+                 bit_depth: int = 8,
+                 pu_depth: tuple[int, int] = (1, 3)) -> None:
         assert height % self.CTB == 0 and width % self.CTB == 0
         self.bd = bit_depth
         self.maxv = (1 << bit_depth) - 1
+        # allowed leaf sizes from the depth range (1=32, 2=16, 3=8);
+        # at least one size must remain
+        lo, hi = max(pu_depth[0], 1), min(pu_depth[1], 3)
+        if lo > hi:
+            lo = hi = min(max(pu_depth[0], 1), 3)
+        self.allow = {32: lo <= 1, 16: lo <= 2 <= hi, 8: hi >= 3}
+        if not any(self.allow.values()):
+            self.allow[16] = True
         # TPU f32 matmuls default to bf16 inputs — exact for 8-bit
         # samples (<= 2^9 fits the bf16 mantissa) but NOT for 10-bit;
         # the normative prediction matmuls then need full f32
@@ -488,10 +497,19 @@ class MdIntraPipeline(IntraPipeline):
         sum8 = sum4(c8m, r16, c16n) + lam16 * (4 * 1.0)  # part_mode bins
         leaf16 = c16c.reshape(r16, c16n)
         split16 = sum8 + lam16 * self.SPLIT_BITS < leaf16
+        # --pu-depth-intra constraints: force/forbid splits statically
+        if not self.allow[8]:
+            split16 = jnp.zeros_like(split16)
+        if not self.allow[16]:
+            split16 = jnp.ones_like(split16)
         best16 = jnp.where(split16, sum8 + lam16 * self.SPLIT_BITS, leaf16)
         sum16 = sum4(best16, r32, c32n) + lam32 * 4 * self.SPLIT_BITS
         leaf32 = c32c.reshape(r32, c32n)
         split32 = sum16 + lam32 * self.SPLIT_BITS < leaf32
+        if not self.allow[32]:
+            split32 = jnp.ones_like(split32)
+        elif not (self.allow[16] or self.allow[8]):
+            split32 = jnp.zeros_like(split32)
         # expand decisions to the 8-grid
         e32 = jnp.repeat(jnp.repeat(split32, 2, 0), 2, 1)  # [r16, c16]
         sz16 = jnp.where(~e32, 32, jnp.where(split16, 8, 16))

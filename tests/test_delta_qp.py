@@ -129,3 +129,17 @@ def test_roi_encode_conformance(rng, tmp_path):
     assert f.hash_ok
     for a, b in zip(f.planes, infos[0]["recon_out"]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_oba_rate_control_conformance(rng):
+    """OBA (--rc-algorithm oba): C/K-model lambda solve, conformant."""
+    from kvazaar_tpu.api import encode_sequence
+    from kvazaar_tpu.cfg import Config
+    w, h = 128, 128
+    cfg = Config(width=w, height=h, qp=32, target_bitrate=500_000,
+                 framerate_num=30, framerate_denom=1,
+                 rc_algorithm="oba")
+    stream, infos = encode_sequence(cfg, _frames(w, h, 4, rng))
+    dec = HEVCDecoder().decode(stream)
+    assert len(dec) == 4 and all(f.hash_ok for f in dec)
+    assert len({i["qp"] for i in infos}) > 1  # the model moved QP

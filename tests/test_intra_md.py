@@ -67,6 +67,22 @@ def test_md_beats_fixed_grid(rng):
     assert rd_md < rd_16
 
 
+@pytest.mark.parametrize("rng_,allowed", [((1, 1), {32}), ((2, 2), {16}),
+                                          ((3, 3), {8}), ((1, 2), {16, 32})])
+def test_pu_depth_constraints(rng, rng_, allowed):
+    """--pu-depth-intra limits leaf sizes and stays conformant."""
+    w = h = 128
+    y, cb, cr = _mixed_frame(w, h, rng)
+    cfg = Config(width=w, height=h, qp=32, pu_depth_intra=rng_)
+    stream, infos = encode_sequence(cfg, [(y, cb, cr)])
+    f = HEVCDecoder().decode(stream)[0]
+    assert f.hash_ok
+    enc = Encoder(cfg)
+    d = enc._pipeline.materialize(enc._pipeline.submit(y, cb, cr))
+    used = {s for s in (8, 16, 32) if (d["size_map8"] == s).any()}
+    assert used <= allowed
+
+
 def test_md_cv2_oracle(rng):
     cv2 = pytest.importorskip("cv2")
     w, h = 128, 64
