@@ -22,7 +22,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
 
-W, H, QP, N_FRAMES = 1920, 1080, 27, 4
+W, H, QP, N_FRAMES = 1920, 1080, 27, 8
 
 
 def synth_frames(n, w, h):

@@ -373,6 +373,37 @@ class Encoder:
                           -13, 12)
         return np.clip(qp, 0, 51).astype(np.int32)
 
+    def submit_frames(self, frames) -> list[dict]:
+        """Batched all-intra submission: B independent frames in ONE
+        jitted device program (frame-level parallelism the TPU way —
+        the wavefront loop's small per-wave batches become B x wider).
+        Constant-QP 16-grid path only; everything else uses
+        submit_frame."""
+        cfg = self.cfg
+        padded = []
+        for (y, cb, cr) in frames:
+            if self.pad_w or self.pad_h:
+                y = np.pad(y, ((0, self.pad_h), (0, self.pad_w)),
+                           mode="edge")
+                cb = np.pad(cb, ((0, self.pad_h // 2),
+                                 (0, self.pad_w // 2)), mode="edge")
+                cr = np.pad(cr, ((0, self.pad_h // 2),
+                                 (0, self.pad_w // 2)), mode="edge")
+            padded.append((y, cb, cr))
+        devs = self._pipeline.submit_many([p[0] for p in padded],
+                                          [p[1] for p in padded],
+                                          [p[2] for p in padded])
+        metas = []
+        for (y, cb, cr), dev in zip(padded, devs):
+            metas.append({"is_idr": True, "poc": 0, "qp": cfg.qp,
+                          "frame_num": self.frame_num, "y": y, "cb": cb,
+                          "cr": cr, "slice_type": 2, "is_ref": True,
+                          "l0": [], "l1": [], "union": [], "keep": None,
+                          "ref_pocs": [], "dev": dev,
+                          "pushed_ref": False, "dpb_pocs": []})
+            self.frame_num += 1
+        return metas
+
     def submit_frame(self, y: np.ndarray, cb: np.ndarray,
                      cr: np.ndarray) -> dict:
         """Dispatch a frame's device work (async); returns a pending token
@@ -852,6 +883,32 @@ def encode_sequence(cfg: Config, frames,
             infos.append(info)
         return out, infos
     overlap = enc.use_device
+    if (overlap and cfg.frame_batch > 1
+            and not getattr(enc, "inter_enabled", False)
+            and getattr(enc, "_rc", None) is None
+            and not getattr(enc, "dqp_enabled", False)
+            and not enc.use_md
+            and hasattr(enc._pipeline, "submit_many")):
+        # frame-batched all-intra (opt-in --frame-batch): submit groups
+        # of B frames as one device program, entropy-code the previous
+        # group meanwhile. On current hardware the async per-frame
+        # pipeline usually wins (vmapped wavefront gathers cost more
+        # than the loop latency saved), so this is off by default.
+        frames = list(frames)
+        B = cfg.frame_batch
+        prev: list = []
+        for i in range(0, len(frames), B):
+            metas = enc.submit_frames(frames[i:i + B])
+            for m in prev:
+                chunk, info = enc.finalize_frame(m)
+                out += chunk
+                infos.append(info)
+            prev = metas
+        for m in prev:
+            chunk, info = enc.finalize_frame(m)
+            out += chunk
+            infos.append(info)
+        return out, infos
     pending = None
     for (y, cb, cr) in frames:
         if not overlap:

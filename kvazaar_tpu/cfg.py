@@ -68,6 +68,9 @@ class Config:
     scaling_list: str = "off"
     slices: str = "none"
     threads: int = 0
+    # frame-batched all-intra device dispatch (0/1 = off): groups this
+    # many frames into one vmapped device program
+    frame_batch: int = 0
     # interlacing: "progressive" | "tff" | "bff" (kvazaar
     # --source-scan-type; field coding splits frames into two fields)
     source_scan_type: str = "progressive"

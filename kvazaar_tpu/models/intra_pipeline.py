@@ -127,6 +127,12 @@ class IntraPipeline:
         self._search = jax.jit(self._with_consts(self._search_impl))
         self._waves = jax.jit(self._with_consts(self._waves_impl))
         self._full = jax.jit(self._with_consts(self._full_impl))
+        # frame-batched variant: all-intra frames are independent, so
+        # vmapping the whole per-frame program multiplies the arithmetic
+        # intensity of the (latency-bound) wavefront loop — the TPU
+        # analog of kvazaar's OWF frame parallelism across threads
+        self._full_b = jax.jit(jax.vmap(self._with_consts(self._full_impl),
+                                        in_axes=(None, 0, 0, 0)))
 
     CONST_KEYS = ("g16", "f16", "g8c", "t16", "t8", "h8", "wave_blocks",
                   "wave_mask", "b_r", "b_c", "hash_mask_y", "hash_mask_c",
@@ -257,6 +263,20 @@ class IntraPipeline:
                          jnp.asarray(src_cr, jnp.uint8))
         self._start_d2h(out)
         return out
+
+    def submit_many(self, ys, cbs, crs, qp: int | None = None) -> list:
+        """Batched dispatch of B independent frames through one jitted
+        program; returns per-frame output dicts (lazy slices of the
+        batched buffers)."""
+        out = self._full_b(self._consts_for(qp),
+                           jnp.asarray(np.stack(ys), jnp.uint8),
+                           jnp.asarray(np.stack(cbs), jnp.uint8),
+                           jnp.asarray(np.stack(crs), jnp.uint8))
+        b = len(ys)
+        per = [{k: v[i] for k, v in out.items()} for i in range(b)]
+        for p in per:
+            self._start_d2h(p)
+        return per
 
     def _consts_for(self, qp: int | None):
         if qp is None or qp == self.qp:
