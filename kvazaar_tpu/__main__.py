@@ -70,6 +70,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lossless", action="store_true")
     p.add_argument("--scaling-list", dest="scaling_list",
                    choices=["off", "default"], default="off")
+    p.add_argument("--rc-algorithm", dest="rc_algorithm",
+                   choices=["no-rc", "lambda", "oba"], default="lambda")
+    p.add_argument("--source-scan-type", dest="source_scan_type",
+                   choices=["progressive", "tff", "bff"],
+                   default="progressive")
+    p.add_argument("--pu-depth-intra", dest="pu_depth_intra",
+                   default=None, help="min-max (1=32x32 .. 3=8x8)")
+    p.add_argument("--level", type=int, default=0,
+                   help="HEVC level x10 (e.g. 40 = 4.0); 0 = auto")
     p.add_argument("--psnr", action="store_true", default=True)
     p.add_argument("--no-psnr", dest="psnr", action="store_false")
     return p
@@ -90,7 +99,13 @@ def main(argv=None) -> int:
                  ref_frames=args.ref, sao_type=args.sao,
                  deblock_enable=args.deblock, vaq=args.vaq,
                  roi_file=args.roi, input_bitdepth=reader.bit_depth,
-                 lossless=args.lossless, scaling_list=args.scaling_list)
+                 lossless=args.lossless, scaling_list=args.scaling_list,
+                 rc_algorithm=args.rc_algorithm,
+                 source_scan_type=args.source_scan_type,
+                 level=args.level)
+    if args.pu_depth_intra:
+        cfg.parse("pu-depth-intra", args.pu_depth_intra)
+        cfg.ctu_size = 64
     if args.tiles:
         cfg.parse("tiles", args.tiles)
     if args.tiles or args.vaq or args.roi or args.lossless \
