@@ -222,10 +222,27 @@ class Encoder:
                         "scaling lists require the quadtree device "
                         "path (ctu-size 64) in this round")
                 if self.tile_grid is not None:
-                    from .parallel.tiled import TiledIntraPipeline
-                    self._pipeline = TiledIntraPipeline(
-                        self.sps.height, self.sps.width, cfg.qp,
-                        self.tile_grid, ctb=64, **pipe_kw)
+                    # multi-device: route uniform tile grids through one
+                    # shard_mapped program over the mesh (tiles are
+                    # independent, so the stream is byte-identical to the
+                    # sequential per-tile path)
+                    self._pipeline = None
+                    if not self.dqp_enabled and cfg.mesh_tiles != "off":
+                        import jax
+                        from .parallel.mesh import (MeshTiledIntraPipeline,
+                                                    grid_is_uniform)
+                        devs = jax.devices()
+                        g = self.tile_grid
+                        if (grid_is_uniform(g) and g.n_tiles > 1
+                                and len(devs) >= g.n_tiles):
+                            self._pipeline = MeshTiledIntraPipeline(
+                                devs, self.sps.height, self.sps.width,
+                                cfg.qp, g, ctb=64, **pipe_kw)
+                    if self._pipeline is None:
+                        from .parallel.tiled import TiledIntraPipeline
+                        self._pipeline = TiledIntraPipeline(
+                            self.sps.height, self.sps.width, cfg.qp,
+                            self.tile_grid, ctb=64, **pipe_kw)
                 else:
                     if self.use_md:
                         from .models.intra_md import \
@@ -620,6 +637,29 @@ class Encoder:
             b0 = cab.bit_count
             writer.write_ctu(ctu_y, ctu_x)
             lcu_bits[ctu_y, ctu_x] = cab.bit_count - b0
+        # native (C++) quadtree slice writer: the flagship hot path.
+        # Falls back to the Python writer for tiles / delta-QP / lossless
+        # (and when the toolchain is unavailable).
+        if (writer is not None and self.use_md and slice_type == 2
+                and self.tile_grid is None and not self.dqp_enabled
+                and not cfg.lossless and lcu_bits is None
+                and (sao_w is not None or not self.sps.sao_enabled)):
+            from . import native
+            if native.available():
+                data, sizes = native.encode_md_slice(
+                    decisions["size_map8"], decisions["mode_map8"],
+                    decisions["levels_y"], decisions["levels_cb"],
+                    decisions["levels_cr"], sh.qp, wpp,
+                    sdh=bool(self.pps.sign_data_hiding_enabled),
+                    sao_packed=(native.pack_sao(decisions)
+                                if self.sps.sao_enabled else None),
+                    bit_depth=self.sps.bit_depth_luma)
+                off = 0
+                for s in sizes:
+                    substreams.append(data[off:off + s])
+                    off += s
+                native_done = True
+                writer = None
         if writer is not None:
             if self.tile_grid is not None:
                 # tile-scan CTU order, one substream + fresh contexts per
@@ -681,7 +721,7 @@ class Encoder:
                     bw.byte_align_one()
                     substreams.append(bw.get_bytes())
             native_done = True  # slice data done
-        elif decisions is not None:
+        elif decisions is not None and not native_done:
             from . import native
             if native.available() and sao_w is None:
                 data, sizes = native.encode_intra_grid(
@@ -887,7 +927,6 @@ def encode_sequence(cfg: Config, frames,
             and not getattr(enc, "inter_enabled", False)
             and getattr(enc, "_rc", None) is None
             and not getattr(enc, "dqp_enabled", False)
-            and not enc.use_md
             and hasattr(enc._pipeline, "submit_many")):
         # frame-batched all-intra (opt-in --frame-batch): submit groups
         # of B frames as one device program, entropy-code the previous

@@ -60,6 +60,10 @@ class Config:
     wpp: bool = False
     owf: int = 0
     tiles: tuple[int, int] = (1, 1)
+    # tile->device-mesh routing: "auto" uses one shard_mapped program
+    # over the mesh when the grid is uniform and devices suffice;
+    # "off" forces the sequential per-tile path (same bitstream)
+    mesh_tiles: str = "auto"
     # adaptive QP: VAQ strength (kvazaar --vaq) and ROI delta-QP file
     # (kvazaar --roi: "w h" header + w*h integer deltas)
     vaq: int = 0

@@ -188,6 +188,12 @@ class MdIntraPipeline(IntraPipeline):
 
         self.consts = {k: getattr(self, k) for k in self.const_keys()}
         self._full = jax.jit(self._with_consts(self._full_impl))
+        # frame-batched variant (all-intra frames are independent): one
+        # vmapped program amortizes the wavefront loop's per-wave
+        # dispatch overhead over B frames — the TPU analog of kvazaar's
+        # OWF frame parallelism (src/kvazaar.c:110-141)
+        self._full_b = jax.jit(jax.vmap(self._with_consts(self._full_impl),
+                                        in_axes=(None, 0, 0, 0)))
 
     CONST_KEYS = ("g8l", "g16l", "g32l", "f8", "f16l", "f32", "g4c",
                   "g8cc", "g16c", "t4", "t8", "t16", "t32", "h8", "m8",
@@ -958,6 +964,26 @@ class MdIntraPipeline(IntraPipeline):
                 except (AttributeError, RuntimeError):
                     pass
         return out
+
+    def submit_many(self, ys, cbs, crs, qp: int | None = None) -> list:
+        """Batched dispatch of B independent frames through one vmapped
+        device program; returns per-frame output dicts (lazy slices)."""
+        pix_t = jnp.uint8 if self.bd == 8 else jnp.uint16
+        out = self._full_b(self._consts_for(qp),
+                           jnp.asarray(np.stack(ys), pix_t),
+                           jnp.asarray(np.stack(cbs), pix_t),
+                           jnp.asarray(np.stack(crs), pix_t))
+        per = [{k: v[i] for k, v in out.items()} for i in range(len(ys))]
+        for p in per:
+            for k, v in p.items():
+                if (k.startswith(("lmask_", "lvals_", "sao_"))
+                        or k in ("hash", "sse", "size_map8", "mode_map8",
+                                 "lvl_ovf", "qp_ctb")):
+                    try:
+                        v.copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        pass
+        return per
 
     def materialize(self, out):
         res = {k: (np.asarray(v)

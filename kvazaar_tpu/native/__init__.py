@@ -31,9 +31,10 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if (not os.path.exists(_SO)
+    _GEN = os.path.join(_DIR, "gen_tables.py")
+    if (not os.path.exists(_SO) or not os.path.exists(_HDR)
             or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-            or not os.path.exists(_HDR)):
+            or os.path.getmtime(_SO) < os.path.getmtime(_GEN)):
         _build()
     lib = ctypes.CDLL(_SO)
     lib.kvz_tpu_encode_intra_grid.restype = ctypes.c_int64
@@ -42,6 +43,14 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    lib.kvz_tpu_encode_md_slice.restype = ctypes.c_int64
+    lib.kvz_tpu_encode_md_slice.argtypes = [
+        p32, p32, p32, p32, p32,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, p32, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
@@ -75,6 +84,62 @@ def encode_intra_grid(modes: np.ndarray, levels_y: np.ndarray,
         modes.ctypes.data_as(p), ly.ctypes.data_as(p),
         lcb.ctypes.data_as(p), lcr.ctypes.data_as(p),
         rows, cols, qp, 1 if wpp else 0, 1 if sdh else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        entries.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if n < 0:
+        raise RuntimeError("entropy buffer overflow")
+    sizes = entries.tolist() if wpp else [int(n)]
+    return bytes(out[:n]), [int(s) for s in sizes]
+
+
+def pack_sao(d: dict) -> "np.ndarray | None":
+    """Pack per-CTB SAO decision tensors into the [R, C, 19] int32 layout
+    the native writer's SaoRec expects (see entropy.cc)."""
+    if "sao_y_typ" not in d:
+        return None
+    rows, cols = np.asarray(d["sao_y_typ"]).shape
+    rec = np.zeros((rows, cols, 19), np.int32)
+    rec[:, :, 0] = d["sao_y_typ"]
+    rec[:, :, 1] = d["sao_y_cls"]
+    rec[:, :, 2] = d["sao_y_pos"]
+    rec[:, :, 3:7] = np.moveaxis(np.asarray(d["sao_y_offs"]), 0, -1)
+    rec[:, :, 7] = d["sao_c_typ"]
+    rec[:, :, 8] = d["sao_c_cls"]
+    rec[:, :, 9] = d["sao_c_pos_cb"]
+    rec[:, :, 10:14] = np.moveaxis(np.asarray(d["sao_c_offs_cb"]), 0, -1)
+    rec[:, :, 14] = d["sao_c_pos_cr"]
+    rec[:, :, 15:19] = np.moveaxis(np.asarray(d["sao_c_offs_cr"]), 0, -1)
+    return rec
+
+
+def encode_md_slice(size8: np.ndarray, mode8: np.ndarray,
+                    levels_y: np.ndarray, levels_cb: np.ndarray,
+                    levels_cr: np.ndarray, qp: int, wpp: bool,
+                    sdh: bool = False, sao_packed=None,
+                    bit_depth: int = 8) -> tuple[bytes, list[int]]:
+    """Encode quadtree (CTB-64) intra slice data.
+    Returns (bytes, entry_sizes)."""
+    lib = get_lib()
+    h, w = levels_y.shape
+    size8 = np.ascontiguousarray(size8, dtype=np.int32)
+    mode8 = np.ascontiguousarray(mode8, dtype=np.int32)
+    ly = np.ascontiguousarray(levels_y, dtype=np.int32)
+    lcb = np.ascontiguousarray(levels_cb, dtype=np.int32)
+    lcr = np.ascontiguousarray(levels_cr, dtype=np.int32)
+    cap = max(1 << 22, ly.size * 4)
+    out = np.empty(cap, dtype=np.uint8)
+    entries = np.zeros(h >> 6, dtype=np.int64)
+    p = ctypes.POINTER(ctypes.c_int32)
+    sao_ptr = None
+    if sao_packed is not None:
+        sao_packed = np.ascontiguousarray(sao_packed, dtype=np.int32)
+        sao_ptr = sao_packed.ctypes.data_as(p)
+    cmax = (1 << (min(bit_depth, 10) - 5)) - 1
+    n = lib.kvz_tpu_encode_md_slice(
+        size8.ctypes.data_as(p), mode8.ctypes.data_as(p),
+        ly.ctypes.data_as(p), lcb.ctypes.data_as(p), lcr.ctypes.data_as(p),
+        h, w, qp, 1 if wpp else 0, 1 if sdh else 0,
+        sao_ptr, cmax,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
         entries.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     if n < 0:

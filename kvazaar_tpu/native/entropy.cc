@@ -380,9 +380,465 @@ void encode_ctu(Cabac& cab, int r, int c, int cols, int sdh,
   if (cbf_cr) encode_residual(cab, cr_, 3, 2, sdh);
 }
 
+// ---------------------------------------------------------------------------
+// Quadtree (multi-depth) intra slice writer: the flagship CTB-64 path.
+// Consumes the per-8x8-cell size/mode maps and full coefficient planes of
+// models/intra_md.py and writes coding_quadtree()/coding_unit()/
+// transform_unit() syntax plus sao() at each CTU head. Mirrors
+// engine/md_writer.py (validated against the decoder); C++ because host
+// entropy is the serial bottleneck once device compute is batched.
+// Reference parity: kvazaar src/encode_coding_tree.c:745 (tree),
+// :467 (intra mode), :193 (TU), generic/encode_coding_tree-generic.c
+// (residual), all re-derived from spec 7.3.8.
+
+static const uint16_t* scan_tab(int log2, int si) {
+  switch (log2) {
+    case 2: return si == 0 ? kScanDiag4 : si == 1 ? kScanHor4 : kScanVer4;
+    case 3: return si == 0 ? kScanDiag8 : si == 1 ? kScanHor8 : kScanVer8;
+    case 4: return kScanDiag16;
+    default: return kScanDiag32;
+  }
+}
+static const uint16_t* cg_scan_tab(int log2, int si) {
+  switch (log2) {
+    case 2: return si == 0 ? kCgScanDiag4 : si == 1 ? kCgScanHor4
+                                                    : kCgScanVer4;
+    case 3: return si == 0 ? kCgScanDiag8 : si == 1 ? kCgScanHor8
+                                                    : kCgScanVer8;
+    case 4: return kCgScanDiag16;
+    default: return kCgScanDiag32;
+  }
+}
+
+static int intra_scan_idx(int mode, int log2, int c_idx) {
+  // mode-dependent coefficient scan (spec 7.4.9.11)
+  if (log2 == 2 || (log2 == 3 && c_idx == 0)) {
+    if (mode >= 6 && mode <= 14) return 2;   // vertical scan
+    if (mode >= 22 && mode <= 30) return 1;  // horizontal scan
+  }
+  return 0;
+}
+
+// sig_coeff_flag context increment (spec 9.3.4.2.5)
+static inline int sig_ctx(int x, int y, int log2, int c_idx, int scan_idx,
+                          int right, int below) {
+  int sig;
+  if (log2 == 2) {
+    sig = kSigCtx4x4[(y << 2) + x];
+  } else if (x + y == 0) {
+    sig = 0;
+  } else {
+    int xp = x & 3, yp = y & 3;
+    int prev = right + 2 * below;
+    if (prev == 0)      sig = (xp + yp == 0) ? 2 : (xp + yp < 3) ? 1 : 0;
+    else if (prev == 1) sig = (yp == 0) ? 2 : (yp == 1) ? 1 : 0;
+    else if (prev == 2) sig = (xp == 0) ? 2 : (xp == 1) ? 1 : 0;
+    else                sig = 2;
+    if (c_idx == 0) {
+      if ((x >> 2) + (y >> 2) > 0) sig += 3;
+      sig += (log2 == 3) ? (scan_idx == 0 ? 9 : 15) : 21;
+    } else {
+      sig += (log2 == 3) ? 9 : 12;
+    }
+  }
+  return sig + (c_idx ? 27 : 0);
+}
+
+// Generic residual_coding() over a plane window (any size 4..32, any scan).
+static void encode_residual_any(Cabac& cab, const int32_t* plane,
+                                int stride, int x0, int y0, int log2,
+                                int c_idx, int scan_idx, int sdh) {
+  const int size = 1 << log2;
+  const int nn = size * size;
+  const uint16_t* scan = scan_tab(log2, scan_idx);
+  const uint16_t* cg_scan = cg_scan_tab(log2, scan_idx);
+  const int width_cg = size >> 2 ? size >> 2 : 1;
+
+  int32_t flat[1024];
+  int last_scan_pos = -1;
+  const int32_t* base = plane + (int64_t)y0 * stride + x0;
+  for (int i = 0; i < nn; i++) {
+    int rp = scan[i];
+    flat[i] = base[(rp >> log2) * stride + (rp & (size - 1))];
+    if (flat[i]) last_scan_pos = i;
+  }
+  // last position (swap coords under the vertical scan)
+  {
+    int lp = scan[last_scan_pos];
+    int lx = lp & (size - 1), ly = lp >> log2;
+    if (scan_idx == 2) { int t = lx; lx = ly; ly = t; }
+    int offset, shift;
+    int base_x = KVZ_CTX_LAST_SIG_X, base_y = KVZ_CTX_LAST_SIG_Y;
+    if (c_idx) {
+      base_x += 15; base_y += 15;
+      offset = 0; shift = log2 - 2;
+    } else {
+      offset = 3 * (log2 - 2) + ((log2 - 1) >> 2);
+      shift = (log2 + 1) >> 2;
+    }
+    int gx = kGroupIdx[lx], gy = kGroupIdx[ly];
+    int cmax = (log2 << 1) - 1;
+    for (int i = 0; i < gx; i++)
+      cab.encode_bin(base_x + offset + (i >> shift), 1);
+    if (gx < cmax) cab.encode_bin(base_x + offset + (gx >> shift), 0);
+    for (int i = 0; i < gy; i++)
+      cab.encode_bin(base_y + offset + (i >> shift), 1);
+    if (gy < cmax) cab.encode_bin(base_y + offset + (gy >> shift), 0);
+    if (gx > 3) cab.encode_bins_ep(lx - kMinInGroup[gx], (gx - 2) >> 1);
+    if (gy > 3) cab.encode_bins_ep(ly - kMinInGroup[gy], (gy - 2) >> 1);
+  }
+
+  const int last_cg = last_scan_pos >> 4;
+  uint8_t csbf_map[64];
+  memset(csbf_map, 0, sizeof(csbf_map));
+  int c1 = 1;
+
+  for (int cg = last_cg; cg >= 0; cg--) {
+    const int cg_pos = cg_scan[cg];
+    const int cgx = cg_pos % width_cg, cgy = cg_pos / width_cg;
+    const int sub_pos = cg << 4;
+    int cg_has = 0;
+    for (int i = 0; i < 16; i++)
+      if (flat[sub_pos + i]) { cg_has = 1; break; }
+
+    int right = (cgx + 1 < width_cg) ? csbf_map[cgy * width_cg + cgx + 1]
+                                     : 0;
+    int below = (cgy + 1 < width_cg) ? csbf_map[(cgy + 1) * width_cg + cgx]
+                                     : 0;
+    int infer_sb_dc = 0;
+    int coded_csbf;
+    if (cg == last_cg || cg == 0) {
+      coded_csbf = 1;
+    } else {
+      int ctx = KVZ_CTX_CODED_SUB_BLOCK_FLAG + ((right || below) ? 1 : 0) +
+                (c_idx ? 2 : 0);
+      cab.encode_bin(ctx, cg_has);
+      coded_csbf = cg_has;
+      infer_sb_dc = 1;
+    }
+    csbf_map[cgy * width_cg + cgx] = coded_csbf;
+    if (!coded_csbf) continue;
+
+    int sig_pos[16];
+    int nsig = 0;
+    int start = (cg == last_cg) ? last_scan_pos - 1 : sub_pos + 15;
+    if (cg == last_cg) sig_pos[nsig++] = last_scan_pos;
+    for (int pos = start; pos >= sub_pos; pos--) {
+      int val = flat[pos] != 0;
+      if (pos == sub_pos && infer_sb_dc && nsig == 0) {
+        sig_pos[nsig++] = pos;
+        continue;
+      }
+      int rp = scan[pos];
+      int x = rp & (size - 1), y = rp >> log2;
+      cab.encode_bin(KVZ_CTX_SIG_COEFF_FLAG +
+                         sig_ctx(x, y, log2, c_idx, scan_idx, right, below),
+                     val);
+      if (val) sig_pos[nsig++] = pos;
+    }
+    if (!nsig) continue;
+
+    int abs_lev[16], signs[16];
+    for (int i = 0; i < nsig; i++) {
+      int32_t v = flat[sig_pos[i]];
+      abs_lev[i] = v < 0 ? -v : v;
+      signs[i] = v < 0;
+    }
+    int ctx_set = (cg > 0 && c_idx == 0) ? 2 : 0;
+    if (c1 == 0) ctx_set++;
+    c1 = 1;
+    int first_g1 = -1;
+    int n_c1 = nsig < 8 ? nsig : 8;
+    for (int i = 0; i < n_c1; i++) {
+      int g1 = abs_lev[i] > 1;
+      cab.encode_bin(KVZ_CTX_COEFF_ABS_LEVEL_GREATER1_FLAG +
+                         (c_idx ? 16 : 0) + ctx_set * 4 + c1, g1);
+      if (g1) {
+        c1 = 0;
+        if (first_g1 < 0) first_g1 = i;
+      } else if (c1 > 0 && c1 < 3) {
+        c1++;
+      }
+    }
+    if (first_g1 >= 0) {
+      cab.encode_bin(KVZ_CTX_COEFF_ABS_LEVEL_GREATER2_FLAG +
+                         (c_idx ? 4 : 0) + ctx_set,
+                     abs_lev[first_g1] > 2);
+    }
+    int hide = sdh && (sig_pos[0] - sig_pos[nsig - 1] > 3);
+    int n_signs = hide ? nsig - 1 : nsig;
+    uint32_t sign_pat = 0;
+    for (int i = 0; i < n_signs; i++) sign_pat = (sign_pat << 1) | signs[i];
+    if (n_signs) cab.encode_bins_ep(sign_pat, n_signs);
+    int rice = 0, first_coeff2 = 1;
+    for (int i = 0; i < nsig; i++) {
+      int base_l = (i < 8) ? (2 + first_coeff2) : 1;
+      if (abs_lev[i] >= base_l) {
+        cab.golomb_remaining(abs_lev[i] - base_l, rice);
+        if (abs_lev[i] > (3 << rice) && rice < 4) rice++;
+      }
+      if (abs_lev[i] >= 2) first_coeff2 = 0;
+    }
+  }
+}
+
+// per-CTB SAO parameter record (packed by the Python binding)
+struct SaoRec {
+  int32_t y_typ, y_cls, y_pos, y_off[4];
+  int32_t c_typ, c_cls;
+  int32_t cb_pos, cb_off[4];
+  int32_t cr_pos, cr_off[4];
+  bool operator==(const SaoRec& o) const {
+    return memcmp(this, &o, sizeof(SaoRec)) == 0;
+  }
+};
+
+struct MdWriter {
+  const int32_t *size8, *mode8;
+  const int32_t *ly, *lcb, *lcr;
+  int h, w, r8, c8;
+  int sdh;
+  const SaoRec* sao;  // [R*C] or null
+  int sao_cmax;
+  int ctb_rows, ctb_cols;
+  uint8_t* coded8;    // [r8*c8] written-cell mask
+  int8_t* depth8;     // [r8*c8]
+  Cabac* cab;
+
+  bool coded_at8(int c8x, int c8y) const {
+    if (c8x < 0 || c8y < 0 || c8x >= c8 || c8y >= r8) return false;
+    return coded8[c8y * c8 + c8x] != 0;
+  }
+  int neighbor_mode(int c8x, int c8y, int cur_y8, bool above) const {
+    if (!coded_at8(c8x, c8y)) return 1;  // DC
+    if (above && (c8y >> 3) != (cur_y8 >> 3)) return 1;  // other CTB row
+    return mode8[c8y * c8 + c8x];
+  }
+
+  void write_sao_offsets(const int32_t* off, bool band) {
+    for (int i = 0; i < 4; i++) {
+      int a = off[i] < 0 ? -off[i] : off[i];
+      for (int k = 0; k < a; k++) cab->encode_bin_ep(1);
+      if (a < sao_cmax) cab->encode_bin_ep(0);
+    }
+    if (band)
+      for (int i = 0; i < 4; i++)
+        if (off[i]) cab->encode_bin_ep(off[i] < 0 ? 1 : 0);
+  }
+
+  void write_sao(int cy, int cx, bool left_ok, bool up_ok) {
+    const SaoRec& rec = sao[cy * ctb_cols + cx];
+    if (left_ok) {
+      bool ml = rec == sao[cy * ctb_cols + cx - 1];
+      cab->encode_bin(KVZ_CTX_SAO_MERGE_FLAG, ml);
+      if (ml) return;
+    }
+    if (up_ok) {
+      bool mu = rec == sao[(cy - 1) * ctb_cols + cx];
+      cab->encode_bin(KVZ_CTX_SAO_MERGE_FLAG, mu);
+      if (mu) return;
+    }
+    // luma
+    if (rec.y_typ == 0) {
+      cab->encode_bin(KVZ_CTX_SAO_TYPE_IDX, 0);
+    } else {
+      cab->encode_bin(KVZ_CTX_SAO_TYPE_IDX, 1);
+      cab->encode_bin_ep(rec.y_typ == 2 ? 1 : 0);
+      write_sao_offsets(rec.y_off, rec.y_typ == 1);
+      if (rec.y_typ == 1) cab->encode_bins_ep(rec.y_pos, 5);
+      else cab->encode_bins_ep(rec.y_cls, 2);
+    }
+    // chroma (cb + cr share typ/cls)
+    if (rec.c_typ == 0) {
+      cab->encode_bin(KVZ_CTX_SAO_TYPE_IDX, 0);
+    } else {
+      cab->encode_bin(KVZ_CTX_SAO_TYPE_IDX, 1);
+      cab->encode_bin_ep(rec.c_typ == 2 ? 1 : 0);
+      write_sao_offsets(rec.cb_off, rec.c_typ == 1);
+      if (rec.c_typ == 1) cab->encode_bins_ep(rec.cb_pos, 5);
+      else cab->encode_bins_ep(rec.c_cls, 2);
+      write_sao_offsets(rec.cr_off, rec.c_typ == 1);
+      if (rec.c_typ == 1) cab->encode_bins_ep(rec.cr_pos, 5);
+    }
+  }
+
+  void transform_unit(int x0, int y0, int log2, int mode) {
+    int size = 1 << log2;
+    int csize = size >> 1, c_log2 = log2 - 1;
+    int cy0 = y0 >> 1, cx0 = x0 >> 1, cw = w >> 1;
+    int cbf_y = 0, cbf_cb = 0, cbf_cr = 0;
+    for (int r = 0; r < size && !cbf_y; r++) {
+      const int32_t* p = ly + (int64_t)(y0 + r) * w + x0;
+      for (int c = 0; c < size; c++) if (p[c]) { cbf_y = 1; break; }
+    }
+    for (int r = 0; r < csize && !cbf_cb; r++) {
+      const int32_t* p = lcb + (int64_t)(cy0 + r) * cw + cx0;
+      for (int c = 0; c < csize; c++) if (p[c]) { cbf_cb = 1; break; }
+    }
+    for (int r = 0; r < csize && !cbf_cr; r++) {
+      const int32_t* p = lcr + (int64_t)(cy0 + r) * cw + cx0;
+      for (int c = 0; c < csize; c++) if (p[c]) { cbf_cr = 1; break; }
+    }
+    cab->encode_bin(KVZ_CTX_CBF_CHROMA + 0, cbf_cb);
+    cab->encode_bin(KVZ_CTX_CBF_CHROMA + 0, cbf_cr);
+    cab->encode_bin(KVZ_CTX_CBF_LUMA + 1, cbf_y);
+    if (cbf_y)
+      encode_residual_any(*cab, ly, w, x0, y0, log2, 0,
+                          intra_scan_idx(mode, log2, 0), sdh);
+    if (cbf_cb)
+      encode_residual_any(*cab, lcb, cw, cx0, cy0, c_log2, 1,
+                          intra_scan_idx(mode, c_log2, 1), sdh);
+    if (cbf_cr)
+      encode_residual_any(*cab, lcr, cw, cx0, cy0, c_log2, 2,
+                          intra_scan_idx(mode, c_log2, 2), sdh);
+  }
+
+  void coding_unit(int x0, int y0, int log2) {
+    int x8 = x0 >> 3, y8 = y0 >> 3;
+    if (log2 == 3)
+      cab->encode_bin(KVZ_CTX_PART_MODE, 1);  // 2Nx2N at min CB
+    int mode = mode8[y8 * c8 + x8];
+    // MPM (spec 8.4.2): candA left, candB above (other-CTB-row -> DC)
+    int a = neighbor_mode(x8 - 1, y8, y8, false);
+    int b = neighbor_mode(x8, y8 - 1, y8, true);
+    int mpm[3];
+    if (a == b) {
+      if (a < 2) { mpm[0] = 0; mpm[1] = 1; mpm[2] = 26; }
+      else { mpm[0] = a; mpm[1] = 2 + ((a + 29) % 32);
+             mpm[2] = 2 + ((a - 1) % 32); }
+    } else {
+      mpm[0] = a; mpm[1] = b;
+      if (a != 0 && b != 0) mpm[2] = 0;
+      else if (a + b < 2) mpm[2] = 26;
+      else mpm[2] = 1;
+    }
+    int idx = -1;
+    for (int i = 0; i < 3; i++) if (mpm[i] == mode) { idx = i; break; }
+    if (idx >= 0) {
+      cab->encode_bin(KVZ_CTX_PREV_INTRA_LUMA_PRED_FLAG, 1);
+      if (idx == 0) cab->encode_bin_ep(0);
+      else { cab->encode_bin_ep(1); cab->encode_bin_ep(idx - 1); }
+    } else {
+      cab->encode_bin(KVZ_CTX_PREV_INTRA_LUMA_PRED_FLAG, 0);
+      int rem = mode;
+      int s0 = mpm[0], s1 = mpm[1], s2 = mpm[2], t;
+      if (s0 > s1) { t = s0; s0 = s1; s1 = t; }
+      if (s1 > s2) { t = s1; s1 = s2; s2 = t; }
+      if (s0 > s1) { t = s0; s0 = s1; s1 = t; }
+      if (rem > s2) rem--;
+      if (rem > s1) rem--;
+      if (rem > s0) rem--;
+      cab->encode_bins_ep(rem, 5);
+    }
+    int k = 1 << (log2 - 3);
+    for (int r = 0; r < k; r++)
+      for (int c = 0; c < k; c++)
+        coded8[(y8 + r) * c8 + x8 + c] = 1;
+    cab->encode_bin(KVZ_CTX_INTRA_CHROMA_PRED_MODE, 0);  // derived mode
+    transform_unit(x0, y0, log2, mode);
+  }
+
+  void coding_quadtree(int x0, int y0, int log2, int depth) {
+    int size = 1 << log2;
+    bool inside = (x0 + size <= w) && (y0 + size <= h);
+    int leaf = inside ? size8[(y0 >> 3) * c8 + (x0 >> 3)] : 0;
+    bool split;
+    if (inside && log2 > 3) {
+      split = size > leaf;
+      int ctx = 0;
+      int x8 = x0 >> 3, y8 = y0 >> 3;
+      if (coded_at8(x8 - 1, y8) && depth8[y8 * c8 + x8 - 1] > depth)
+        ctx++;
+      if (coded_at8(x8, y8 - 1) && depth8[(y8 - 1) * c8 + x8] > depth)
+        ctx++;
+      cab->encode_bin(KVZ_CTX_SPLIT_CU_FLAG + ctx, split);
+    } else {
+      split = (!inside && log2 > 3) || (inside && size > leaf);
+    }
+    if (split) {
+      int half = size >> 1;
+      static const int off[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+      for (int i = 0; i < 4; i++) {
+        int x = x0 + off[i][0] * half, y = y0 + off[i][1] * half;
+        if (x < w && y < h) coding_quadtree(x, y, log2 - 1, depth + 1);
+      }
+      return;
+    }
+    int k = size >> 3;
+    int x8 = x0 >> 3, y8 = y0 >> 3;
+    for (int r = 0; r < k; r++)
+      for (int c = 0; c < k; c++)
+        depth8[(y8 + r) * c8 + x8 + c] = (int8_t)depth;
+    coding_unit(x0, y0, log2);
+  }
+
+  void write_ctu(int cy, int cx) {
+    if (sao) write_sao(cy, cx, cx > 0, cy > 0);
+    coding_quadtree(cx * 64, cy * 64, 6, 0);
+  }
+};
+
 }  // namespace
 
 extern "C" {
+
+// Quadtree (CTB-64) intra slice data. sao_packed is [R*C*19] int32 (see
+// SaoRec) or null. Returns total bytes (-1 on overflow); entry_sizes[r]
+// gets per-row substream sizes when wpp.
+int64_t kvz_tpu_encode_md_slice(const int32_t* size8, const int32_t* mode8,
+                                const int32_t* ly, const int32_t* lcb,
+                                const int32_t* lcr, int h, int w, int qp,
+                                int wpp, int sdh,
+                                const int32_t* sao_packed, int sao_cmax,
+                                uint8_t* out, int64_t out_cap,
+                                int64_t* entry_sizes) {
+  BitWriter bw{out, out_cap};
+  Cabac cab;
+  cab.bw = &bw;
+  Cabac saved;
+
+  int r8 = h >> 3, c8 = w >> 3;
+  int rows = h >> 6, cols = w >> 6;
+  uint8_t* coded8 = new uint8_t[r8 * c8]();
+  int8_t* depth8 = new int8_t[r8 * c8]();
+  MdWriter md{size8, mode8, ly, lcb, lcr, h, w, r8, c8, sdh,
+              (const SaoRec*)sao_packed, sao_cmax, rows, cols,
+              coded8, depth8, &cab};
+
+  if (!wpp) {
+    cab.reset_engine();
+    cab.init_contexts(qp);
+    for (int r = 0; r < rows; r++)
+      for (int c = 0; c < cols; c++) {
+        md.write_ctu(r, c);
+        cab.encode_bin_trm(r == rows - 1 && c == cols - 1);
+      }
+    cab.finish();
+    bw.align_one();
+    if (entry_sizes) entry_sizes[0] = bw.len;
+  } else {
+    int64_t prev_len = 0;
+    for (int r = 0; r < rows; r++) {
+      cab.reset_engine();
+      if (r == 0 || cols == 1) cab.init_contexts(qp);
+      else cab.copy_contexts(saved);
+      for (int c = 0; c < cols; c++) {
+        md.write_ctu(r, c);
+        if (c == 1 && cols > 1) saved.copy_contexts(cab);
+        int last = (r == rows - 1 && c == cols - 1);
+        cab.encode_bin_trm(last);
+        if (c == cols - 1 && !last) cab.encode_bin_trm(1);
+      }
+      cab.finish();
+      bw.align_one();
+      if (entry_sizes) entry_sizes[r] = bw.len - prev_len;
+      prev_len = bw.len;
+    }
+  }
+  delete[] coded8;
+  delete[] depth8;
+  return bw.len <= out_cap ? bw.len : -1;
+}
 
 // Encode the slice data for a fixed 16x16 grid intra picture.
 // Returns total bytes written (or -1 on overflow). With wpp != 0,
