@@ -38,7 +38,7 @@ def build_sps(cfg: Config) -> SPS:
     sps.max_transform_hierarchy_depth_inter = 0
     sps.sao_enabled = 0 if cfg.sao_type == "off" else 1
     sps.scaling_list_enabled = 0 if cfg.scaling_list == "off" else 1
-    sps.amp_enabled = 1 if cfg.amp_enable else 0
+    sps.amp_enabled = 0      # no AMP partitions emitted yet (cfg rejects)
     sps.strong_intra_smoothing = 1 if cfg.strong_intra_smoothing else 0
     sps.temporal_mvp_enabled = 0
     if cfg.gop_len > 1:
@@ -81,6 +81,14 @@ class Encoder:
 
     def __init__(self, cfg: Config) -> None:
         cfg.validate()
+        # options that would change the bitstream but aren't implemented
+        # raise here (the cfg.py module contract); performance-only hints
+        # (threads/owf) are accepted no-ops like any host scheduler knob
+        if cfg.smp_enable or cfg.amp_enable:
+            raise NotImplementedError(
+                "SMP/AMP partitions are not emitted yet")
+        if cfg.slices != "none":
+            raise NotImplementedError("--slices is not implemented yet")
         if cfg.lossless:
             # transquant bypass: loop filters never touch bypass samples
             # and SDH/RDOQ have nothing to optimize
@@ -268,8 +276,16 @@ class Encoder:
             self._gop_lo = 0                  # POC of last coded anchor
             self._next_disp = 0
         self._rc = None
-        if cfg.target_bitrate > 0:
+        # rc_algorithm no-rc means constant QP even with a bitrate set
+        # (kvazaar: RC selection strictly by rc_algorithm)
+        if cfg.target_bitrate > 0 and cfg.rc_algorithm != "no-rc":
             from .engine.rate_control import OBARateControl, RateControl
+            if cfg.rc_algorithm == "oba" and not self.use_md:
+                import sys
+                print("OBA rate control needs the quadtree path "
+                      "(ctu-size 64); falling back to lambda RC.",
+                      file=sys.stderr)
+                cfg.rc_algorithm = "lambda"
             # without inter coding every frame is an IDR, so the RC must
             # treat the stream as all-intra (no IDR bit boost)
             rc_cls = (OBARateControl if cfg.rc_algorithm == "oba"
@@ -783,7 +799,18 @@ class Encoder:
         slice_rbsp = shw.get_bytes() + b"".join(substreams)
 
         out = b""
-        if meta["frame_num"] == 0:
+        if cfg.aud_enable:
+            # access unit delimiter (ref encoder_state-bitstream.c:58)
+            from .bitstream import NAL_AUD
+            aud = BitWriter()
+            aud.u(2 if slice_type == 0 else 1 if slice_type == 1 else 0, 3)
+            aud.byte_align_one()
+            out += nal_unit(aud.get_bytes(), NAL_AUD)
+        # parameter sets at stream start and every vps_period*intra_period
+        # frames (ref encoder.c:594-597, encoderstate.h:367-370)
+        vp = cfg.vps_period * cfg.intra_period
+        if meta["frame_num"] == 0 or (vp > 0
+                                      and meta["frame_num"] % vp == 0):
             out += self.headers()
         if self.field_mode:
             from .bitstream import NAL_PREFIX_SEI

@@ -103,6 +103,11 @@ class Config:
             raise ValueError("unknown hash type")
         if self.gop_len not in (0, 1, 2, 4, 8, 16):
             raise ValueError("gop must be 0/1/2/4/8/16")
+        if self.source_scan_type in ("tff", "bff") and self.gop_len > 1:
+            # field pic_timing parity is derived from coding order, which
+            # only equals display order without a reordering B GOP
+            raise ValueError("interlaced coding requires gop 0/1 "
+                             "(no B-pyramid reorder)")
         if self.gop_len > 1:
             if self.intra_period == 1:
                 self.gop_len = 0  # all-intra: GOP structure is moot
@@ -145,6 +150,10 @@ class Config:
         if name not in self._OPTION_MAP:
             raise KeyError(f"unknown option {name}")
         attr, typ = self._OPTION_MAP[name]
+        # --bitrate upgrades no-rc to lambda RC (ref src/cfg.c:1096)
+        if name == "bitrate" and int(value) > 0 \
+                and self.rc_algorithm == "no-rc":
+            self.rc_algorithm = "lambda"
         if typ is bool:
             value = value in (True, 1, "1", "true", "yes", "on")
         elif typ == "tiles":

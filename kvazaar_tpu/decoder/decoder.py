@@ -383,8 +383,11 @@ class SliceDecoder:
             if cab.decode_bin_ep():
                 v = -v
         self.qg_delta_coded = True
-        # QpY wrap (spec 8.6.1, 8-bit: QpBdOffsetY = 0)
-        self.cur_qp = (self.qg_pred + v + 52) % 52
+        # QpY wrap (spec 8.6.1): over [−QpBdOffsetY, 51] with
+        # QpBdOffsetY = 6*(bit_depth−8), so 10-bit deltas wrap correctly
+        off = 6 * (self.sps.bit_depth_luma - 8)
+        self.cur_qp = ((self.qg_pred + v + 52 + 2 * off)
+                       % (52 + off)) - off
         self._fill_qg_qp()
 
     def coding_quadtree(self, x0: int, y0: int, log2_size: int,
@@ -959,9 +962,11 @@ class SliceDecoder:
         byp = getattr(self, "cu_bypass", False)
         sdh = bool(pps.sign_data_hiding_enabled) and not byp
         tse = bool(pps.transform_skip_enabled) and not byp
-        chroma_here = log2_size > 2 or blk_idx == 3
-        self._maybe_decode_qp_delta(
-            bool(cbf_luma or (chroma_here and (cbf_cb or cbf_cr))))
+        # cu_qp_delta condition (spec 7.3.8.10): a 4x4 TU uses the
+        # PARENT's cbf_cb/cbf_cr for ALL four children (blkIdx 0-3), so
+        # the chroma cbfs count even when chroma is coded after blkIdx 3
+        # (ref encode_coding_tree.c:282)
+        self._maybe_decode_qp_delta(bool(cbf_luma or cbf_cb or cbf_cr))
         if cbf_luma:
             coeffs, ts = decode_residual(self.cab, log2_size, 0, 0, sdh,
                                          tse)
@@ -1090,9 +1095,9 @@ class SliceDecoder:
         pps = self.pps
         # luma mode: for NxN CUs each 4x4 TU is one PU (blk_idx selects it)
         mode = modes[blk_idx] if (intra_split and depth > 0) else modes[0]
-        chroma_here = log2_size > 2 or blk_idx == 3
-        self._maybe_decode_qp_delta(
-            bool(cbf_luma or (chroma_here and (cbf_cb or cbf_cr))))
+        # spec 7.3.8.10: 4x4 TUs use the parent's cbf_cb/cbf_cr in the
+        # cu_qp_delta condition for all four children (blkIdx 0-3)
+        self._maybe_decode_qp_delta(bool(cbf_luma or cbf_cb or cbf_cr))
         byp = getattr(self, "cu_bypass", False)
         coeffs = None
         ts = False

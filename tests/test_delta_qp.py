@@ -52,6 +52,37 @@ def test_decode_reference_vaq_stream(tmp_path, rng, flags):
         assert f.hash_ok, f"hash mismatch for vaq flags {flags}"
 
 
+@pytest.mark.skipif(not have_ref_encoder(),
+                    reason="reference encoder not built")
+def test_decode_vaq_nxn_trdepth_stream(tmp_path, rng):
+    """cu_qp_delta with NxN / 4x4 TU splits: the qp-delta condition must
+    use the PARENT chroma cbfs for all four 4x4 children (spec 7.3.8.10;
+    a first child with cbf_luma=0 but coded chroma still codes the
+    delta). Low-detail luma + chroma-heavy content + rd 3 exercises it."""
+    w, h = 192, 128
+    yuv = str(tmp_path / "in.yuv")
+    hevc = str(tmp_path / "out.hevc")
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    with open(yuv, "wb") as f:
+        for i in range(3):
+            f.write((120 + xx // 48 + yy // 48 + i)
+                    .astype(np.uint8).tobytes())
+            f.write(rng.randint(0, 255, (h // 2, w // 2))
+                    .astype(np.uint8).tobytes())
+            f.write(rng.randint(0, 255, (h // 2, w // 2))
+                    .astype(np.uint8).tobytes())
+    subprocess.run(
+        [REF_ENCODER, "-i", yuv, "--input-res", f"{w}x{h}", "-o", hevc,
+         "-q", "34", "--threads", "0", "--hash", "checksum", "-p", "1",
+         "--vaq", "8", "--rd", "3", "--tr-depth-intra", "2",
+         "--no-sao"],
+        check=True, capture_output=True)
+    dec = HEVCDecoder().decode(open(hevc, "rb").read())
+    assert len(dec) == 3
+    for f in dec:
+        assert f.hash_ok
+
+
 def _frames(w, h, n, rng):
     xx, yy = np.meshgrid(np.arange(w), np.arange(h))
     out = []

@@ -1,0 +1,178 @@
+"""BD-rate (Bjøntegaard delta) harness: our encoder vs the reference.
+
+Encodes synthetic clips at QP {22, 27, 32, 37} with both encoders,
+computes PSNR-based BD-rate (piecewise-cubic log-rate integration over
+the overlapping PSNR interval, the standard VCEG-M33 method), and prints
+one JSON object.
+
+Reference parity: the reference gates everything on conformance+quality
+(/root/reference/tests/util.sh); it has no in-repo BD harness, so this
+is the framework's matched-quality measurement (BASELINE.md recipe).
+
+Usage: python tools/bd_rate.py [--preset medium] [--frames 8]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+REF = os.path.join(REPO, ".refbuild", "bin", "kvazaar")
+
+QPS = (22, 27, 32, 37)
+
+
+def synth_clips(n_frames: int, w: int = 416, h: int = 240):
+    """Three synthetic clips: smooth gradient+motion, detail/noise mix,
+    moving sines (the ffmpeg-mandelbrot analog of tests/util.sh)."""
+    rng = np.random.RandomState(3)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    clips = {}
+    clips["gradient"] = [
+        ((64 + xx // 3 + yy // 4 + 7 * i) % 256,
+         (128 + xx[:h // 2, :w // 2] // 5) % 256,
+         (128 + yy[:h // 2, :w // 2] // 5) % 256)
+        for i in range(n_frames)]
+    noise = rng.randint(0, 256, (h, w))
+    mixed = []
+    for i in range(n_frames):
+        y = (96 + 60 * np.sin(xx / 17 + i * .4) * np.cos(yy / 11)).astype(int)
+        y[h // 3: 2 * h // 3] = (y[h // 3: 2 * h // 3]
+                                 + noise[h // 3: 2 * h // 3] // 4)
+        mixed.append((np.clip(y, 0, 255),
+                      128 + 24 * np.sin(xx[:h // 2, :w // 2] / 13 + i * .2),
+                      128 + 24 * np.cos(yy[:h // 2, :w // 2] / 9)))
+    clips["mixed"] = mixed
+    clips["sines"] = [
+        (128 + 90 * np.sin(xx / 23 + i * .3) * np.cos(yy / 17)
+         + 20 * np.sin((xx + yy) / 7),
+         128 + 40 * np.sin(xx[:h // 2, :w // 2] / 31 + i * .1),
+         128 + 40 * np.cos(yy[:h // 2, :w // 2] / 29))
+        for i in range(n_frames)]
+    out = {}
+    for name, fs in clips.items():
+        out[name] = [tuple(np.clip(np.asarray(p), 0, 255).astype(np.uint8)
+                           for p in f) for f in fs]
+    return out, w, h
+
+
+def psnr_yuv(src_frames, rec_frames, bd: int = 8) -> float:
+    """Weighted (6Y+Cb+Cr)/8 PSNR over the sequence (JCT-VC common)."""
+    mv = float((1 << bd) - 1)
+    acc = []
+    for (sy, scb, scr), (ry, rcb, rcr) in zip(src_frames, rec_frames):
+        def mse(a, b):
+            return np.mean((np.asarray(a, np.float64)
+                            - np.asarray(b, np.float64)) ** 2)
+
+        def db(m):
+            return 99.0 if m == 0 else 10.0 * np.log10(mv * mv / m)
+        acc.append((6 * db(mse(sy, ry)) + db(mse(scb, rcb))
+                    + db(mse(scr, rcr))) / 8.0)
+    return float(np.mean(acc))
+
+
+def bd_rate(r1, p1, r2, p2) -> float:
+    """BD-rate of (r2, p2) vs anchor (r1, p1) in percent (negative =
+    the test encoder needs fewer bits at equal PSNR)."""
+    lr1, lr2 = np.log(r1), np.log(r2)
+    f1 = np.polyfit(p1, lr1, 3)
+    f2 = np.polyfit(p2, lr2, 3)
+    lo = max(min(p1), min(p2))
+    hi = min(max(p1), max(p2))
+    if hi <= lo:
+        return float("nan")
+    i1 = np.polyint(f1)
+    i2 = np.polyint(f2)
+    avg1 = (np.polyval(i1, hi) - np.polyval(i1, lo)) / (hi - lo)
+    avg2 = (np.polyval(i2, hi) - np.polyval(i2, lo)) / (hi - lo)
+    return float((np.exp(avg2 - avg1) - 1) * 100)
+
+
+def encode_ours(frames, w, h, qp, tools) -> tuple[int, float]:
+    from kvazaar_tpu.api import encode_sequence
+    from kvazaar_tpu.cfg import Config
+    cfg = Config(width=w, height=h, qp=qp, ctu_size=64, intra_period=1,
+                 **tools)
+    stream, infos = encode_sequence(cfg, frames)
+    recs = [i["recon_out"] for i in infos]
+    return len(stream), psnr_yuv(frames, recs)
+
+
+def encode_ref(frames, w, h, qp, preset) -> tuple[int, float]:
+    with tempfile.TemporaryDirectory() as td:
+        yuv = os.path.join(td, "in.yuv")
+        with open(yuv, "wb") as f:
+            for (y, cb, cr) in frames:
+                f.write(y.tobytes())
+                f.write(cb.tobytes())
+                f.write(cr.tobytes())
+        hevc = os.path.join(td, "o.hevc")
+        rec = os.path.join(td, "rec.yuv")
+        subprocess.run(
+            [REF, "--preset", preset, "-i", yuv, "--input-res",
+             f"{w}x{h}", "-o", hevc, "-p", "1", "--qp", str(qp),
+             "--threads", "0", "--debug", rec],
+            check=True, capture_output=True)
+        nbytes = os.path.getsize(hevc)
+        recs = []
+        with open(rec, "rb") as f:
+            for _ in frames:
+                y = np.frombuffer(f.read(w * h), np.uint8).reshape(h, w)
+                cb = np.frombuffer(f.read(w * h // 4),
+                                   np.uint8).reshape(h // 2, w // 2)
+                cr = np.frombuffer(f.read(w * h // 4),
+                                   np.uint8).reshape(h // 2, w // 2)
+                recs.append((y, cb, cr))
+    return nbytes, psnr_yuv(frames, recs)
+
+
+def measure(preset: str = "medium", n_frames: int = 8,
+            tools: dict | None = None) -> dict:
+    if tools is None:
+        # quality tools matching the medium preset row (cfg.c:657):
+        # deblock + sao + rdoq (+ signhide off at medium)
+        tools = dict(deblock_enable=True, sao_type="full",
+                     rdoq_enable=True, signhide_enable=False)
+    clips, w, h = synth_clips(n_frames)
+    per_clip = {}
+    for name, frames in clips.items():
+        ours_r, ours_p, ref_r, ref_p = [], [], [], []
+        for qp in QPS:
+            b, p = encode_ours(frames, w, h, qp, tools)
+            ours_r.append(b)
+            ours_p.append(p)
+            b, p = encode_ref(frames, w, h, qp, preset)
+            ref_r.append(b)
+            ref_p.append(p)
+        per_clip[name] = {
+            "bd_rate_pct": round(bd_rate(ref_r, ref_p, ours_r, ours_p), 2),
+            "ours": [[r, round(p, 3)] for r, p in zip(ours_r, ours_p)],
+            "ref": [[r, round(p, 3)] for r, p in zip(ref_r, ref_p)],
+        }
+    vals = [c["bd_rate_pct"] for c in per_clip.values()]
+    return {
+        "metric": f"bd_rate_vs_{preset}_allintra",
+        "bd_rate_pct": round(float(np.mean(vals)), 2),
+        "per_clip": per_clip,
+        "qps": list(QPS),
+        "frames": n_frames,
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="medium")
+    ap.add_argument("--frames", type=int, default=8)
+    args = ap.parse_args()
+    if not os.path.exists(REF):
+        print(json.dumps({"error": "reference encoder not built"}))
+        sys.exit(0)
+    print(json.dumps(measure(args.preset, args.frames)))
