@@ -180,15 +180,47 @@ class Encoder:
         self.poc = 0
         self._pipeline = None
         self._inter_pipeline = None
-        self.inter_enabled = (self.use_device and not self.use_md
-                              and cfg.intra_period != 1)
+        # inter on the quadtree path: low-delay P at CTB 64 (mixed CU
+        # sizes); B pyramids still ride the 16-grid pipeline
+        self.inter_md = (dev_ok and cfg.ctu_size == 64
+                         and cfg.intra_period != 1 and cfg.gop_len <= 1
+                         and tuple(cfg.tiles) == (1, 1)
+                         and not cfg.lossless
+                         and cfg.input_bitdepth == 8
+                         and cfg.scaling_list == "off")
+        if self.inter_md:
+            # delta-QP (VAQ/ROI/LCU-RC) stays off on the inter quadtree
+            # path this round; frame-level RC still applies
+            self.lcu_rc = False
+            self.dqp_enabled = bool(cfg.vaq or cfg.roi_file)
+            if self.dqp_enabled:
+                raise NotImplementedError(
+                    "vaq/roi with inter quadtree coding is not "
+                    "supported yet (use --period 1 or ctu 16)")
+            self.pps.cu_qp_delta_enabled = 0
+        self.inter_enabled = ((self.use_device and not self.use_md
+                               and cfg.intra_period != 1)
+                              or self.inter_md)
         self.gop_enabled = cfg.gop_len > 1 and self.inter_enabled
         if cfg.gop_len > 1 and not self.inter_enabled:
             raise NotImplementedError(
                 "B-pyramid GOPs require the device pipeline "
                 "(ctu-size 16) in this round")
         if self.use_device:
-            if self.inter_enabled:
+            if self.inter_md:
+                from .models.inter_md import MdInterPipeline
+                self.n_refs = max(1, min(cfg.ref_frames, 4))
+                self._inter_pipeline = MdInterPipeline(
+                    self.sps.height, self.sps.width, cfg.qp,
+                    n_refs=self.n_refs,
+                    deblock=cfg.deblock_enable,
+                    deblock_beta=cfg.deblock_beta,
+                    deblock_tc=cfg.deblock_tc, sao=cfg.sao_type,
+                    sign_hiding=cfg.signhide_enable,
+                    rdoq=cfg.rdoq_enable,
+                    pu_depth=tuple(cfg.pu_depth_intra))
+                self._pipeline = self._inter_pipeline
+            elif self.inter_enabled:
                 from .models.inter_pipeline import InterPipeline
                 self.n_refs = max(1, min(cfg.ref_frames, 4))
                 if self.gop_enabled:
@@ -478,7 +510,8 @@ class Encoder:
                 "frame_num": spec.disp_idx, "y": y, "cb": cb, "cr": cr,
                 "slice_type": spec.slice_type, "is_ref": spec.is_ref,
                 "l0": list(spec.l0), "l1": list(spec.l1), "union": union,
-                "keep": spec.keep, "ref_pocs": union, "dev": None}
+                "keep": spec.keep, "ref_pocs": union, "dev": None,
+                "nal": getattr(spec, "nal", "")}
         if spec.slice_type == 0:
             by_poc = {e["poc"]: e for e in self._dpb}
             r0 = [by_poc[p] for p in spec.l0]
@@ -493,10 +526,17 @@ class Encoder:
         elif spec.slice_type == 1:
             by_poc = {e["poc"]: e for e in self._dpb}
             refs = [by_poc[p] for p in union]
-            meta["dev"] = self._inter_pipeline.submit_inter(
-                y, cb, cr, [e["y"] for e in refs],
-                [e["cb"] for e in refs],
-                [e["cr"] for e in refs], qp=qp)
+            if self.inter_md:
+                meta["dev"] = self._inter_pipeline.submit_inter(
+                    y, cb, cr, [e["y"] for e in refs],
+                    [e["cb"] for e in refs],
+                    [e["cr"] for e in refs],
+                    ref_pocs=union, qp=qp)
+            else:
+                meta["dev"] = self._inter_pipeline.submit_inter(
+                    y, cb, cr, [e["y"] for e in refs],
+                    [e["cb"] for e in refs],
+                    [e["cr"] for e in refs], qp=qp)
         elif self._pipeline is not None:
             if self.dqp_enabled:
                 meta["dev"] = self._pipeline.submit(
@@ -528,9 +568,11 @@ class Encoder:
         cfg = self.cfg
         d = self._next_disp
         self._next_disp += 1
-        if d == 0 or (cfg.intra_period > 0
+        if d == 0 or (not cfg.open_gop and cfg.intra_period > 0
                       and d - self._idr_disp == cfg.intra_period):
-            # closed GOP: the buffer is empty here (period % gop == 0)
+            # closed GOP: the buffer is empty here (period % gop == 0);
+            # with --open-gop the period boundary becomes a CRA anchor
+            # inside plan_span instead of an IDR reset
             spec = self._sched.plan_idr(d)
             self._idr_disp = d
             self._gop_lo = 0
@@ -548,9 +590,13 @@ class Encoder:
         return self._encode_span()
 
     def _encode_span(self) -> list[tuple[bytes, dict]]:
+        cfg = self.cfg
         lo = self._gop_lo
         hi = lo + len(self._gop_buf)
-        specs = self._sched.plan_span(self._idr_disp, lo, hi)
+        intra_anchor = (cfg.open_gop and cfg.intra_period > 0
+                        and hi % cfg.intra_period == 0)
+        specs = self._sched.plan_span(self._idr_disp, lo, hi,
+                                      intra_anchor=intra_anchor)
         frames = {lo + 1 + i: f for i, f in enumerate(self._gop_buf)}
         self._gop_buf = []
         self._gop_lo = hi
@@ -570,8 +616,18 @@ class Encoder:
         is_idr = meta["is_idr"]
         slice_type = meta.get("slice_type", 2 if is_idr else 1)
         y, cb, cr = meta["y"], meta["cb"], meta["cr"]
-        nal_type = (NAL_IDR_W_RADL if is_idr else
-                    NAL_TRAIL_R if meta.get("is_ref", True) else NAL_TRAIL_N)
+        from .bitstream import NAL_CRA_NUT, NAL_RASL_N, NAL_RASL_R
+        nal_kind = meta.get("nal", "")
+        if is_idr:
+            nal_type = NAL_IDR_W_RADL
+        elif nal_kind == "CRA":
+            nal_type = NAL_CRA_NUT
+        elif nal_kind == "RASL":
+            nal_type = (NAL_RASL_R if meta.get("is_ref", True)
+                        else NAL_RASL_N)
+        else:
+            nal_type = (NAL_TRAIL_R if meta.get("is_ref", True)
+                        else NAL_TRAIL_N)
         sh = SliceHeader()
         sh.pps_id = 0
         sh.slice_type = slice_type
@@ -614,8 +670,11 @@ class Encoder:
         writer = None
         if slice_type != 2:
             decisions = self._inter_pipeline.materialize(meta["dev"])
-            from .engine.inter_writer import PSliceWriter
-            writer = PSliceWriter(
+            if "size_map8" in decisions:
+                from .engine.md_inter_writer import MdPSliceWriter as PW
+            else:
+                from .engine.inter_writer import PSliceWriter as PW
+            writer = PW(
                 self.sps, self.pps, sh, decisions,
                 [{"poc": p} for p in l0], meta["poc"],
                 ref_entries_l1=[{"poc": p} for p in l1],

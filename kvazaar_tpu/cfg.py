@@ -24,6 +24,9 @@ class Config:
     qp: int = 22
     intra_period: int = 64          # --period
     target_bitrate: int = 0         # --bitrate (bits/s; 0 = CQP)
+    # open GOP: period boundaries become CRA pictures with RASL leading
+    # pictures instead of IDR resets (kvazaar --open-gop)
+    open_gop: bool = False
     vps_period: int = 0
     gop_len: int = 0                # 0 = low-delay default until B support
     ref_frames: int = 1
@@ -120,6 +123,7 @@ class Config:
     _OPTION_MAP = {
         "qp": ("qp", int),
         "period": ("intra_period", int),
+        "open-gop": ("open_gop", bool),
         "bitrate": ("target_bitrate", int),
         "vps-period": ("vps_period", int),
         "ref": ("ref_frames", int),

@@ -24,6 +24,7 @@ class FrameSpec:
     slice_type: int = 2      # 2=I 1=P 0=B
     layer: int = 0           # temporal layer (anchor = 1)
     qp_offset: int = 0
+    nal: str = ""            # "" | "CRA" | "RASL" (open-GOP typing)
     l0: list = field(default_factory=list)   # active L0 POCs, nearest first
     l1: list = field(default_factory=list)   # active L1 POCs, nearest first
     keep: set = field(default_factory=set)   # POCs retained after coding
@@ -69,17 +70,30 @@ class GopScheduler:
                          slice_type=2, layer=0, qp_offset=0,
                          keep={0})
 
-    def plan_span(self, disp_base: int, lo: int, hi: int) -> list[FrameSpec]:
+    def plan_span(self, disp_base: int, lo: int, hi: int,
+                  intra_anchor: bool = False) -> list[FrameSpec]:
         """Plan the span of pictures (lo, hi] where `lo` is an already
-        coded anchor POC: the anchor `hi` (P, past refs only) followed by
-        the dyadic B pyramid filling (lo, hi). disp_base = display index
-        of POC 0."""
+        coded anchor POC: the anchor `hi` (P, past refs only; or an
+        open-GOP CRA intra picture) followed by the dyadic B pyramid
+        filling (lo, hi). disp_base = display index of POC 0.
+
+        With intra_anchor (open GOP, ref src/encoderstate.c:1552-1625):
+        the anchor is a CRA_NUT I picture with POC continuing, the B
+        pictures inside the span become RASL leading pictures (coded
+        after, displayed before, referencing across the CRA), and
+        trailing pictures of later spans reference nothing older than
+        the CRA."""
         specs: list[FrameSpec] = []
         past = [a for a in sorted(self.anchors, reverse=True) if a <= lo]
         l0_anchor = past[:self.n_past]
-        anchor = FrameSpec(disp_idx=disp_base + hi, poc=hi, slice_type=1,
-                           is_ref=True, layer=1, qp_offset=_qp_off(1),
-                           l0=l0_anchor)
+        if intra_anchor:
+            anchor = FrameSpec(disp_idx=disp_base + hi, poc=hi,
+                               slice_type=2, is_ref=True, layer=0,
+                               qp_offset=0, nal="CRA")
+        else:
+            anchor = FrameSpec(disp_idx=disp_base + hi, poc=hi,
+                               slice_type=1, is_ref=True, layer=1,
+                               qp_offset=_qp_off(1), l0=l0_anchor)
         specs.append(anchor)
         mids = []
         _dyadic(lo, hi, 2, mids)
@@ -91,12 +105,17 @@ class GopScheduler:
             specs.append(FrameSpec(
                 disp_idx=disp_base + mid, poc=mid, slice_type=0,
                 is_ref=is_ref, layer=depth, qp_offset=_qp_off(depth),
-                l0=past_p[:self.n_past], l1=fut_p[:self.n_fut]))
+                l0=past_p[:self.n_past], l1=fut_p[:self.n_fut],
+                nal="RASL" if intra_anchor else ""))
             if is_ref:
                 coded.add(mid)
         # retention: after each spec, keep refs needed by later specs in
-        # this span plus the anchors the next span will use
-        next_anchor_l0 = ([hi] + [a for a in l0_anchor])[:self.n_past]
+        # this span plus the anchors the next span will use; trailing
+        # pictures of a CRA may not reference across it
+        if intra_anchor:
+            next_anchor_l0 = [hi]
+        else:
+            next_anchor_l0 = ([hi] + [a for a in l0_anchor])[:self.n_past]
         future_need = set(next_anchor_l0)
         for spec in reversed(specs):
             spec.keep = set(future_need)

@@ -55,7 +55,8 @@ class PSliceWriter:
         self.is_b = sh.slice_type == 0
         self.n_ref = len(self.ref_pocs)
         self.cab: CabacEncoder | None = None
-        self.cols = decisions["modes"].shape[1]
+        self.cols = (decisions["modes"].shape[1]
+                     if "modes" in decisions else None)
 
     # -- helpers ---------------------------------------------------------------
 

@@ -1,0 +1,746 @@
+"""Quadtree (multi-depth) inter pipeline: P slices on CTB 64.
+
+Extends the multi-depth intra pipeline with motion-compensated leaves at
+every CU size (8/16/32):
+
+1. `hierarchical ME`: one exhaustive coarse sweep at 1/4 resolution over
+   a +-16 coarse window (= +-64 full-res pels, kvazaar's effective TZ/
+   hexbs range, src/search_inter.c:487-973) produces a dense 16x16-block
+   motion field per reference; each aligned block of every size refines
+   the field's candidates +-3 integer pels, then half- and quarter-pel
+   (the search_frac analog, src/search_inter.c:974-1160) — all batched
+   matmul/gather sweeps, no sequential pattern steps.
+2. `decision`: per size, inter cost (exact T/Q distortion + rate bins +
+   MVD bits) competes with the intra leaf cost; the same bottom-up DP as
+   the intra partition then picks the quadtree.
+3. `reconstruction`: inter leaves have no intra-neighbour dependency, so
+   the whole inter set reconstructs in ONE batch before the wavefront;
+   the self-scheduled wavefront then runs over intra leaves only, with
+   inter cells pre-marked written.
+4. deblocking boundary strengths (spec 8.7.2.4: intra -> 2; cbf / ref /
+   |mv|>=1pel differences -> 1) are derived in-graph from the decision
+   maps; SAO runs on the filtered frame as in the intra path.
+
+Reference parity: kvazaar searches inter at every CU size with AMVP/
+merge (src/search.c:646-758, src/search_inter.c:2202); here sizes are
+searched as three dense batched sweeps and merge/skip are resolved at
+write time from the final MV field (engine/md_inter_writer.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.mc import CHROMA_FILTERS, LUMA_FILTERS
+from .intra_md import MdIntraPipeline
+
+NO_REF_POC = -(1 << 30)
+
+
+class MdInterPipeline(MdIntraPipeline):
+    """P-slice quadtree encoder compute path for one frame size."""
+
+    COARSE = 4          # downsample factor of the wide sweep
+    COARSE_RANGE = 16   # coarse integer range (=> +-64 full-res)
+    REFINE = 3          # full-res integer refine window around the field
+    INTER_MODE_BITS = 6.0   # skip/merge/pred_mode + ref signalling bins
+    REF_BITS = 2.0          # extra bins per reference index step
+    SUBPEL_PAD = 4 + 3      # refine window + 8-tap reach
+
+    def __init__(self, height: int, width: int, qp: int,
+                 n_refs: int = 1, **kw) -> None:
+        super().__init__(height, width, qp, **kw)
+        self.n_refs = max(1, n_refs)
+        self._full_inter = jax.jit(self._with_consts(self._inter_full_impl))
+
+    # ------------------------------------------------------------------
+    # size-generic motion compensation (exact qpel / eighth-pel)
+    # ------------------------------------------------------------------
+
+    def _mc_luma(self, ypad, mv, y0, x0, n, pad):
+        """Quarter-pel luma MC: ypad [H+2p, W+2p], per-block qpel mv and
+        block origins y0/x0 [L]. Returns [L, n, n]."""
+        ix = mv[:, 0] >> 2
+        iy = mv[:, 1] >> 2
+        fx = mv[:, 0] & 3
+        fy = mv[:, 1] & 3
+        wy = (y0 + iy + pad - 3)[:, None] + jnp.arange(n + 7)[None, :]
+        wx = (x0 + ix + pad - 3)[:, None] + jnp.arange(n + 7)[None, :]
+        wy = jnp.clip(wy, 0, ypad.shape[-2] - 1)
+        wx = jnp.clip(wx, 0, ypad.shape[-1] - 1)
+        win = ypad[wy[:, :, None], wx[:, None, :]]  # [L, n+7, n+7]
+        fmat = jnp.asarray(LUMA_FILTERS)
+        cx = jnp.take(fmat, fx, axis=0)
+        cy = jnp.take(fmat, fy, axis=0)
+        h14 = sum(cx[:, k, None, None] * win[:, :, k:k + n]
+                  for k in range(8))
+        v = sum(cy[:, k, None, None] * h14[:, k:k + n, :]
+                for k in range(8)) >> 6
+        return jnp.clip((v + 32) >> 6, 0, self.maxv)
+
+    def _mc_chroma(self, cpad, mv, cy0, cx0, nc, cpadw):
+        """Eighth-pel chroma MC (mv in luma qpel units)."""
+        ix = mv[:, 0] >> 3
+        iy = mv[:, 1] >> 3
+        fx = mv[:, 0] & 7
+        fy = mv[:, 1] & 7
+        wy = (cy0 + iy + cpadw - 1)[:, None] + jnp.arange(nc + 3)[None, :]
+        wx = (cx0 + ix + cpadw - 1)[:, None] + jnp.arange(nc + 3)[None, :]
+        wy = jnp.clip(wy, 0, cpad.shape[-2] - 1)
+        wx = jnp.clip(wx, 0, cpad.shape[-1] - 1)
+        win = cpad[wy[:, :, None], wx[:, None, :]]
+        fmat = jnp.asarray(CHROMA_FILTERS)
+        cxf = jnp.take(fmat, fx, axis=0)
+        cyf = jnp.take(fmat, fy, axis=0)
+        h14 = sum(cxf[:, k, None, None] * win[:, :, k:k + nc]
+                  for k in range(4))
+        v = sum(cyf[:, k, None, None] * h14[:, k:k + nc, :]
+                for k in range(4)) >> 6
+        return jnp.clip((v + 32) >> 6, 0, self.maxv)
+
+    # ------------------------------------------------------------------
+    # hierarchical motion estimation
+    # ------------------------------------------------------------------
+
+    def _coarse_field(self, src_y, ref_y):
+        """Dense 16x16-block integer motion field via an exhaustive
+        sweep at 1/4 resolution: returns mv16 [r16, c16, 2] full-res
+        integer pels in [-64, 64]."""
+        C, R = self.COARSE, self.COARSE_RANGE
+        h, w = self.h // C, self.w // C
+        sc = src_y.reshape(h, C, w, C).sum(axis=(1, 3))
+        rc = ref_y.reshape(h, C, w, C).sum(axis=(1, 3))
+        n = 16 // C                       # coarse block = 4x4
+        rows, cols = h // n, w // n
+        nb = rows * cols
+        bid = jnp.arange(nb)
+        y0 = (bid // cols) * n
+        x0 = (bid % cols) * n
+        blocks = jnp.moveaxis(sc.reshape(rows, n, cols, n), 1, 2) \
+            .reshape(nb, n, n)
+        rpad = jnp.pad(rc, R, mode="edge")
+
+        def row_scan(carry, dy):
+            best_sad, best_mv = carry
+            iy = (y0 + dy)[:, None] + jnp.arange(n)[None, :]
+            ix = x0[:, None] + jnp.arange(n + 2 * R)[None, :]
+            strip = rpad[iy[:, :, None], ix[:, None, :]]
+
+            def dx_sad(dx):
+                cand = jax.lax.dynamic_slice_in_dim(strip, dx, n, axis=2)
+                return jnp.abs(cand - blocks).sum(axis=(1, 2))
+            sads = jnp.stack([dx_sad(dx) for dx in range(2 * R + 1)],
+                             axis=1)
+            dx_best = jnp.argmin(sads, axis=1)
+            sad_best = jnp.take_along_axis(sads, dx_best[:, None],
+                                           axis=1)[:, 0]
+            better = sad_best < best_sad
+            mvc = jnp.stack([dx_best.astype(jnp.int32) - R,
+                             jnp.full_like(dx_best, dy, jnp.int32) - R],
+                            axis=1)
+            best_mv = jnp.where(better[:, None], mvc, best_mv)
+            best_sad = jnp.where(better, sad_best, best_sad)
+            return (best_sad, best_mv), None
+
+        init = (jnp.full((nb,), 1 << 30, jnp.int32),
+                jnp.zeros((nb, 2), jnp.int32))
+        (_, best_mv), _ = jax.lax.scan(row_scan, init,
+                                       jnp.arange(2 * R + 1))
+        return (best_mv * C).reshape(rows, cols, 2)
+
+    def _field_for(self, mv16, n):
+        """Candidate integer MV per aligned n-block from the 16-field."""
+        r16, c16 = mv16.shape[:2]
+        if n == 16:
+            return mv16.reshape(-1, 2)
+        if n == 8:
+            return jnp.repeat(jnp.repeat(mv16, 2, 0), 2, 1).reshape(-1, 2)
+        # n == 32: the four children candidates resolved by the caller
+        return mv16
+
+    def _blocks_of(self, plane, n):
+        rows, cols = plane.shape[0] // n, plane.shape[1] // n
+        return jnp.moveaxis(plane.reshape(rows, n, cols, n), 1, 2) \
+            .reshape(rows * cols, n, n), rows, cols
+
+    def _refine_int(self, blocks, rpad, y0, x0, cand_mvs, pad):
+        """+-REFINE integer sweep around each candidate; returns best
+        (mv [L,2], sad [L]). cand_mvs: [L, K, 2]."""
+        W = self.REFINE
+        n = blocks.shape[-1]
+        best_sad = jnp.full((blocks.shape[0],), 1 << 30, jnp.int32)
+        best_mv = jnp.zeros((blocks.shape[0], 2), jnp.int32)
+        for k in range(cand_mvs.shape[1]):
+            mvk = jnp.clip(cand_mvs[:, k], -64, 64)
+            iy = (y0 + mvk[:, 1] + pad - W)[:, None] + \
+                jnp.arange(n + 2 * W)[None, :]
+            ix = (x0 + mvk[:, 0] + pad - W)[:, None] + \
+                jnp.arange(n + 2 * W)[None, :]
+            iy = jnp.clip(iy, 0, rpad.shape[0] - 1)
+            ix = jnp.clip(ix, 0, rpad.shape[1] - 1)
+            win = rpad[iy[:, :, None], ix[:, None, :]]
+            for dy in range(2 * W + 1):
+                strip = jax.lax.dynamic_slice_in_dim(win, dy, n, axis=1)
+                for dx in range(2 * W + 1):
+                    cand = jax.lax.dynamic_slice_in_dim(strip, dx, n,
+                                                        axis=2)
+                    sad = jnp.abs(cand - blocks).sum(axis=(1, 2)) \
+                        .astype(jnp.int32)
+                    mvc = mvk + jnp.asarray([dx - W, dy - W], jnp.int32)
+                    better = sad < best_sad
+                    best_sad = jnp.where(better, sad, best_sad)
+                    best_mv = jnp.where(better[:, None], mvc, best_mv)
+        return best_mv, best_sad
+
+    def _refine_subpel(self, blocks, ypad, y0, x0, mv_int, pad):
+        """Half then quarter pel refinement by SATD around mv_int."""
+        mv = jnp.clip(mv_int, -64, 64) * 4
+        best = self._satd_tiles(blocks - self._mc_luma(
+            ypad, mv, y0, x0, blocks.shape[-1], pad))
+        for step in (2, 1):
+            for (dx, dy) in ((-1, 0), (1, 0), (0, -1), (0, 1),
+                             (-1, -1), (1, -1), (-1, 1), (1, 1)):
+                cand = mv + jnp.asarray([dx * step, dy * step], jnp.int32)
+                cost = self._satd_tiles(blocks - self._mc_luma(
+                    ypad, cand, y0, x0, blocks.shape[-1], pad))
+                better = cost < best
+                mv = jnp.where(better[:, None], cand, mv)
+                best = jnp.where(better, cost, best)
+        return mv, best
+
+    @staticmethod
+    def _mv_bins(mvd):
+        """CABAC-bin estimate of an MVD (exp-golomb-ish length)."""
+        a = jnp.abs(mvd).astype(jnp.float32)
+        return (2.0 + 2.0 * jnp.ceil(jnp.log2(a + 1.0))).sum(axis=-1)
+
+    # ------------------------------------------------------------------
+    # per-size inter candidate + cost
+    # ------------------------------------------------------------------
+
+    def _inter_leaf(self, src_y, src_cb, src_cr, refs_y, refs_cb,
+                    refs_cr, fields, n, t, tc, lam):
+        """Best inter candidate for every aligned n-block across the
+        reference stack. Returns (mv qpel [B,2], ref [B], cost [B],
+        pred_y, pred_cb, pred_cr)."""
+        qp_y, qp_c, lam_n = self._qp_lam_for(n)
+        if self.delta_qp:
+            lam = lam_n
+        blocks, rows, cols = self._blocks_of(src_y, n)
+        nb = rows * cols
+        bid = jnp.arange(nb)
+        y0 = (bid // cols) * n
+        x0 = (bid % cols) * n
+        P = self.SUBPEL_PAD
+        best = None
+        for k in range(self.n_refs):
+            mv16 = fields[k]
+            if n == 32:
+                cands = jnp.stack(
+                    [mv16[::2, ::2], mv16[::2, 1::2],
+                     mv16[1::2, ::2], mv16[1::2, 1::2]],
+                    axis=2).reshape(-1, 4, 2)
+                cands = jnp.concatenate(
+                    [cands, jnp.zeros((nb, 1, 2), jnp.int32)], axis=1)
+            else:
+                cands = jnp.stack(
+                    [self._field_for(mv16, n),
+                     jnp.zeros((nb, 2), jnp.int32)], axis=1)
+            rpad = jnp.pad(refs_y[k], self.REFINE, mode="edge")
+            mv_int, _ = self._refine_int(blocks, rpad, y0, x0, cands,
+                                         self.REFINE)
+            ypad = jnp.pad(refs_y[k], P, mode="edge")
+            mv_q, satd = self._refine_subpel(blocks, ypad, y0, x0,
+                                             mv_int, P)
+            lam_satd = jnp.sqrt(lam).astype(jnp.float32)
+            mvd = mv_q - cands[:, 0] * 4  # field MV as AMVP proxy
+            cost = satd.astype(jnp.float32) + lam_satd * (
+                self._mv_bins(mvd) + self.REF_BITS * k)
+            if best is None:
+                best = (cost, mv_q, jnp.full((nb,), k, jnp.int32),
+                        self._mv_bins(mvd))
+            else:
+                bc, bmv, bref, bbits = best
+                better = cost < bc
+                best = (jnp.where(better, cost, bc),
+                        jnp.where(better[:, None], mv_q, bmv),
+                        jnp.where(better, k, bref),
+                        jnp.where(better, self._mv_bins(mvd), bbits))
+        _, mv_q, ref, mv_bits = best
+
+        # exact RD cost of the chosen candidate (same currency as the
+        # intra leaf costs: T/Q distortion + rate bins)
+        ypad_all = jnp.pad(refs_y, ((0, 0), (P, P), (P, P)), mode="edge")
+        pred_y = self._mc_luma_sel(ypad_all, ref, mv_q, y0, x0, n, P)
+        resi = blocks - pred_y
+        levels, r2 = self._transform_quant_plain(
+            resi, t, qp_y, n, mats=self._mats_for(n, True))
+        dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
+        rate = self._rate_bins(levels) + \
+            self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
+        nc = n // 2
+        CPW = (P >> 1) + 2
+        cbpad = jnp.pad(refs_cb, ((0, 0), (CPW, CPW), (CPW, CPW)),
+                        mode="edge")
+        crpad = jnp.pad(refs_cr, ((0, 0), (CPW, CPW), (CPW, CPW)),
+                        mode="edge")
+        cy0 = (bid // cols) * nc
+        cx0 = (bid % cols) * nc
+        pred_cb = self._mc_chroma_sel(cbpad, ref, mv_q, cy0, cx0, nc, CPW)
+        pred_cr = self._mc_chroma_sel(crpad, ref, mv_q, cy0, cx0, nc, CPW)
+        ccost = jnp.zeros_like(dist)
+        for plane, cpred in ((src_cb, pred_cb), (src_cr, pred_cr)):
+            cblocks, _, _ = self._blocks_of(plane, nc)
+            cresi = cblocks - cpred
+            clev, cr2 = self._transform_quant_plain(
+                cresi, tc, qp_c, nc, mats=self._mats_for(nc, False))
+            cdist = ((cresi - cr2).astype(jnp.float32) ** 2) \
+                .sum(axis=(1, 2))
+            crate = self._rate_bins(clev) + \
+                self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
+            ccost = ccost + cdist + lam * crate
+        cost = dist + lam * (rate + self.INTER_MODE_BITS + mv_bits
+                             + self.REF_BITS * ref) + ccost
+        return mv_q, ref, cost, pred_y, pred_cb, pred_cr
+
+    def _mc_luma_sel(self, ypad_all, ref, mv, y0, x0, n, pad):
+        """MC from a padded reference stack with per-block ref index."""
+        ix = mv[:, 0] >> 2
+        iy = mv[:, 1] >> 2
+        fx = mv[:, 0] & 3
+        fy = mv[:, 1] & 3
+        wy = (y0 + iy + pad - 3)[:, None] + jnp.arange(n + 7)[None, :]
+        wx = (x0 + ix + pad - 3)[:, None] + jnp.arange(n + 7)[None, :]
+        wy = jnp.clip(wy, 0, ypad_all.shape[-2] - 1)
+        wx = jnp.clip(wx, 0, ypad_all.shape[-1] - 1)
+        win = ypad_all[ref[:, None, None], wy[:, :, None], wx[:, None, :]]
+        fmat = jnp.asarray(LUMA_FILTERS)
+        cx = jnp.take(fmat, fx, axis=0)
+        cy = jnp.take(fmat, fy, axis=0)
+        h14 = sum(cx[:, k, None, None] * win[:, :, k:k + n]
+                  for k in range(8))
+        v = sum(cy[:, k, None, None] * h14[:, k:k + n, :]
+                for k in range(8)) >> 6
+        return jnp.clip((v + 32) >> 6, 0, self.maxv)
+
+    def _mc_chroma_sel(self, cpad_all, ref, mv, cy0, cx0, nc, cpadw):
+        ix = mv[:, 0] >> 3
+        iy = mv[:, 1] >> 3
+        fx = mv[:, 0] & 7
+        fy = mv[:, 1] & 7
+        wy = (cy0 + iy + cpadw - 1)[:, None] + jnp.arange(nc + 3)[None, :]
+        wx = (cx0 + ix + cpadw - 1)[:, None] + jnp.arange(nc + 3)[None, :]
+        wy = jnp.clip(wy, 0, cpad_all.shape[-2] - 1)
+        wx = jnp.clip(wx, 0, cpad_all.shape[-1] - 1)
+        win = cpad_all[ref[:, None, None], wy[:, :, None],
+                       wx[:, None, :]]
+        fmat = jnp.asarray(CHROMA_FILTERS)
+        cxf = jnp.take(fmat, fx, axis=0)
+        cyf = jnp.take(fmat, fy, axis=0)
+        h14 = sum(cxf[:, k, None, None] * win[:, :, k:k + nc]
+                  for k in range(4))
+        v = sum(cyf[:, k, None, None] * h14[:, k:k + nc, :]
+                for k in range(4)) >> 6
+        return jnp.clip((v + 32) >> 6, 0, self.maxv)
+
+    # ------------------------------------------------------------------
+    # partition with inter/intra competition
+    # ------------------------------------------------------------------
+
+    def _partition_inter(self, src_y, src_cb, src_cr, refs_y, refs_cb,
+                         refs_cr, lam):
+        fields = [self._coarse_field(src_y, refs_y[k])
+                  for k in range(self.n_refs)]
+        per_size = {}
+        for n, g, f, gc, t, tc in (
+                (8, self.g8l, self.f8, self.g4c, self.t8, self.t4),
+                (16, self.g16l, self.f16l, self.g8cc, self.t16, self.t8),
+                (32, self.g32l, self.f32, self.g16c, self.t32, self.t16)):
+            imodes, icost = self._leaf_rd(src_y, src_cb, src_cr, n, g, f,
+                                          gc, t, tc, lam)
+            mv_q, ref, ecost, _, _, _ = self._inter_leaf(
+                src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr, fields,
+                n, t, tc, lam)
+            use_inter = ecost < icost
+            cost = jnp.where(use_inter, ecost, icost)
+            per_size[n] = dict(modes=imodes, mv=mv_q, ref=ref,
+                               inter=use_inter, cost=cost)
+
+        r16, c16n = self.h // 16, self.w // 16
+        r32, c32n = self.h // 32, self.w // 32
+        lam16 = lam32 = lam
+
+        def sum4(c, rows, cols):
+            return c.reshape(rows, 2, cols, 2).sum(axis=(1, 3))
+
+        c8m = per_size[8]["cost"].reshape(self.r8, self.c8)
+        sum8 = sum4(c8m, r16, c16n) + lam16 * 4.0
+        leaf16 = per_size[16]["cost"].reshape(r16, c16n)
+        split16 = sum8 + lam16 * self.SPLIT_BITS < leaf16
+        if not self.allow[8]:
+            split16 = jnp.zeros_like(split16)
+        if not self.allow[16]:
+            split16 = jnp.ones_like(split16)
+        best16 = jnp.where(split16, sum8 + lam16 * self.SPLIT_BITS,
+                           leaf16)
+        sum16 = sum4(best16, r32, c32n) + lam32 * 4 * self.SPLIT_BITS
+        leaf32 = per_size[32]["cost"].reshape(r32, c32n)
+        split32 = sum16 + lam32 * self.SPLIT_BITS < leaf32
+        if not self.allow[32]:
+            split32 = jnp.ones_like(split32)
+        elif not (self.allow[16] or self.allow[8]):
+            split32 = jnp.zeros_like(split32)
+        e32 = jnp.repeat(jnp.repeat(split32, 2, 0), 2, 1)
+        sz16 = jnp.where(~e32, 32, jnp.where(split16, 8, 16))
+        size_map8 = jnp.repeat(jnp.repeat(sz16, 2, 0), 2, 1) \
+            .astype(jnp.int32)
+
+        def to8(a, n, chan=None):
+            rows, cols = self.h // n, self.w // n
+            k = n // 8
+            if chan is None:
+                m = a.reshape(rows, cols)
+            else:
+                m = a.reshape(rows, cols, chan)
+            return jnp.repeat(jnp.repeat(m, k, 0), k, 1)
+
+        def sel8(key, chan=None):
+            v8 = to8(per_size[8][key], 8, chan)
+            v16 = to8(per_size[16][key], 16, chan)
+            v32 = to8(per_size[32][key], 32, chan)
+            cond = (size_map8 == 8, size_map8 == 16)
+            if chan is not None:
+                cond = tuple(c[..., None] for c in cond)
+            return jnp.where(cond[0], v8,
+                             jnp.where(cond[1], v16, v32))
+
+        mode_map8 = sel8("modes").astype(jnp.int32)
+        inter8 = sel8("inter")
+        mv8 = sel8("mv", 2).astype(jnp.int32)
+        ref8 = sel8("ref").astype(jnp.int32)
+        return size_map8, mode_map8, inter8, mv8, ref8
+
+    # ------------------------------------------------------------------
+    # reconstruction: batched inter leaves + wavefront intra leaves
+    # ------------------------------------------------------------------
+
+    def _inter_recon_batch(self, src_y, src_cb, src_cr, refs_y, refs_cb,
+                           refs_cr, size_map8, inter8, mv8, ref8):
+        """Reconstruct every inter leaf of every size in one batch.
+        Returns (luma [2,Hp,Wp], chroma [4,Hc,Wc], written8)."""
+        h, w = self.h, self.w
+        zseed = (src_y[0, 0] * 0).astype(jnp.int32)
+        luma = jnp.zeros((2, 1 + h + 64, 1 + w + 64), jnp.int32) + zseed
+        chroma = jnp.zeros((4, 1 + h // 2 + 32, 1 + w // 2 + 32),
+                           jnp.int32) + zseed
+        written = jnp.zeros((self.r8, self.c8), bool)
+        P = self.SUBPEL_PAD
+        CPW = (P >> 1) + 2
+        ypad = jnp.pad(refs_y, ((0, 0), (P, P), (P, P)), mode="edge")
+        cbpad = jnp.pad(refs_cb, ((0, 0), (CPW, CPW), (CPW, CPW)),
+                        mode="edge")
+        crpad = jnp.pad(refs_cr, ((0, 0), (CPW, CPW), (CPW, CPW)),
+                        mode="edge")
+        for n, t, tc in ((8, self.t8, self.t4), (16, self.t16, self.t8),
+                         (32, self.t32, self.t16)):
+            k = n // 8
+            rows, cols = h // n, w // n
+            nb = rows * cols
+            is_leaf = (size_map8[::k, ::k] == n) & inter8[::k, ::k]
+            mask = is_leaf.reshape(-1)
+            bid = jnp.arange(nb)
+            y0 = (bid // cols) * n
+            x0 = (bid % cols) * n
+            mv = mv8[::k, ::k].reshape(-1, 2)
+            ref = ref8[::k, ::k].reshape(-1)
+            qp_y, qp_c, _ = self._qp_lam_for(n)
+            pred_y = self._mc_luma_sel(ypad, ref, mv, y0, x0, n, P)
+            blocks, _, _ = self._blocks_of(src_y, n)
+            resi = blocks - pred_y
+            levels, r2 = self._transform_quant(
+                resi, t, qp_y, n, mats=self._mats_for(n, True))
+            cbf = jnp.any(levels != 0, axis=(1, 2))
+            rec = jnp.clip(pred_y + jnp.where(cbf[:, None, None], r2, 0),
+                           0, self.maxv)
+            lvl = jnp.where(cbf[:, None, None], levels, 0)
+            luma = self._batch_scatter(luma, 0, rec, y0, x0, n, mask)
+            luma = self._batch_scatter(luma, 1, lvl, y0, x0, n, mask)
+            nc = n // 2
+            cy0 = (bid // cols) * nc
+            cx0 = (bid % cols) * nc
+            for ci, (cpad, srcp) in enumerate(((cbpad, src_cb),
+                                               (crpad, src_cr))):
+                cpred = self._mc_chroma_sel(cpad, ref, mv, cy0, cx0, nc,
+                                            CPW)
+                cblocks, _, _ = self._blocks_of(srcp, nc)
+                cresi = cblocks - cpred
+                clev, cr2 = self._transform_quant(
+                    cresi, tc, qp_c, nc, mats=self._mats_for(nc, False))
+                ccbf = jnp.any(clev != 0, axis=(1, 2))
+                crec = jnp.clip(
+                    cpred + jnp.where(ccbf[:, None, None], cr2, 0),
+                    0, self.maxv)
+                clvl = jnp.where(ccbf[:, None, None], clev, 0)
+                chroma = self._batch_scatter(chroma, ci, crec, cy0, cx0,
+                                             nc, mask)
+                chroma = self._batch_scatter(chroma, 2 + ci, clvl, cy0,
+                                             cx0, nc, mask)
+            wr = jnp.repeat(jnp.repeat(is_leaf, k, 0), k, 1)
+            written = written | wr
+        return luma, chroma, written
+
+    @staticmethod
+    def _batch_scatter(stack, plane_id, blocks, y0, x0, n, mask):
+        """Scatter [B, n, n] blocks into stack[plane_id] at +1 offset,
+        dropping masked-out blocks."""
+        _, hh, ww = stack.shape
+        yy = (y0 + 1)[:, None, None] + jnp.arange(n)[None, :, None]
+        xx = (x0 + 1)[:, None, None] + jnp.arange(n)[None, None, :]
+        fi = plane_id * hh * ww + yy * ww + xx
+        fi = jnp.where(mask[:, None, None], fi, stack.size)
+        return stack.reshape(-1).at[fi.reshape(-1)].set(
+            blocks.astype(stack.dtype).reshape(-1),
+            mode="drop").reshape(stack.shape)
+
+    def _recon_md_inter(self, src_y, src_cb, src_cr, size_map8,
+                        mode_map8, init_state):
+        """The intra wavefront over intra leaves only; inter cells are
+        pre-written by the batch pass."""
+        luma, chroma, written0 = init_state
+        leafz = self._leaf_z(size_map8)
+        srcs = (src_y, src_cb, src_cr)
+        statics = {}
+        for s in self.SIZES:
+            st = self._class_static(size_map8, leafz, s)
+            k = s // 8
+            # exclude inter leaves from the fire set
+            st = dict(st)
+            st["leaf"] = st["leaf"] & ~written0[::k, ::k]
+            statics[s] = st
+
+        def cond(st):
+            return ~jnp.all(st[1][-1])
+
+        def body(st):
+            wave, (luma, chroma, written) = st
+            new_written = written
+            idx_l, val_l, idx_c, val_c = [], [], [], []
+            for s in self.SIZES:
+                k = s // 8
+                rs, cs = self.r8 // k, self.c8 // k
+                ready = self._class_ready(written, statics[s], s)
+                c_star = jnp.argmin(
+                    jnp.where(ready, jnp.arange(cs)[None, :], cs),
+                    axis=1).astype(jnp.int32)
+                row_has = ready.any(axis=1)
+                fired_mask = ready & \
+                    (jnp.arange(cs)[None, :] == c_star[:, None])
+                new_written = new_written | jnp.repeat(
+                    jnp.repeat(fired_mask, k, 0), k, 1)
+                fired = (jnp.arange(rs, dtype=jnp.int32), c_star, row_has)
+                il, vl, ic, vc = self._class_updates(
+                    luma, chroma, fired, statics[s]["n_bl"],
+                    statics[s]["n_tr"], s, mode_map8, srcs, rs)
+                idx_l.append(il)
+                val_l.append(vl)
+                idx_c.append(ic)
+                val_c.append(vc)
+            luma = luma.reshape(-1).at[jnp.concatenate(idx_l)].set(
+                jnp.concatenate(val_l), mode="drop").reshape(luma.shape)
+            chroma = chroma.reshape(-1).at[jnp.concatenate(idx_c)].set(
+                jnp.concatenate(val_c), mode="drop").reshape(chroma.shape)
+            return wave + 1, (luma, chroma, new_written)
+
+        state = (luma, chroma, written0)
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        return state
+
+    # ------------------------------------------------------------------
+    # deblocking boundary strengths from decision maps (spec 8.7.2.4)
+    # ------------------------------------------------------------------
+
+    def _edge_maps_inter(self, size_map8, inter8, mv8, ref_poc8, nz8):
+        h, w = self.h, self.w
+        k = size_map8 >> 3
+        c = jnp.arange(self.c8)[None, :]
+        r = jnp.arange(self.r8)[:, None]
+        ver_edge = ((c & (k - 1)) == 0) & (c > 0)
+        hor_edge = ((r & (k - 1)) == 0) & (r > 0)
+
+        def bs(cur, nb):
+            """cur/nb: dicts of per-cell maps for the two sides."""
+            either_intra = cur["intra"] | nb["intra"]
+            nz = cur["nz"] | nb["nz"]
+            diff_ref = cur["poc"] != nb["poc"]
+            dmv = (jnp.abs(cur["mvx"] - nb["mvx"]) >= 4) | \
+                (jnp.abs(cur["mvy"] - nb["mvy"]) >= 4)
+            one = nz | diff_ref | dmv
+            return jnp.where(either_intra, 2, jnp.where(one, 1, 0))
+
+        maps = dict(intra=~inter8, nz=nz8, poc=ref_poc8,
+                    mvx=mv8[:, :, 0], mvy=mv8[:, :, 1])
+        left = {kk: jnp.pad(v[:, :-1], ((0, 0), (1, 0)),
+                            constant_values=(0,))
+                for kk, v in maps.items()}
+        up = {kk: jnp.pad(v[:-1, :], ((1, 0), (0, 0)),
+                          constant_values=(0,))
+              for kk, v in maps.items()}
+        bs_v8 = jnp.where(ver_edge, bs(maps, left), 0)
+        bs_h8 = jnp.where(hor_edge, bs(maps, up), 0)
+        # expand to the deblock grid: ver [H/4, W/8], hor [H/8, W/4]
+        bs_ver = jnp.repeat(bs_v8, 2, axis=0).astype(jnp.int32)
+        bs_hor = jnp.repeat(bs_h8, 2, axis=1).astype(jnp.int32)
+        return bs_ver, bs_hor
+
+    def _nz8(self, lvl_y, size_map8):
+        """Per-8-cell luma-TU cbf map (any nonzero level in the leaf)."""
+        nz8 = jnp.zeros((self.r8, self.c8), bool)
+        cell_any = (lvl_y.reshape(self.r8, 8, self.c8, 8) != 0) \
+            .any(axis=(1, 3))
+        for s in self.SIZES:
+            k = s // 8
+            rs, cs = self.r8 // k, self.c8 // k
+            blk = cell_any.reshape(rs, k, cs, k).any(axis=(1, 3))
+            blk8 = jnp.repeat(jnp.repeat(blk, k, 0), k, 1)
+            nz8 = jnp.where(size_map8 == s, blk8, nz8)
+        return nz8
+
+    # ------------------------------------------------------------------
+    # full frame
+    # ------------------------------------------------------------------
+
+    def _inter_full_impl(self, src_y_u8, src_cb_u8, src_cr_u8,
+                         refs_y_u8, refs_cb_u8, refs_cr_u8, ref_pocs):
+        src_y = src_y_u8.astype(jnp.int32)
+        src_cb = src_cb_u8.astype(jnp.int32)
+        src_cr = src_cr_u8.astype(jnp.int32)
+        refs_y = refs_y_u8.astype(jnp.int32)
+        refs_cb = refs_cb_u8.astype(jnp.int32)
+        refs_cr = refs_cr_u8.astype(jnp.int32)
+        lam = self.lam2[0]
+        size_map8, mode_map8, inter8, mv8, ref8 = self._partition_inter(
+            src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr, lam)
+        init = self._inter_recon_batch(src_y, src_cb, src_cr, refs_y,
+                                       refs_cb, refs_cr, size_map8,
+                                       inter8, mv8, ref8)
+        state = self._recon_md_inter(src_y, src_cb, src_cr, size_map8,
+                                     mode_map8, init)
+        luma, chroma, _ = state
+        h, w = self.h, self.w
+        ry = luma[0, 1:1 + h, 1:1 + w]
+        rcb = chroma[0, 1:1 + h // 2, 1:1 + w // 2]
+        rcr = chroma[1, 1:1 + h // 2, 1:1 + w // 2]
+        lvl_y = luma[1, 1:1 + h, 1:1 + w]
+        lvl_cb = chroma[2, 1:1 + h // 2, 1:1 + w // 2]
+        lvl_cr = chroma[3, 1:1 + h // 2, 1:1 + w // 2]
+        ref_poc8 = jnp.where(inter8, ref_pocs[ref8], NO_REF_POC)
+        if self.deblock:
+            from ..ops.deblock_jax import deblock_frame_jax
+            nz8 = self._nz8(lvl_y, size_map8)
+            bs_ver, bs_hor = self._edge_maps_inter(
+                size_map8, inter8, mv8, ref_poc8, nz8)
+            ry, rcb, rcr = deblock_frame_jax(
+                ry, rcb, rcr, bs_ver, bs_hor, self.qp2[0], self.qp2[1],
+                self.qp2[1], self.deblock_beta, self.deblock_tc,
+                bit_depth=self.bd)
+        sao_out = {}
+        if self.sao:
+            from ..ops.sao_jax import sao_chroma, sao_luma
+            lamf = self.lam2[0]
+            ab = self.sao in ("full", "band")
+            ae = self.sao in ("full", "edge")
+            ry, py = sao_luma(src_y, ry, self.CTB, lamf, ab, ae,
+                              bit_depth=self.bd)
+            rcb, rcr, pc = sao_chroma(src_cb, src_cr, rcb, rcr,
+                                      self.CTB // 2, lamf, ab, ae,
+                                      bit_depth=self.bd)
+            for kk, v in py.items():
+                sao_out["sao_y_" + kk] = v.astype(jnp.int8)
+            for kk, v in pc.items():
+                sao_out["sao_c_" + kk] = v.astype(jnp.int8)
+
+        def cksum(plane, mask):
+            p32 = plane.astype(jnp.uint32)
+            tot = jnp.sum((p32 & 0xFF) ^ mask, dtype=jnp.uint32)
+            if self.bd > 8:
+                tot = tot + jnp.sum((p32 >> 8) ^ mask, dtype=jnp.uint32)
+            return tot
+
+        def sse(a, b):
+            d = a - b
+            return jnp.sum(d * d, dtype=jnp.int64)
+
+        pix_t = jnp.uint8 if self.bd == 8 else jnp.uint16
+        out = {
+            "rec_y": ry.astype(pix_t),
+            "rec_cb": rcb.astype(pix_t),
+            "rec_cr": rcr.astype(pix_t),
+            "size_map8": size_map8.astype(jnp.int8),
+            "mode_map8": mode_map8.astype(jnp.int8),
+            "inter8": inter8,
+            "mv8": mv8,
+            "ref8": ref8.astype(jnp.int8),
+            "levels16_y": lvl_y.astype(jnp.int16),
+            "levels16_cb": lvl_cb.astype(jnp.int16),
+            "levels16_cr": lvl_cr.astype(jnp.int16),
+            "hash": jnp.stack([cksum(ry, self.hash_mask_y),
+                               cksum(rcb, self.hash_mask_c),
+                               cksum(rcr, self.hash_mask_c)]),
+            "sse": jnp.stack([sse(ry, src_y), sse(rcb, src_cb),
+                              sse(rcr, src_cr)]),
+            **sao_out,
+        }
+        ovf = jnp.bool_(False)
+        for name, lv in (("y", lvl_y), ("cb", lvl_cb), ("cr", lvl_cr)):
+            mask_u8, vals, o = self._sparse_pack(lv)
+            out["lmask_" + name] = mask_u8
+            out["lvals_" + name] = vals
+            ovf = ovf | o
+        out["lvl_ovf"] = ovf
+        return out
+
+    # ------------------------------------------------------------------
+    # host interface
+    # ------------------------------------------------------------------
+
+    def submit_inter(self, src_y, src_cb, src_cr, refs_y, refs_cb,
+                     refs_cr, ref_pocs, qp: int | None = None):
+        """refs_*: lists of reference planes (numpy or device), newest
+        first, padded/truncated to n_refs by repeating the last."""
+        consts = self._consts_for(qp)
+        pix_t = jnp.uint8 if self.bd == 8 else jnp.uint16
+
+        def stack(planes):
+            ps = list(planes)[:self.n_refs]
+            while len(ps) < self.n_refs:
+                ps.append(ps[-1])
+            return jnp.stack([jnp.asarray(p, pix_t) for p in ps])
+
+        pocs = list(ref_pocs)[:self.n_refs]
+        while len(pocs) < self.n_refs:
+            pocs.append(pocs[-1])
+        out = self._full_inter(consts,
+                               jnp.asarray(src_y, pix_t),
+                               jnp.asarray(src_cb, pix_t),
+                               jnp.asarray(src_cr, pix_t),
+                               stack(refs_y), stack(refs_cb),
+                               stack(refs_cr),
+                               jnp.asarray(pocs, jnp.int32))
+        for k, v in out.items():
+            if (k.startswith(("lmask_", "lvals_", "sao_"))
+                    or k in ("hash", "sse", "size_map8", "mode_map8",
+                             "inter8", "mv8", "ref8", "lvl_ovf")):
+                try:
+                    v.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
+        return out
+
+    def materialize(self, out):
+        res = super().materialize(out)
+        for k in ("inter8", "mv8", "ref8"):
+            if k in res:
+                res[k] = np.asarray(res[k])
+        return res
