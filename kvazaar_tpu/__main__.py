@@ -46,9 +46,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no-wpp", dest="wpp", action="store_false")
     p.add_argument("--signhide", action="store_true")
     p.add_argument("--rdoq", action="store_true")
-    p.add_argument("--gop", type=int, default=0,
-                   choices=[0, 1, 2, 4, 8, 16],
-                   help="hierarchical B GOP length (0 = low delay)")
+    p.add_argument("--gop", default="0",
+                   help="hierarchical B GOP length 0/1/2/4/8/16, or "
+                        "lp-gGdDtT for a layered low-delay structure")
+    p.add_argument("--open-gop", dest="open_gop", action="store_true",
+                   help="CRA + RASL at period boundaries (no IDR reset)")
     p.add_argument("--ref", type=int, default=1,
                    help="reference frames per list")
     p.add_argument("--sao", choices=["off", "edge", "band", "full"],
@@ -57,8 +59,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    default=True)
     p.add_argument("--hash", choices=["checksum", "md5", "none"],
                    default="checksum")
-    p.add_argument("--ctu", type=int, default=16, choices=[16, 64],
-                   help="CTU size (16 uses the TPU device pipeline)")
+    p.add_argument("--ctu", type=int, default=None, choices=[16, 64],
+                   help="CTU size (default 64 = quadtree flagship path; "
+                        "B-pyramid GOPs currently ride ctu 16)")
+    p.add_argument("--aud", dest="aud", action="store_true",
+                   help="write access unit delimiters")
+    p.add_argument("--vps-period", dest="vps_period", type=int, default=0,
+                   help="re-send parameter sets every N intra periods")
     p.add_argument("--tiles", default=None,
                    help="tile grid CxR (e.g. 2x2); all-intra, ctu 64")
     p.add_argument("--vaq", type=int, default=0,
@@ -94,25 +101,33 @@ def main(argv=None) -> int:
     cfg = Config(width=reader.width, height=reader.height, qp=args.qp,
                  intra_period=args.period, wpp=args.wpp,
                  signhide_enable=args.signhide, hash=args.hash,
-                 ctu_size=args.ctu, target_bitrate=args.bitrate,
-                 rdoq_enable=args.rdoq, gop_len=args.gop,
+                 target_bitrate=args.bitrate,
+                 rdoq_enable=args.rdoq, open_gop=args.open_gop,
                  ref_frames=args.ref, sao_type=args.sao,
                  deblock_enable=args.deblock, vaq=args.vaq,
                  roi_file=args.roi, input_bitdepth=reader.bit_depth,
                  lossless=args.lossless, scaling_list=args.scaling_list,
                  rc_algorithm=args.rc_algorithm,
                  source_scan_type=args.source_scan_type,
+                 aud_enable=args.aud, vps_period=args.vps_period,
                  level=args.level)
+    cfg.parse("gop", args.gop)
     if args.pu_depth_intra:
         cfg.parse("pu-depth-intra", args.pu_depth_intra)
-        cfg.ctu_size = 64
     if args.tiles:
         cfg.parse("tiles", args.tiles)
+    if args.preset:
+        apply_preset(cfg, args.preset)
+    # B-pyramid GOPs currently ride the 16-grid pipeline; everything
+    # else defaults to the quadtree flagship (CTB 64)
+    if args.ctu:
+        cfg.ctu_size = args.ctu
+    else:
+        cfg.ctu_size = 16 if (cfg.gop_len > 1 and not cfg.gop_lowdelay
+                              and cfg.intra_period != 1) else 64
     if args.tiles or args.vaq or args.roi or args.lossless \
             or reader.bit_depth > 8 or args.scaling_list != "off":
         cfg.ctu_size = 64      # these tools ride the quadtree pipeline
-    if args.preset:
-        apply_preset(cfg, args.preset)
     enc = Encoder(cfg)
     if args.seek:
         reader.seek(args.seek)

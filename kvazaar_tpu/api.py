@@ -183,7 +183,8 @@ class Encoder:
         # inter on the quadtree path: low-delay P at CTB 64 (mixed CU
         # sizes); B pyramids still ride the 16-grid pipeline
         self.inter_md = (dev_ok and cfg.ctu_size == 64
-                         and cfg.intra_period != 1 and cfg.gop_len <= 1
+                         and cfg.intra_period != 1
+                         and (cfg.gop_len <= 1 or cfg.gop_lowdelay)
                          and tuple(cfg.tiles) == (1, 1)
                          and not cfg.lossless
                          and cfg.input_bitdepth == 8
@@ -201,7 +202,8 @@ class Encoder:
         self.inter_enabled = ((self.use_device and not self.use_md
                                and cfg.intra_period != 1)
                               or self.inter_md)
-        self.gop_enabled = cfg.gop_len > 1 and self.inter_enabled
+        self.gop_enabled = (cfg.gop_len > 1 and self.inter_enabled
+                            and not cfg.gop_lowdelay)
         if cfg.gop_len > 1 and not self.inter_enabled:
             raise NotImplementedError(
                 "B-pyramid GOPs require the device pipeline "
@@ -213,6 +215,7 @@ class Encoder:
                 self._inter_pipeline = MdInterPipeline(
                     self.sps.height, self.sps.width, cfg.qp,
                     n_refs=self.n_refs,
+                    pu_depth_inter=tuple(cfg.pu_depth_inter),
                     deblock=cfg.deblock_enable,
                     deblock_beta=cfg.deblock_beta,
                     deblock_tc=cfg.deblock_tc, sao=cfg.sao_type,
@@ -297,6 +300,11 @@ class Encoder:
             raise NotImplementedError(
                 "SAO requires the device pipeline (ctu-size 16) "
                 "in this round")
+        self._lp = None
+        if cfg.gop_lowdelay and self.inter_enabled:
+            from .engine.gop import lp_gop_table
+            self._lp = lp_gop_table(cfg.gop_len, *cfg.gop_lp,
+                                    max(1, cfg.ref_frames))
         # DPB: newest-first reconstructed reference pictures (device- or
         # host-resident), trimmed to n_refs
         self._dpb: list[dict] = []
@@ -486,11 +494,37 @@ class Encoder:
             self.poc = 0
             self._dpb.clear()
         from .engine.gop import FrameSpec
-        spec = FrameSpec(disp_idx=self.frame_num, poc=self.poc,
-                         is_idr=is_idr, is_ref=True,
-                         slice_type=2 if is_idr else 1,
-                         l0=[] if is_idr else [e["poc"] for e in self._dpb],
-                         keep=None)
+        lp = getattr(self, "_lp", None)
+        if lp is not None and not is_idr:
+            # low-delay GOP structure (--gop lp-gGdDtT): layered QP,
+            # nearest-lower-layer + keyframe references, selective
+            # retention (ref src/cfg.c:1433)
+            g = cfg.gop_len
+            pos = ((self.poc - 1) % g) + 1
+            ent = lp[pos - 1]
+            dpb_pocs = [e["poc"] for e in self._dpb]
+            l0 = []
+            for delta in ent["ref_neg"]:
+                p = self.poc - delta
+                if p >= 0 and p in dpb_pocs and p not in l0:
+                    l0.append(p)
+            if not l0 and dpb_pocs:
+                l0 = dpb_pocs[:1]
+            keys = sorted((p for p in dpb_pocs if p % g == 0),
+                          reverse=True)[:cfg.ref_frames]
+            keep = set(keys) | set(l0) | set(dpb_pocs[:1])
+            spec = FrameSpec(disp_idx=self.frame_num, poc=self.poc,
+                             is_idr=False, is_ref=bool(ent["is_ref"]),
+                             slice_type=1, layer=ent["layer"],
+                             qp_offset=ent["qp_offset"],
+                             l0=l0[:max(1, cfg.ref_frames)], keep=keep)
+        else:
+            spec = FrameSpec(
+                disp_idx=self.frame_num, poc=self.poc,
+                is_idr=is_idr, is_ref=True,
+                slice_type=2 if is_idr else 1,
+                l0=[] if is_idr else [e["poc"] for e in self._dpb],
+                keep=None)
         self.frame_num += 1
         self.poc += 1
         return self._submit_spec(spec, y, cb, cr)

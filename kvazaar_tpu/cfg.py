@@ -29,6 +29,10 @@ class Config:
     open_gop: bool = False
     vps_period: int = 0
     gop_len: int = 0                # 0 = low-delay default until B support
+    # low-delay GOP structure (--gop lp-gGdDtT): layered QP offsets and
+    # keyframe references on the low-delay path
+    gop_lowdelay: bool = False
+    gop_lp: tuple[int, int] = (1, 1)    # (d, t)
     ref_frames: int = 1
 
     # block structure
@@ -55,6 +59,8 @@ class Config:
     # intra PU depth range (kvazaar --pu-depth-intra min-max); depths on
     # the quadtree path: 1=32x32, 2=16x16, 3=8x8 (64 and 4x4 NxN later)
     pu_depth_intra: tuple[int, int] = (1, 3)
+    # inter CU depth range (kvazaar --pu-depth-inter); 0=64x64 .. 3=8x8
+    pu_depth_inter: tuple[int, int] = (0, 3)
     rd: int = 0
     intra_rdo_et: bool = False
     full_intra_search: bool = False
@@ -104,14 +110,18 @@ class Config:
             raise ValueError("ctu size must be 16/32/64")
         if self.hash not in ("checksum", "md5", "none"):
             raise ValueError("unknown hash type")
-        if self.gop_len not in (0, 1, 2, 4, 8, 16):
-            raise ValueError("gop must be 0/1/2/4/8/16")
-        if self.source_scan_type in ("tff", "bff") and self.gop_len > 1:
+        if self.gop_lowdelay:
+            if self.gop_len < 1:
+                raise ValueError("lp-gop needs g >= 1")
+        elif self.gop_len not in (0, 1, 2, 4, 8, 16):
+            raise ValueError("gop must be 0/1/2/4/8/16 or lp-gGdDtT")
+        reorder = self.gop_len > 1 and not self.gop_lowdelay
+        if self.source_scan_type in ("tff", "bff") and reorder:
             # field pic_timing parity is derived from coding order, which
             # only equals display order without a reordering B GOP
-            raise ValueError("interlaced coding requires gop 0/1 "
+            raise ValueError("interlaced coding requires gop 0/1/lp "
                              "(no B-pyramid reorder)")
-        if self.gop_len > 1:
+        if reorder:
             if self.intra_period == 1:
                 self.gop_len = 0  # all-intra: GOP structure is moot
             elif self.intra_period > 0 and \
@@ -127,7 +137,7 @@ class Config:
         "bitrate": ("target_bitrate", int),
         "vps-period": ("vps_period", int),
         "ref": ("ref_frames", int),
-        "gop": ("gop_len", int),
+        "gop": ("gop_len", "gop"),
         "signhide": ("signhide_enable", bool),
         "rdoq": ("rdoq_enable", bool),
         "deblock": ("deblock_enable", bool),
@@ -139,6 +149,7 @@ class Config:
         "roi": ("roi_file", str),
         "scaling-list": ("scaling_list", str),
         "pu-depth-intra": ("pu_depth_intra", "range"),
+        "pu-depth-inter": ("pu_depth_inter", "range"),
         "source-scan-type": ("source_scan_type", str),
         "rc-algorithm": ("rc_algorithm", str),
         "owf": ("owf", int),
@@ -160,6 +171,20 @@ class Config:
             self.rc_algorithm = "lambda"
         if typ is bool:
             value = value in (True, 1, "1", "true", "yes", "on")
+        elif typ == "gop":
+            v = str(value)
+            if v.startswith("lp-"):
+                import re
+                m = re.match(r"lp-g(\d+)d(\d+)t(\d+)$", v)
+                if not m:
+                    raise ValueError(
+                        "GOP syntax: lp-g8d4t2 (ref src/cfg.c:1029)")
+                self.gop_lowdelay = True
+                self.gop_lp = (int(m.group(2)), int(m.group(3)))
+                value = int(m.group(1))
+            else:
+                self.gop_lowdelay = False
+                value = int(v)
         elif typ == "tiles":
             # "CxR" like the reference's --tiles (src/cfg.c:254-296)
             c, r = str(value).lower().split("x")
@@ -173,38 +198,50 @@ class Config:
 
 
 PRESETS = {
-    # speed ladder mirroring kvazaar's (src/cfg.c:484-766): gop/ref/sao/
-    # rdoq/signhide follow the reference table; options the engine lacks
-    # (me pattern, smp/amp encode) are omitted until they land.
-    "ultrafast": dict(rd=0, cu_log2=4, gop_len=8, ref_frames=1,
-                      sao_type="off", signhide_enable=False,
-                      rdoq_enable=False),
-    "superfast": dict(rd=0, cu_log2=4, gop_len=8, ref_frames=1,
-                      sao_type="full", signhide_enable=False,
-                      rdoq_enable=False),
-    "veryfast": dict(rd=0, cu_log2=4, gop_len=8, ref_frames=1,
-                     sao_type="full", signhide_enable=False,
-                     rdoq_enable=False),
-    "faster": dict(rd=0, cu_log2=4, gop_len=8, ref_frames=1,
-                   sao_type="full", signhide_enable=False,
-                   rdoq_enable=False),
-    "fast": dict(rd=0, cu_log2=4, gop_len=8, ref_frames=2,
+    # speed ladder mirroring kvazaar's table exactly for the knobs this
+    # engine has (src/cfg.c:484-766: rd / pu-depth-intra / gop / ref /
+    # sao / rdoq / signhide); me pattern and smp/amp are omitted until
+    # they land (me is n/a by design: the ME is an exhaustive batched
+    # sweep, and depth 4 = 4x4 NxN clamps to 3 until implemented).
+    "ultrafast": dict(rd=0, pu_depth_intra=(2, 3),
+                      pu_depth_inter=(1, 2), gop_len=8,
+                      ref_frames=1, sao_type="off",
+                      signhide_enable=False, rdoq_enable=False),
+    "superfast": dict(rd=0, pu_depth_intra=(2, 3),
+                      pu_depth_inter=(1, 2), gop_len=8,
+                      ref_frames=1, sao_type="full",
+                      signhide_enable=False, rdoq_enable=False),
+    "veryfast": dict(rd=0, pu_depth_intra=(2, 3),
+                     pu_depth_inter=(1, 3), gop_len=8,
+                     ref_frames=1, sao_type="full",
+                     signhide_enable=False, rdoq_enable=False),
+    "faster": dict(rd=0, pu_depth_intra=(2, 3),
+                   pu_depth_inter=(1, 3), gop_len=8,
+                   ref_frames=1, sao_type="full",
+                   signhide_enable=False, rdoq_enable=False),
+    "fast": dict(rd=0, pu_depth_intra=(1, 3), pu_depth_inter=(1, 3),
+                 gop_len=8, ref_frames=2,
                  sao_type="full", signhide_enable=False,
                  rdoq_enable=False),
-    "medium": dict(rd=0, cu_log2=4, gop_len=16, ref_frames=4,
-                   sao_type="full", signhide_enable=False,
-                   rdoq_enable=True),
-    "slow": dict(rd=1, cu_log2=4, gop_len=16, ref_frames=4,
+    "medium": dict(rd=0, pu_depth_intra=(1, 3),
+                   pu_depth_inter=(0, 3), gop_len=16,
+                   ref_frames=4, sao_type="full",
+                   signhide_enable=False, rdoq_enable=True),
+    "slow": dict(rd=1, pu_depth_intra=(1, 3), pu_depth_inter=(0, 3),
+                 gop_len=16, ref_frames=4,
                  sao_type="full", signhide_enable=False,
                  rdoq_enable=True),
-    "slower": dict(rd=2, cu_log2=4, gop_len=16, ref_frames=4,
-                   sao_type="full", signhide_enable=True,
+    "slower": dict(rd=2, pu_depth_intra=(1, 3),
+                   pu_depth_inter=(0, 3), gop_len=16,
+                   ref_frames=4, sao_type="full", signhide_enable=True,
                    rdoq_enable=True),
-    "veryslow": dict(rd=2, cu_log2=4, gop_len=16, ref_frames=4,
-                     sao_type="full", signhide_enable=True,
+    "veryslow": dict(rd=3, pu_depth_intra=(1, 3),
+                     pu_depth_inter=(0, 3), gop_len=16,
+                     ref_frames=4, sao_type="full", signhide_enable=True,
                      rdoq_enable=True),
-    "placebo": dict(rd=2, cu_log2=4, gop_len=16, ref_frames=4,
-                    sao_type="full", signhide_enable=True,
+    "placebo": dict(rd=3, pu_depth_intra=(1, 3),
+                    pu_depth_inter=(0, 3), gop_len=16,
+                    ref_frames=4, sao_type="full", signhide_enable=True,
                     rdoq_enable=True),
 }
 

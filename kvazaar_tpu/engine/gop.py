@@ -45,6 +45,51 @@ def _qp_off(layer: int) -> int:
     return min(layer, 4)
 
 
+def lp_gop_table(g: int, d: int, t: int, n_refs: int) -> list[dict]:
+    """Low-delay GOP structure for --gop=lp-gGdDtT (ref src/cfg.c:1433
+    kvz_config_process_lp_gop): per-position layer from depth modulos,
+    qp_offset = layer, first reference the nearest lower-layer frame
+    (or t frames back on the t-grid), remaining references previous
+    keyframes."""
+    assert g >= 1 and d >= 1 and t >= 1
+    mod = [0] * max(d, 1)
+    for dd in range(d):
+        mod[d - 1 - dd] = 1 << dd
+    mod[0] = g
+    pics = []
+    for pos in range(1, g + 1):
+        layer = 1
+        while layer < d and (pos % mod[layer - 1]):
+            layer += 1
+        pics.append(dict(poc_offset=pos, layer=layer, qp_offset=layer,
+                         is_ref=False, ref_neg=[]))
+    for pos in range(1, g + 1):
+        ent = pics[pos - 1]
+        if t > 1:
+            if pos % t == 0:
+                ent["ref_neg"].append(t)
+            else:
+                r = pos - 1
+                while r > 0 and not pics[r]["layer"] < ent["layer"]:
+                    r -= 1
+                if pics[r]["layer"] < ent["layer"]:
+                    ent["ref_neg"].append(pos - pics[r]["poc_offset"])
+                    pics[r]["is_ref"] = True
+                else:
+                    ent["ref_neg"].append(pos % g or g)
+        else:
+            ent["ref_neg"].append(1)
+            if pos >= 2:
+                pics[pos - 2]["is_ref"] = True
+        keyframe = pos
+        for _ in range(1, max(1, n_refs)):
+            while keyframe == ent["ref_neg"][-1]:
+                keyframe += g
+            ent["ref_neg"].append(keyframe)
+    pics[g - 1]["is_ref"] = True   # keyframe always a reference
+    return pics
+
+
 class GopScheduler:
     """Generates FrameSpecs. Usage: feed display indices via plan_segment
     per coding span; the Encoder buffers frames and encodes the returned

@@ -171,6 +171,31 @@ class MdPSliceWriter(PSliceWriter):
                            1 if has_resi else 0)
         if not has_resi:
             return
+        if log2_size == 6:
+            # forced transform split (64 > MaxTb 32, spec 7.4.9.8): four
+            # 32x32 luma TUs with 16x16 chroma, parent chroma cbfs at
+            # depth 0 then per-child cbfs at depth 1
+            quads = ((0, 0), (32, 0), (0, 32), (32, 32))
+            subs = [self._levels_at(x0 + dx, y0 + dy, 32)
+                    for dx, dy in quads]
+            cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cb)
+            cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cr)
+            for (qly, qlcb, qlcr) in subs:
+                q_cb = 1 if qlcb.any() else 0
+                q_cr = 1 if qlcr.any() else 0
+                q_y = 1 if qly.any() else 0
+                if cbf_cb:
+                    cab.encode_bin(ContextSet.idx("cbf_chroma", 1), q_cb)
+                if cbf_cr:
+                    cab.encode_bin(ContextSet.idx("cbf_chroma", 1), q_cr)
+                cab.encode_bin(ContextSet.idx("cbf_luma", 0), q_y)
+                if q_y:
+                    encode_residual(cab, qly, 5, 0, 0, self.sdh)
+                if cbf_cb and q_cb:
+                    encode_residual(cab, qlcb, 4, 1, 0, self.sdh)
+                if cbf_cr and q_cr:
+                    encode_residual(cab, qlcr, 4, 2, 0, self.sdh)
+            return
         cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cb)
         cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cr)
         if cbf_cb or cbf_cr:

@@ -50,9 +50,15 @@ class MdInterPipeline(MdIntraPipeline):
     SUBPEL_PAD = 4 + 3      # refine window + 8-tap reach
 
     def __init__(self, height: int, width: int, qp: int,
-                 n_refs: int = 1, **kw) -> None:
+                 n_refs: int = 1,
+                 pu_depth_inter: tuple[int, int] = (0, 3), **kw) -> None:
         super().__init__(height, width, qp, **kw)
         self.n_refs = max(1, n_refs)
+        # inter CU sizes from --pu-depth-inter (0=64 .. 3=8); sizes
+        # outside the range fall back to the intra candidate
+        lo, hi = pu_depth_inter
+        self.allow_inter = {64: lo <= 0, 32: lo <= 1 <= hi,
+                            16: lo <= 2 <= hi, 8: hi >= 3}
         self._full_inter = jax.jit(self._with_consts(self._inter_full_impl))
 
     # ------------------------------------------------------------------
@@ -157,8 +163,34 @@ class MdInterPipeline(MdIntraPipeline):
             return mv16.reshape(-1, 2)
         if n == 8:
             return jnp.repeat(jnp.repeat(mv16, 2, 0), 2, 1).reshape(-1, 2)
-        # n == 32: the four children candidates resolved by the caller
-        return mv16
+        # n >= 32: four spread samples of the covered field as candidates
+        s2 = n // 16
+        h = s2 // 2
+        cands = jnp.stack(
+            [mv16[::s2, ::s2], mv16[::s2, h::s2],
+             mv16[h::s2, ::s2], mv16[h::s2, h::s2]],
+            axis=2).reshape(-1, 4, 2)
+        return cands
+
+    def _tq_quad(self, resi, qp, is_luma):
+        """T/Q a [B, n, n] residual as four n/2 TUs (forced transform
+        split of 64-luma / 32-chroma CBs, spec 7.4.9.8: log2 > MaxTbLog2).
+        Returns (levels [B, n, n], recon residual [B, n, n])."""
+        B, n, _ = resi.shape
+        hn = n // 2
+        t = {32: self.t32, 16: self.t16}[hn]
+        q = resi.reshape(B, 2, hn, 2, hn)
+        q = jnp.moveaxis(q, 2, 3).reshape(B * 4, hn, hn)
+        lev, r2 = self._transform_quant(
+            q, t, qp, hn, mats=self._mats_for(hn, is_luma))
+        cbf = jnp.any(lev != 0, axis=(1, 2))
+        r2 = jnp.where(cbf[:, None, None], r2, 0)
+        lev = jnp.where(cbf[:, None, None], lev, 0)
+
+        def back(x):
+            x = x.reshape(B, 2, 2, hn, hn)
+            return jnp.moveaxis(x, 2, 3).reshape(B, n, n)
+        return back(lev), back(r2)
 
     def _blocks_of(self, plane, n):
         rows, cols = plane.shape[0] // n, plane.shape[1] // n
@@ -237,13 +269,10 @@ class MdInterPipeline(MdIntraPipeline):
         best = None
         for k in range(self.n_refs):
             mv16 = fields[k]
-            if n == 32:
-                cands = jnp.stack(
-                    [mv16[::2, ::2], mv16[::2, 1::2],
-                     mv16[1::2, ::2], mv16[1::2, 1::2]],
-                    axis=2).reshape(-1, 4, 2)
+            if n >= 32:
                 cands = jnp.concatenate(
-                    [cands, jnp.zeros((nb, 1, 2), jnp.int32)], axis=1)
+                    [self._field_for(mv16, n),
+                     jnp.zeros((nb, 1, 2), jnp.int32)], axis=1)
             else:
                 cands = jnp.stack(
                     [self._field_for(mv16, n),
@@ -275,8 +304,16 @@ class MdInterPipeline(MdIntraPipeline):
         ypad_all = jnp.pad(refs_y, ((0, 0), (P, P), (P, P)), mode="edge")
         pred_y = self._mc_luma_sel(ypad_all, ref, mv_q, y0, x0, n, P)
         resi = blocks - pred_y
-        levels, r2 = self._transform_quant_plain(
-            resi, t, qp_y, n, mats=self._mats_for(n, True))
+        saved = (self.rdoq, self.sign_hiding)
+        self.rdoq = self.sign_hiding = False
+        try:
+            if n == 64:
+                levels, r2 = self._tq_quad(resi, qp_y, True)
+            else:
+                levels, r2 = self._transform_quant(
+                    resi, t, qp_y, n, mats=self._mats_for(n, True))
+        finally:
+            self.rdoq, self.sign_hiding = saved
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
         rate = self._rate_bins(levels) + \
             self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
@@ -294,8 +331,17 @@ class MdInterPipeline(MdIntraPipeline):
         for plane, cpred in ((src_cb, pred_cb), (src_cr, pred_cr)):
             cblocks, _, _ = self._blocks_of(plane, nc)
             cresi = cblocks - cpred
-            clev, cr2 = self._transform_quant_plain(
-                cresi, tc, qp_c, nc, mats=self._mats_for(nc, False))
+            saved = (self.rdoq, self.sign_hiding)
+            self.rdoq = self.sign_hiding = False
+            try:
+                if nc == 32:
+                    clev, cr2 = self._tq_quad(cresi, qp_c, False)
+                else:
+                    clev, cr2 = self._transform_quant(
+                        cresi, tc, qp_c, nc,
+                        mats=self._mats_for(nc, False))
+            finally:
+                self.rdoq, self.sign_hiding = saved
             cdist = ((cresi - cr2).astype(jnp.float32) ** 2) \
                 .sum(axis=(1, 2))
             crate = self._rate_bins(clev) + \
@@ -354,6 +400,7 @@ class MdInterPipeline(MdIntraPipeline):
         fields = [self._coarse_field(src_y, refs_y[k])
                   for k in range(self.n_refs)]
         per_size = {}
+        big = jnp.float32(1e18)
         for n, g, f, gc, t, tc in (
                 (8, self.g8l, self.f8, self.g4c, self.t8, self.t4),
                 (16, self.g16l, self.f16l, self.g8cc, self.t16, self.t8),
@@ -363,10 +410,24 @@ class MdInterPipeline(MdIntraPipeline):
             mv_q, ref, ecost, _, _, _ = self._inter_leaf(
                 src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr, fields,
                 n, t, tc, lam)
+            if not self.allow_inter[n]:
+                ecost = ecost + big
             use_inter = ecost < icost
             cost = jnp.where(use_inter, ecost, icost)
             per_size[n] = dict(modes=imodes, mv=mv_q, ref=ref,
                                inter=use_inter, cost=cost)
+        # 64x64: inter-only leaves (intra max CU is 32; the reference
+        # presets likewise keep intra min-depth >= 1, cfg.c:484-766,
+        # while pu-depth-inter 0-3 codes inter 64 at medium+)
+        mv64, ref64, ecost64, _, _, _ = self._inter_leaf(
+            src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr, fields,
+            64, self.t32, self.t16, lam)
+        r64, c64n = self.h // 64, self.w // 64
+        per_size[64] = dict(
+            modes=jnp.ones((r64 * c64n,), jnp.int32),
+            mv=mv64, ref=ref64,
+            inter=jnp.ones((r64 * c64n,), bool),
+            cost=ecost64 if self.allow_inter[64] else ecost64 + big)
 
         r16, c16n = self.h // 16, self.w // 16
         r32, c32n = self.h // 32, self.w // 32
@@ -392,8 +453,19 @@ class MdInterPipeline(MdIntraPipeline):
             split32 = jnp.ones_like(split32)
         elif not (self.allow[16] or self.allow[8]):
             split32 = jnp.zeros_like(split32)
+        best32 = jnp.where(split32, sum16 + lam32 * self.SPLIT_BITS,
+                           leaf32)
+        sum32 = sum4(best32, r64, c64n) + lam * 4 * self.SPLIT_BITS
+        leaf64 = per_size[64]["cost"].reshape(r64, c64n)
+        split64 = sum32 + lam * self.SPLIT_BITS < leaf64
+        if not self.allow_inter[64]:
+            split64 = jnp.ones_like(split64)
+        e64 = jnp.repeat(jnp.repeat(
+            jnp.repeat(jnp.repeat(split64, 2, 0), 2, 1), 2, 0), 2, 1)
         e32 = jnp.repeat(jnp.repeat(split32, 2, 0), 2, 1)
-        sz16 = jnp.where(~e32, 32, jnp.where(split16, 8, 16))
+        sz16 = jnp.where(~e64, 64,
+                         jnp.where(~e32, 32,
+                                   jnp.where(split16, 8, 16)))
         size_map8 = jnp.repeat(jnp.repeat(sz16, 2, 0), 2, 1) \
             .astype(jnp.int32)
 
@@ -410,11 +482,13 @@ class MdInterPipeline(MdIntraPipeline):
             v8 = to8(per_size[8][key], 8, chan)
             v16 = to8(per_size[16][key], 16, chan)
             v32 = to8(per_size[32][key], 32, chan)
-            cond = (size_map8 == 8, size_map8 == 16)
+            v64 = to8(per_size[64][key], 64, chan)
+            cond = (size_map8 == 8, size_map8 == 16, size_map8 == 32)
             if chan is not None:
                 cond = tuple(c[..., None] for c in cond)
             return jnp.where(cond[0], v8,
-                             jnp.where(cond[1], v16, v32))
+                             jnp.where(cond[1], v16,
+                                       jnp.where(cond[2], v32, v64)))
 
         mode_map8 = sel8("modes").astype(jnp.int32)
         inter8 = sel8("inter")
@@ -444,7 +518,8 @@ class MdInterPipeline(MdIntraPipeline):
         crpad = jnp.pad(refs_cr, ((0, 0), (CPW, CPW), (CPW, CPW)),
                         mode="edge")
         for n, t, tc in ((8, self.t8, self.t4), (16, self.t16, self.t8),
-                         (32, self.t32, self.t16)):
+                         (32, self.t32, self.t16),
+                         (64, self.t32, self.t16)):
             k = n // 8
             rows, cols = h // n, w // n
             nb = rows * cols
@@ -459,12 +534,19 @@ class MdInterPipeline(MdIntraPipeline):
             pred_y = self._mc_luma_sel(ypad, ref, mv, y0, x0, n, P)
             blocks, _, _ = self._blocks_of(src_y, n)
             resi = blocks - pred_y
-            levels, r2 = self._transform_quant(
-                resi, t, qp_y, n, mats=self._mats_for(n, True))
-            cbf = jnp.any(levels != 0, axis=(1, 2))
-            rec = jnp.clip(pred_y + jnp.where(cbf[:, None, None], r2, 0),
-                           0, self.maxv)
-            lvl = jnp.where(cbf[:, None, None], levels, 0)
+            if n == 64:       # forced TU split: four 32x32 luma TUs
+                levels, r2 = self._tq_quad(resi, qp_y, True)
+                cbf = jnp.bool_(True)   # per-quadrant cbf inside _tq_quad
+                rec = jnp.clip(pred_y + r2, 0, self.maxv)
+                lvl = levels
+            else:
+                levels, r2 = self._transform_quant(
+                    resi, t, qp_y, n, mats=self._mats_for(n, True))
+                cbf = jnp.any(levels != 0, axis=(1, 2))
+                rec = jnp.clip(
+                    pred_y + jnp.where(cbf[:, None, None], r2, 0),
+                    0, self.maxv)
+                lvl = jnp.where(cbf[:, None, None], levels, 0)
             luma = self._batch_scatter(luma, 0, rec, y0, x0, n, mask)
             luma = self._batch_scatter(luma, 1, lvl, y0, x0, n, mask)
             nc = n // 2
@@ -476,13 +558,19 @@ class MdInterPipeline(MdIntraPipeline):
                                             CPW)
                 cblocks, _, _ = self._blocks_of(srcp, nc)
                 cresi = cblocks - cpred
-                clev, cr2 = self._transform_quant(
-                    cresi, tc, qp_c, nc, mats=self._mats_for(nc, False))
-                ccbf = jnp.any(clev != 0, axis=(1, 2))
-                crec = jnp.clip(
-                    cpred + jnp.where(ccbf[:, None, None], cr2, 0),
-                    0, self.maxv)
-                clvl = jnp.where(ccbf[:, None, None], clev, 0)
+                if nc == 32:  # four 16x16 chroma TUs
+                    clev, cr2 = self._tq_quad(cresi, qp_c, False)
+                    crec = jnp.clip(cpred + cr2, 0, self.maxv)
+                    clvl = clev
+                else:
+                    clev, cr2 = self._transform_quant(
+                        cresi, tc, qp_c, nc,
+                        mats=self._mats_for(nc, False))
+                    ccbf = jnp.any(clev != 0, axis=(1, 2))
+                    crec = jnp.clip(
+                        cpred + jnp.where(ccbf[:, None, None], cr2, 0),
+                        0, self.maxv)
+                    clvl = jnp.where(ccbf[:, None, None], clev, 0)
                 chroma = self._batch_scatter(chroma, ci, crec, cy0, cx0,
                                              nc, mask)
                 chroma = self._batch_scatter(chroma, 2 + ci, clvl, cy0,
@@ -504,59 +592,6 @@ class MdInterPipeline(MdIntraPipeline):
             blocks.astype(stack.dtype).reshape(-1),
             mode="drop").reshape(stack.shape)
 
-    def _recon_md_inter(self, src_y, src_cb, src_cr, size_map8,
-                        mode_map8, init_state):
-        """The intra wavefront over intra leaves only; inter cells are
-        pre-written by the batch pass."""
-        luma, chroma, written0 = init_state
-        leafz = self._leaf_z(size_map8)
-        srcs = (src_y, src_cb, src_cr)
-        statics = {}
-        for s in self.SIZES:
-            st = self._class_static(size_map8, leafz, s)
-            k = s // 8
-            # exclude inter leaves from the fire set
-            st = dict(st)
-            st["leaf"] = st["leaf"] & ~written0[::k, ::k]
-            statics[s] = st
-
-        def cond(st):
-            return ~jnp.all(st[1][-1])
-
-        def body(st):
-            wave, (luma, chroma, written) = st
-            new_written = written
-            idx_l, val_l, idx_c, val_c = [], [], [], []
-            for s in self.SIZES:
-                k = s // 8
-                rs, cs = self.r8 // k, self.c8 // k
-                ready = self._class_ready(written, statics[s], s)
-                c_star = jnp.argmin(
-                    jnp.where(ready, jnp.arange(cs)[None, :], cs),
-                    axis=1).astype(jnp.int32)
-                row_has = ready.any(axis=1)
-                fired_mask = ready & \
-                    (jnp.arange(cs)[None, :] == c_star[:, None])
-                new_written = new_written | jnp.repeat(
-                    jnp.repeat(fired_mask, k, 0), k, 1)
-                fired = (jnp.arange(rs, dtype=jnp.int32), c_star, row_has)
-                il, vl, ic, vc = self._class_updates(
-                    luma, chroma, fired, statics[s]["n_bl"],
-                    statics[s]["n_tr"], s, mode_map8, srcs, rs)
-                idx_l.append(il)
-                val_l.append(vl)
-                idx_c.append(ic)
-                val_c.append(vc)
-            luma = luma.reshape(-1).at[jnp.concatenate(idx_l)].set(
-                jnp.concatenate(val_l), mode="drop").reshape(luma.shape)
-            chroma = chroma.reshape(-1).at[jnp.concatenate(idx_c)].set(
-                jnp.concatenate(val_c), mode="drop").reshape(chroma.shape)
-            return wave + 1, (luma, chroma, new_written)
-
-        state = (luma, chroma, written0)
-        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-        return state
-
     # ------------------------------------------------------------------
     # deblocking boundary strengths from decision maps (spec 8.7.2.4)
     # ------------------------------------------------------------------
@@ -568,6 +603,10 @@ class MdInterPipeline(MdIntraPipeline):
         r = jnp.arange(self.r8)[:, None]
         ver_edge = ((c & (k - 1)) == 0) & (c > 0)
         hor_edge = ((r & (k - 1)) == 0) & (r > 0)
+        # internal TU32 edges of 64 CUs (forced transform split): same
+        # PU both sides, so bs() reduces to the cbf rule there
+        ver_edge = ver_edge | ((size_map8 == 64) & ((c & 7) == 4))
+        hor_edge = hor_edge | ((size_map8 == 64) & ((r & 7) == 4))
 
         def bs(cur, nb):
             """cur/nb: dicts of per-cell maps for the two sides."""
@@ -605,6 +644,11 @@ class MdInterPipeline(MdIntraPipeline):
             blk = cell_any.reshape(rs, k, cs, k).any(axis=(1, 3))
             blk8 = jnp.repeat(jnp.repeat(blk, k, 0), k, 1)
             nz8 = jnp.where(size_map8 == s, blk8, nz8)
+        # 64 CUs carry four 32x32 TUs: cbf at TU (4-cell) granularity
+        blk = cell_any.reshape(self.r8 // 4, 4, self.c8 // 4, 4) \
+            .any(axis=(1, 3))
+        blk8 = jnp.repeat(jnp.repeat(blk, 4, 0), 4, 1)
+        nz8 = jnp.where(size_map8 == 64, blk8, nz8)
         return nz8
 
     # ------------------------------------------------------------------
@@ -625,8 +669,9 @@ class MdInterPipeline(MdIntraPipeline):
         init = self._inter_recon_batch(src_y, src_cb, src_cr, refs_y,
                                        refs_cb, refs_cr, size_map8,
                                        inter8, mv8, ref8)
-        state = self._recon_md_inter(src_y, src_cb, src_cr, size_map8,
-                                     mode_map8, init)
+        state = self._recon_md(src_y, src_cb, src_cr, size_map8,
+                               mode_map8, init_state=init,
+                               exclude8=init[2])
         luma, chroma, _ = state
         h, w = self.h, self.w
         ry = luma[0, 1:1 + h, 1:1 + w]

@@ -309,10 +309,11 @@ class MdIntraPipeline(IntraPipeline):
                            0, self.maxv)
             row = jnp.clip(left[:, :1] + ((top - corner[:, None]) >> 1),
                            0, self.maxv)
-            p = jnp.where((modes == 26)[:, None, None],
-                          p.at[:, :, 0].set(col), p)
-            p = jnp.where((modes == 10)[:, None, None],
-                          p.at[:, 0, :].set(row), p)
+            ii = jnp.arange(n)
+            m26 = (modes == 26)[:, None, None] & (ii == 0)[None, None, :]
+            m10 = (modes == 10)[:, None, None] & (ii == 0)[None, :, None]
+            p = jnp.where(m26, col[:, :, None], p)
+            p = jnp.where(m10, row[:, None, :], p)
             pred = p.reshape(-1, n * n)
         return pred
 
@@ -554,9 +555,14 @@ class MdIntraPipeline(IntraPipeline):
         ready = self._class_ready(written, st, s)
         return ready, st["n_bl"], st["n_tr"]
 
-    def _class_static(self, size_map8, leafz, s):
+    def _class_static(self, size_map8, leafz, s, mode_map8=None):
         """Frame-constant per-class scheduling data (hoisted out of the
-        wave loop): leaf mask + z-order availability masks/counts."""
+        wave loop): leaf mask + z-order availability masks/counts, plus
+        mode-dependent dependency masks — a TU only waits for neighbour
+        samples its prediction mode actually reads (spec 8.4.4.2.6:
+        vertical-family modes 27..34 never touch the left column,
+        horizontal-family 2..9 never touch the top row), which shortens
+        the wavefront's critical path on directional content."""
         k = s // 8
         rs, cs = self.r8 // k, self.c8 // k
         big = jnp.int32(1 << 30)
@@ -566,13 +572,71 @@ class MdIntraPipeline(IntraPipeline):
         # below-left blocks (r+1, j, c-1, k-1); top-right (r-1, k-1, c+1, j)
         av_bl = z4[1:, :, :cs - 1, k - 1] < zt[:, None, 1:]  # [rs,k,cs-1]
         av_tr = z4[:rs - 1, k - 1, 1:, :] < zt[1:, :, None]  # [rs-1,cs,k]
-        return {
+        st = {
             "leaf": size_map8[::k, ::k] == s,
             "av_bl": av_bl,
             "av_tr": av_tr,
             "n_bl": jnp.pad(av_bl.sum(1), ((0, 0), (1, 0))),
             "n_tr": jnp.pad(av_tr.sum(-1), ((1, 0), (0, 0))),
         }
+        if mode_map8 is not None:
+            m = mode_map8[::k, ::k]
+            row0 = (jnp.arange(rs) == 0)[:, None]
+            col0 = (jnp.arange(cs) == 0)[None, :]
+            needs = self._mode_needs(s)
+            nl, nt, nbl, ntr = (jnp.asarray(a) for a in needs)
+            # frame-edge substitution re-couples: row 0 fills top from
+            # the left column, column 0 fills left from the top row
+            st["need_l"] = nl[m] | row0
+            st["need_t"] = nt[m] | col0
+            st["need_bl"] = nbl[m]
+            st["need_tr"] = ntr[m]
+        return st
+
+    def _mode_needs(self, s):
+        """Per-mode reference dependency masks [35] for luma size s,
+        derived EXACTLY from the prediction matrices: a mode waits for a
+        neighbour region iff some weight (raw, or raw reaching through
+        the [1 2 1] smoothing filter — e.g. filtered left[n-1] reads
+        left[n], the first below-left sample) touches that region. The
+        chroma TU rides the same mode at half size with no filtering, so
+        the luma masks dominate."""
+        cache = getattr(self, "_mode_needs_cache", None)
+        if cache is None:
+            cache = self._mode_needs_cache = {}
+        if s in cache:
+            return cache[s]
+        from ..ops.intra_matrices import (build_filter_matrix,
+                                          build_pred_matrices,
+                                          ref_vec_len)
+        need = np.zeros((4, 35), bool)   # l, t, bl, tr
+        for n_, is_luma in ((s, True), (s // 2, False)):
+            g = np.abs(np.asarray(
+                build_pred_matrices(n_, chroma=not is_luma),
+                np.float64))
+            f = np.abs(np.asarray(build_filter_matrix(n_), np.float64))
+            rlen = ref_vec_len(n_)
+            dep = g[:, :, :rlen].sum(1) + g[:, :, rlen:].sum(1) @ f
+            reg = {
+                0: np.arange(0, n_),                       # left main
+                1: np.arange(2 * n_ + 1, 3 * n_ + 1),      # top main
+                2: np.arange(n_, 2 * n_),                  # below-left
+                3: np.arange(3 * n_ + 1, 4 * n_ + 1),      # top-right
+            }
+            for i in range(4):
+                need[i] |= dep[:, reg[i]].sum(axis=1) > 0
+        # cases outside the matrices: DC (separate path: both mains,
+        # plus the n<32 edge filter), planar at 32 (separate path: both
+        # mains + first bl/tr samples), 10/26 edge fixes at n<32
+        need[0, 1] = need[1, 1] = True                     # DC
+        need[:, 0] = True                                  # planar
+        if s < 32:
+            need[1, 10] = True                             # mode 10 row0
+            need[0, 26] = True                             # mode 26 col0
+        # cache NUMPY (converting to device constants here would leak
+        # tracers across jit traces)
+        cache[s] = need
+        return need
 
     def _class_ready(self, written, st, s):
         k = s // 8
@@ -592,119 +656,202 @@ class MdIntraPipeline(IntraPipeline):
                          .sum(1), ((0, 0), (1, 0)))
         tr_dep = jnp.pad((st["av_tr"] & (u4[:rs - 1, k - 1, 1:, :] > 0))
                          .sum(-1), ((1, 0), (0, 0)))
-        return st["leaf"] & notdone & (lm == 0) & (cor == 0) & \
-            (tm == 0) & (bl_dep == 0) & (tr_dep == 0)
+        ok_l = (lm == 0) if "need_l" not in st else \
+            ((lm == 0) | ~st["need_l"])
+        ok_t = (tm == 0) if "need_t" not in st else \
+            ((tm == 0) | ~st["need_t"])
+        ok_bl = (bl_dep == 0) if "need_bl" not in st else \
+            ((bl_dep == 0) | ~st["need_bl"])
+        ok_tr = (tr_dep == 0) if "need_tr" not in st else \
+            ((tr_dep == 0) | ~st["need_tr"])
+        return st["leaf"] & notdone & ok_l & (cor == 0) & \
+            ok_t & ok_bl & ok_tr
+
+    # ------------------------------------------------------------------
+    # one-hot batched gathers/scatters
+    #
+    # The wave body's data movement is expressed as one-hot einsum
+    # selections over band-reshaped views of the planes instead of
+    # per-slot dynamic slices: XLA TPU lowers vmapped dynamic_slice /
+    # scatter to a SEQUENTIAL per-index loop (profiled at ~3 ms/wave at
+    # 1080p), while one-hot contractions run fully parallel on the MXU.
+    # Exactness: a one-hot row selects a single term, and all selected
+    # values stay far below 2^24, so f32 contraction is exact.
+    # ------------------------------------------------------------------
 
     @staticmethod
-    def _slice_rows(plane, y0, x0, n):
-        """Window gather: [L] slices plane[y0:y0+1, x0:x0+n] -> [L, n].
-        vmapped dynamic_slice lowers to an XLA window gather, which the
-        TPU executes as contiguous block loads (elementwise gathers are
-        near-serialized)."""
-        return jax.vmap(
-            lambda y, x: jax.lax.dynamic_slice(plane, (y, x), (1, n))[0]
-        )(y0, x0)
+    def _oh(idx, size, valid=None):
+        """One-hot [L, size] f32 of idx (clipped); invalid rows zero."""
+        m = jnp.arange(size)[None, :] == jnp.clip(idx, 0, size - 1)[:, None]
+        if valid is not None:
+            m = m & valid[:, None]
+        return m.astype(jnp.float32)
 
     @staticmethod
-    def _slice_cols(plane, y0, x0, n):
-        """[L] slices plane[y0:y0+n, x0:x0+1] -> [L, n]."""
-        return jax.vmap(
-            lambda y, x: jax.lax.dynamic_slice(plane, (y, x), (n, 1))[:, 0]
-        )(y0, x0)
+    def _sel2(oh, table):
+        """oh [L, C] x table [L, C] -> [L] (int32)."""
+        return jnp.einsum("lc,lc->l", oh, table.astype(jnp.float32)) \
+            .astype(jnp.int32)
 
     @staticmethod
-    def _slice_blocks(plane, y0, x0, n):
-        """[L] slices plane[y0:y0+n, x0:x0+n] -> [L, n, n]."""
-        return jax.vmap(
-            lambda y, x: jax.lax.dynamic_slice(plane, (y, x), (n, n))
-        )(y0, x0)
+    def _sel4(oh, table):
+        """oh [L, C] x table [L, C, a, b] -> [L, a, b] (int32)."""
+        return jnp.einsum("lc,lcab->lab", oh,
+                          table.astype(jnp.float32)).astype(jnp.int32)
 
     @staticmethod
-    def _scatter_blocks(plane, y0, x0, upd, valid):
-        """Disjoint scatter of [L, n, n] blocks at (y0, x0); invalid
-        slots are dropped via out-of-range flat indices."""
-        n = upd.shape[-1]
-        yy = y0[:, None, None] + jnp.arange(n)[None, :, None]
-        xx = x0[:, None, None] + jnp.arange(n)[None, None, :]
-        flat = yy * plane.shape[1] + xx
-        flat = jnp.where(valid[:, None, None], flat, plane.size)
-        return plane.reshape(-1).at[flat.reshape(-1)].set(
-            upd.astype(plane.dtype).reshape(-1),
-            mode="drop").reshape(plane.shape)
+    def _pick(vals, idx):
+        """Per-row single-element pick [L, W] -> [L] via one-hot sum."""
+        oh = (jnp.arange(vals.shape[1])[None, :]
+              == jnp.clip(idx, 0, vals.shape[1] - 1)[:, None]) \
+            .astype(vals.dtype)
+        return (vals * oh).sum(axis=1)
 
-    def _gather_refs_md(self, rec, y0, x0, n, has_left, has_top, n_bl,
-                        n_tr, cell_px):
-        """Normative refs with substitution for one slot batch.
-        rec: padded plane (offset +1). y0/x0: *unpadded* pixel coords.
-        n_bl/n_tr in grid cells of cell_px pixels. Returns [L, rlen]."""
-        ypix = y0 + 1
-        xpix = x0 + 1
-        # clamp so the 2n-windows stay in the padded plane (values in the
-        # clamped region are garbage; substitution masks them)
-        left_raw = self._slice_cols(
-            rec, jnp.minimum(ypix, rec.shape[0] - 2 * n), xpix - 1, 2 * n)
-        top_raw = self._slice_rows(
-            rec, ypix - 1, jnp.minimum(xpix, rec.shape[1] - 2 * n), 2 * n)
-        corner_raw = rec[ypix - 1, xpix - 1]
+    def _substitute(self, left_raw, top_raw, corner_raw, n, has_left,
+                    has_top, n_bl, n_tr, cell_px):
+        """Reference substitution (spec 8.4.4.2.2), identical to the
+        decoder rules. Raw inputs [L, 2n], [L, 2n], [L]."""
         idx = jnp.arange(2 * n)[None, :]
         fill = jnp.where(has_top, top_raw[:, 0], 1 << (self.bd - 1))
-        # left column: main n px if has_left, below-left first n_bl*cell_px
         bl_px = n_bl * cell_px
         last_left = jnp.where(n_bl > 0, n + bl_px - 1, n - 1)
-        lval = jnp.take_along_axis(left_raw, last_left[:, None], axis=1)
-        left = jnp.where(idx < n + bl_px[:, None], left_raw, lval)
+        lval = self._pick(left_raw, last_left)
+        left = jnp.where(idx < n + bl_px[:, None], left_raw,
+                         lval[:, None])
         left = jnp.where(has_left[:, None], left, fill[:, None])
         has_corner = has_left & has_top
         corner = jnp.where(has_corner, corner_raw,
                            jnp.where(has_left, left[:, 0], fill))
-        # top row: main n px if has_top, top-right first n_tr*cell_px
         tr_px = n_tr * cell_px
         last_top = jnp.where(n_tr > 0, n + tr_px - 1, n - 1)
-        tval = jnp.take_along_axis(top_raw, last_top[:, None], axis=1)
-        top = jnp.where(idx < n + tr_px[:, None], top_raw, tval)
+        tval = self._pick(top_raw, last_top)
+        top = jnp.where(idx < n + tr_px[:, None], top_raw, tval[:, None])
         top = jnp.where(has_top[:, None], top, corner[:, None])
         pad = jnp.zeros((left.shape[0], 1), jnp.int32)
         return jnp.concatenate([left, corner[:, None], top, pad], axis=1)
 
-    def _class_updates(self, luma, chroma, fired, n_bl, n_tr, s,
-                       modes_map8, srcs, cap):
-        """Compute the pixel/level updates for the fired TUs of size s
-        (one slot per class row — see _recon_md). Returns flat
-        (idx, val) vectors for the stacked luma [2, Hp, Wp] and chroma
-        [4, Hc, Wc] buffers — the caller merges all classes into two
-        scatters per wave."""
+    def _refs_from_stores(self, R, C, n, rs, cs, c_star, valid, has_left,
+                          has_top, n_bl, n_tr, cell_px, k8):
+        """Normative refs for all slots of one class, read from the
+        row store R [rows8, w'] (bottom pixel row of every written
+        8-cell row) and the TRANSPOSED column store C [cols8, h'] (last
+        pixel column of every written 8-cell column). All reads are
+        static-index takes or small one-hot contractions; per-slot
+        dynamic windows never touch a full-resolution plane (XLA TPU
+        serializes those). k8 = cells per class step in the store grid,
+        cell_px = store cell size in this plane's pixels."""
+        wpix = R.shape[1]
+        hpix = C.shape[1]
+        f32 = jnp.float32
+        # top rows: store row (r*k8 - 1), static indices (r=0 -> dup 0,
+        # masked by has_top)
+        tidx = np.maximum(np.arange(rs) * k8 - 1, 0)
+        Rv = jnp.take(R, jnp.asarray(tidx), axis=0)     # [rs, wpix]
+        Rv_cells = Rv.reshape(rs, cs, n).astype(f32)
+        oh0 = self._oh(c_star, cs, valid)
+        oh1 = self._oh(c_star + 1, cs, valid)
+        top_raw = jnp.concatenate([
+            jnp.einsum("lc,lcn->ln", oh0, Rv_cells),
+            jnp.einsum("lc,lcn->ln", oh1, Rv_cells)], axis=1) \
+            .astype(jnp.int32)
+        # corner: element n-1 of cell (c_star-1) in the same rows
+        ohm = self._oh(c_star - 1, cs, has_left)
+        corner_raw = jnp.einsum("lc,lc->l", ohm,
+                                Rv_cells[:, :, n - 1]).astype(jnp.int32)
+        # left columns: store row (c_star*k8 - 1) of the transposed
+        # column store, selected by one-hot (dynamic row), then the
+        # static diagonal window rows y0..y0+2n
+        ohc = self._oh(c_star * k8 - 1, C.shape[0], has_left)
+        sel = jnp.einsum("lc,ch->lh", ohc, C.astype(f32))  # [rs, hpix]
+        selp = jnp.concatenate(
+            [sel, jnp.zeros((rs, n), f32)], axis=1).reshape(rs, rs + 1, n)
+        dg = np.zeros((rs, 2, rs + 1), np.float32)
+        dg[np.arange(rs), 0, np.arange(rs)] = 1.0
+        dg[np.arange(rs), 1, np.arange(rs) + 1] = 1.0
+        left_raw = jnp.einsum("rkc,rcn->rkn", jnp.asarray(dg), selp) \
+            .reshape(rs, 2 * n).astype(jnp.int32)
+        return self._substitute(left_raw, top_raw, corner_raw, n,
+                                has_left, has_top, n_bl, n_tr, cell_px)
+
+    def _store_updates(self, R, C, rec, c_star, valid, rs, cs, n, k8):
+        """Write a fired block's bottom rows / right columns into the
+        row/column stores (the only recon state the wavefront reads)."""
+        cell = n // k8
+        # R: rows r*k8+j (static), columns at cell c_star (dynamic)
+        rb = rec[:, cell - 1::cell, :]               # [rs, k8, n]
+        Rv = R.reshape(rs, k8, cs, n)
+        ohf = self._oh(c_star, cs, valid)
+        placed = jnp.einsum("lc,lkn->lkcn", ohf, rb.astype(jnp.float32))
+        keep = (1.0 - ohf)[:, None, :, None]
+        R = (placed + Rv.astype(jnp.float32) * keep) \
+            .astype(R.dtype).reshape(R.shape)
+        # C (transposed): rows c_star*k8+m (dynamic), cols y0..y0+n
+        # (static per slot)
+        cb = jnp.moveaxis(rec[:, :, cell - 1::cell], 2, 1)  # [rs, k8, n]
+        oh8 = jnp.concatenate(
+            [self._oh(c_star * k8 + m, C.shape[0], valid)[:, None, :]
+             for m in range(k8)], axis=1)            # [rs, k8, c8]
+        Cv = C.reshape(C.shape[0], rs, n)
+        placed_c = jnp.einsum("lmc,lmn->cln", oh8,
+                              cb.astype(jnp.float32))
+        mask_c = jnp.einsum("lmc->cl", oh8)[:, :, None]
+        C = (placed_c + Cv.astype(jnp.float32) * (1.0 - mask_c)) \
+            .astype(C.dtype).reshape(C.shape)
+        return R, C
+
+    def _class_pre(self, src_y, src_cb, src_cr, mode_map8, s):
+        """Loop-invariant per-class tables: flat blocked sources (for
+        row-takes) and per-position mode/QP tables [rs, cs]."""
         k = s // 8
         rs, cs = self.r8 // k, self.c8 // k
-        r, c, valid = fired
-        has_left = (c > 0) & valid
-        has_top = (r > 0) & valid
-        ids_c = r * cs + c
-        nbl = n_bl.reshape(-1)[ids_c]
-        ntr = n_tr.reshape(-1)[ids_c]
-        modes = modes_map8[r * k, c * k]
+
+        def blk(plane, n):
+            return jnp.moveaxis(
+                plane.reshape(rs, n, cs, n), 1, 2).reshape(rs * cs, n, n)
+
+        pre = {"by": blk(src_y, s), "bcb": blk(src_cb, s // 2),
+               "bcr": blk(src_cr, s // 2),
+               "modes": mode_map8[::k, ::k]}
         if self.delta_qp:
-            ctb_r = (r * s) // self.CTB
-            ctb_c = (c * s) // self.CTB
-            qp_y = self.qpmap_y[ctb_r, ctb_c]
-            qp_c = self.qpmap_c[ctb_r, ctb_c]
+            rr = (jnp.arange(rs) * s) // self.CTB
+            cc = (jnp.arange(cs) * s) // self.CTB
+            pre["qpy"] = self.qpmap_y[rr[:, None], cc[None, :]]
+            pre["qpc"] = self.qpmap_c[rr[:, None], cc[None, :]]
+        return pre
+
+    def _class_apply(self, stores, s, c_star, valid, st, pre):
+        """Reconstruct the fired TUs of size s (slot r fires column
+        c_star[r]): returns (updated stores, luma blocks [rs, 2, s, s],
+        chroma blocks [rs, 4, s/2, s/2]) for the wave log."""
+        k = s // 8
+        rs, cs = self.r8 // k, self.c8 // k
+        Rl, Cl, Rc, Cc = stores
+        oh = self._oh(c_star, cs, valid)
+        has_left = valid & (c_star > 0)
+        has_top = valid & (jnp.arange(rs) > 0)
+        nbl = self._sel2(oh, st["n_bl"])
+        ntr = self._sel2(oh, st["n_tr"])
+        modes = self._sel2(oh, pre["modes"])
+        if self.delta_qp:
+            qp_y = self._sel2(oh, pre["qpy"])
+            qp_c = self._sel2(oh, pre["qpc"])
         else:
             qp_y, qp_c = self.qp2[0], self.qp2[1]
-        src_y, src_cb, src_cr = srcs
         g, f, gc, t, tc = {
             8: (self.g8l, self.f8, self.g4c, self.t8, self.t4),
             16: (self.g16l, self.f16l, self.g8cc, self.t16, self.t8),
             32: (self.g32l, self.f32, self.g16c, self.t32, self.t16),
         }[s]
+        bidx = jnp.arange(rs) * cs + jnp.clip(c_star, 0, cs - 1)
 
-        def plane(rec, src, n, cell_px, qp, tm, is_luma):
-            y0 = r * n
-            x0 = c * n
-            refs = self._gather_refs_md(rec, y0, x0, n, has_left, has_top,
-                                        nbl, ntr, cell_px)
+        def plane(R, C, blocks_flat, n, cell_px, qp, tm, is_luma):
+            refs = self._refs_from_stores(R, C, n, rs, cs, c_star, valid,
+                                          has_left, has_top, nbl, ntr,
+                                          cell_px, k)
             pred = self._pred_one(refs, modes, g if is_luma else gc,
                                   f if is_luma else gc, n, is_luma)
             pred = pred.reshape(-1, n, n)
-            srcb = self._slice_blocks(src, y0, x0, n)
+            srcb = jnp.take(blocks_flat, bidx, axis=0)
             resi = srcb - pred
             if (is_luma and n == 8) or (not is_luma and n == 4):
                 # mode-dependent coefficient scan (spec 7.4.9.11)
@@ -720,64 +867,117 @@ class MdIntraPipeline(IntraPipeline):
             rec_blk = jnp.clip(
                 pred + jnp.where(cbf[:, None, None], r2, 0), 0, self.maxv)
             lvl_blk = jnp.where(cbf[:, None, None], levels, 0)
-            return rec_blk, lvl_blk, y0, x0
+            return rec_blk, lvl_blk
 
-        def flat_idx(shape, plane_id, y0, x0, n):
-            """Flat indices into a stacked [P, H, W] buffer at +1 pixel
-            offset; invalid slots point past the end (drop mode)."""
-            _, hh, ww = shape
-            yy = (y0 + 1)[:, None, None] + jnp.arange(n)[None, :, None]
-            xx = (x0 + 1)[:, None, None] + jnp.arange(n)[None, None, :]
-            fi = plane_id * hh * ww + yy * ww + xx
-            size = shape[0] * hh * ww
-            return jnp.where(valid[:, None, None], fi, size).reshape(-1)
-
-        rb, lb, y0, x0 = plane(luma[0], src_y, s, 8, qp_y, t, True)
-        idx_l = jnp.concatenate([flat_idx(luma.shape, 0, y0, x0, s),
-                                 flat_idx(luma.shape, 1, y0, x0, s)])
-        val_l = jnp.concatenate([rb.reshape(-1), lb.reshape(-1)])
+        rb, lb = plane(Rl, Cl, pre["by"], s, 8, qp_y, t, True)
+        Rl, Cl = self._store_updates(Rl, Cl, rb, c_star, valid, rs, cs,
+                                     s, k)
         sc = s // 2
-        rbc, lbc, y0c, x0c = plane(chroma[0], src_cb, sc, 4, qp_c,
-                                   tc, False)
-        rbr, lbr, _, _ = plane(chroma[1], src_cr, sc, 4, qp_c,
-                               tc, False)
-        idx_c = jnp.concatenate([flat_idx(chroma.shape, p_, y0c, x0c, sc)
-                                 for p_ in range(4)])
-        val_c = jnp.concatenate([rbc.reshape(-1), rbr.reshape(-1),
-                                 lbc.reshape(-1), lbr.reshape(-1)])
-        return idx_l, val_l, idx_c, val_c
+        rbc, lbc = plane(Rc[0], Cc[0], pre["bcb"], sc, 4, qp_c, tc,
+                         False)
+        rbr, lbr = plane(Rc[1], Cc[1], pre["bcr"], sc, 4, qp_c, tc,
+                         False)
+        R0, C0 = self._store_updates(Rc[0], Cc[0], rbc, c_star, valid,
+                                     rs, cs, sc, k)
+        R1, C1 = self._store_updates(Rc[1], Cc[1], rbr, c_star, valid,
+                                     rs, cs, sc, k)
+        Rc = jnp.stack([R0, R1])
+        Cc = jnp.stack([C0, C1])
+        yblocks = jnp.stack([rb, lb], axis=1).astype(jnp.int16)
+        cblocks = jnp.stack([rbc, rbr, lbc, lbr], axis=1) \
+            .astype(jnp.int16)
+        return (Rl, Cl, Rc, Cc), yblocks, cblocks
 
-    def _recon_md(self, src_y, src_cb, src_cr, size_map8, mode_map8):
-        """Self-scheduled recon. State: stacked luma [2, Hp, Wp]
-        (rec, levels) and chroma [4, Hc, Wc] (rec cb/cr, levels cb/cr),
-        both at +1 pixel offset, plus the written-cell mask. Each wave
-        does exactly two scatters (one per stack) for all classes."""
+    def _assemble_class(self, logy, logc, wv, s):
+        """Post-loop: gather each class position's logged blocks into
+        full planes. Returns (rec_y, lvl_y [h, w], rec_cb, rec_cr,
+        lvl_cb, lvl_cr at half res)."""
+        k = s // 8
+        rs, cs = self.r8 // k, self.c8 // k
+        sc = s // 2
+        slot = wv * rs + jnp.arange(rs)[:, None]        # [rs, cs]
+        ly = jnp.take(logy.reshape(-1, 2 * s * s), slot.reshape(-1),
+                      axis=0).reshape(rs, cs, 2, s, s)
+        lc = jnp.take(logc.reshape(-1, 4 * sc * sc), slot.reshape(-1),
+                      axis=0).reshape(rs, cs, 4, sc, sc)
+
+        def to_plane(b, n):
+            # [rs, cs, n, n] -> [h', w']
+            return jnp.moveaxis(b, 2, 1).reshape(rs * n, cs * n)
+        return (to_plane(ly[:, :, 0], s), to_plane(ly[:, :, 1], s),
+                to_plane(lc[:, :, 0], sc), to_plane(lc[:, :, 1], sc),
+                to_plane(lc[:, :, 2], sc), to_plane(lc[:, :, 3], sc))
+
+    def _recon_md(self, src_y, src_cb, src_cr, size_map8, mode_map8,
+                  init_state=None, exclude8=None):
+        """Self-scheduled recon. The wavefront loop carries only the
+        row/column reference stores, the written mask, per-class fire
+        wave maps and per-wave block logs; the full planes are assembled
+        ONCE after the loop (keeping full-resolution buffers out of the
+        loop was worth ~4x: TPU scatters and region merges dominated).
+
+        init_state: optional pre-seeded (luma, chroma, written8) planes
+        (the inter path batch-reconstructs its leaves first); exclude8:
+        cells whose leaves the wavefront must NOT fire (inter cells).
+        Returns (luma [2, Hp, Wp], chroma [4, Hc, Wc], written) in the
+        same +1-offset layout as before."""
         h, w = self.h, self.w
         zseed = (src_y[0, 0] * 0).astype(jnp.int32)
-        luma = jnp.zeros((2, 1 + h + 64, 1 + w + 64), jnp.int32) + zseed
-        chroma = jnp.zeros((4, 1 + h // 2 + 32, 1 + w // 2 + 32),
-                           jnp.int32) + zseed
-        written = jnp.zeros((self.r8, self.c8), bool)
+        if init_state is None:
+            luma0 = jnp.zeros((2, 1 + h + 64, 1 + w + 64),
+                              jnp.int32) + zseed
+            chroma0 = jnp.zeros((4, 1 + h // 2 + 32, 1 + w // 2 + 32),
+                                jnp.int32) + zseed
+            written = jnp.zeros((self.r8, self.c8), bool)
+        else:
+            luma0, chroma0, written = init_state
+        # seed the stores from the pre-written planes (inter leaves):
+        # bottom pixel row / last pixel column of every 8-cell
+        ry0 = luma0[0, 1:1 + h, 1:1 + w]
+        Rl = ry0[7::8, :]                               # [r8, w]
+        Cl = ry0[:, 7::8].T                             # [c8, h]
+        rc0 = chroma0[0:2, 1:1 + h // 2, 1:1 + w // 2]
+        Rc = rc0[:, 3::4, :]                            # [2, r8, w/2]
+        Cc = jnp.moveaxis(rc0[:, :, 3::4], 2, 1)        # [2, c8, h/2]
         leafz = self._leaf_z(size_map8)
-        srcs = (src_y, src_cb, src_cr)
-        statics = {s: self._class_static(size_map8, leafz, s)
-                   for s in self.SIZES}
+        statics = {}
+        pres = {}
+        for s in self.SIZES:
+            st = self._class_static(size_map8, leafz, s, mode_map8)
+            if exclude8 is not None:
+                k = s // 8
+                st = dict(st)
+                st["leaf"] = st["leaf"] & ~exclude8[::k, ::k]
+            statics[s] = st
+            pres[s] = self._class_pre(src_y, src_cb, src_cr, mode_map8, s)
+        cap = 3 * self.r8 + 2 * self.c8 + 64   # >= any observed chain
+        logs = {}
+        wvs = {}
+        for s in self.SIZES:
+            k = s // 8
+            rs = self.r8 // k
+            cs = self.c8 // k
+            logs[s] = (jnp.zeros((cap, rs, 2, s, s), jnp.int16),
+                       jnp.zeros((cap, rs, 4, s // 2, s // 2),
+                                 jnp.int16))
+            wvs[s] = jnp.zeros((rs, cs), jnp.int32)
 
-        def cond(st):
-            return ~jnp.all(st[1][-1])
+        def cond(state):
+            wave, written, stores, logs, wvs = state
+            return (~jnp.all(written)) & (wave < cap)
 
-        def body(st):
-            wave, (luma, chroma, written) = st
+        def body(state):
+            wave, written, stores, logs, wvs = state
             new_written = written
-            idx_l, val_l, idx_c, val_c = [], [], [], []
+            new_logs = {}
+            new_wvs = {}
             for s in self.SIZES:
                 k = s // 8
                 rs, cs = self.r8 // k, self.c8 // k
                 ready = self._class_ready(written, statics[s], s)
                 # fire the leftmost ready TU of every class row: the
                 # left-main dependency chains rows, so this is the
-                # natural frontier width — and it compacts slots with a
-                # row argmin instead of a (sort-backed) nonzero
+                # natural frontier width
                 c_star = jnp.argmin(
                     jnp.where(ready, jnp.arange(cs)[None, :], cs),
                     axis=1).astype(jnp.int32)
@@ -786,23 +986,49 @@ class MdIntraPipeline(IntraPipeline):
                     (jnp.arange(cs)[None, :] == c_star[:, None])
                 new_written = new_written | jnp.repeat(
                     jnp.repeat(fired_mask, k, 0), k, 1)
-                fired = (jnp.arange(rs, dtype=jnp.int32), c_star, row_has)
-                il, vl, ic, vc = self._class_updates(
-                    luma, chroma, fired, statics[s]["n_bl"],
-                    statics[s]["n_tr"], s, mode_map8, srcs, rs)
-                idx_l.append(il)
-                val_l.append(vl)
-                idx_c.append(ic)
-                val_c.append(vc)
-            luma = luma.reshape(-1).at[jnp.concatenate(idx_l)].set(
-                jnp.concatenate(val_l), mode="drop").reshape(luma.shape)
-            chroma = chroma.reshape(-1).at[jnp.concatenate(idx_c)].set(
-                jnp.concatenate(val_c), mode="drop").reshape(chroma.shape)
-            return wave + 1, (luma, chroma, new_written)
+                stores, yb, cb = self._class_apply(
+                    stores, s, c_star, row_has, statics[s], pres[s])
+                ylog, clog = logs[s]
+                ylog = jax.lax.dynamic_update_slice(
+                    ylog, yb[None], (wave, 0, 0, 0, 0))
+                clog = jax.lax.dynamic_update_slice(
+                    clog, cb[None], (wave, 0, 0, 0, 0))
+                new_logs[s] = (ylog, clog)
+                new_wvs[s] = jnp.where(fired_mask, wave, wvs[s])
+            return (wave + 1, new_written, stores, new_logs, new_wvs)
 
-        state = (luma, chroma, written)
-        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-        return state
+        state = (jnp.int32(0), written, (Rl, Cl, Rc, Cc), logs, wvs)
+        waves, written, stores, logs, wvs = jax.lax.while_loop(
+            cond, body, state)
+        self._last_waves = waves   # scheduling diagnostic (device scalar)
+
+        # assembly: per class gather the logged blocks, select by the
+        # size map (and skip pre-written inter cells)
+        ry = luma0[0, 1:1 + h, 1:1 + w]
+        ly_ = luma0[1, 1:1 + h, 1:1 + w]
+        rcb = chroma0[0, 1:1 + h // 2, 1:1 + w // 2]
+        rcr = chroma0[1, 1:1 + h // 2, 1:1 + w // 2]
+        lcb_ = chroma0[2, 1:1 + h // 2, 1:1 + w // 2]
+        lcr_ = chroma0[3, 1:1 + h // 2, 1:1 + w // 2]
+        for s in self.SIZES:
+            k = s // 8
+            sel = jnp.repeat(jnp.repeat(
+                statics[s]["leaf"], k, 0), k, 1)
+            selp = jnp.repeat(jnp.repeat(sel, 8, 0), 8, 1)
+            selc = jnp.repeat(jnp.repeat(sel, 4, 0), 4, 1)
+            a = self._assemble_class(*logs[s], wvs[s], s)
+            ry = jnp.where(selp, a[0], ry)
+            ly_ = jnp.where(selp, a[1], ly_)
+            rcb = jnp.where(selc, a[2], rcb)
+            rcr = jnp.where(selc, a[3], rcr)
+            lcb_ = jnp.where(selc, a[4], lcb_)
+            lcr_ = jnp.where(selc, a[5], lcr_)
+        luma = jnp.zeros_like(luma0)
+        luma = luma.at[:, 1:1 + h, 1:1 + w].set(jnp.stack([ry, ly_]))
+        chroma = jnp.zeros_like(chroma0)
+        chroma = chroma.at[:, 1:1 + h // 2, 1:1 + w // 2].set(
+            jnp.stack([rcb, rcr, lcb_, lcr_]))
+        return luma, chroma, written
 
     # ------------------------------------------------------------------
     # full frame
@@ -919,6 +1145,7 @@ class MdIntraPipeline(IntraPipeline):
                                cksum(rcr, self.hash_mask_c)]),
             "sse": jnp.stack([sse(ry, src_y), sse(rcb, src_cb),
                               sse(rcr, src_cr)]),
+            "n_waves": self._last_waves,
             **sao_out,
         }
         if fq is not None:

@@ -203,12 +203,17 @@ class IntraPipeline:
         dc = (left.sum(1) + top.sum(1) + n) >> (log2n + 1)
         pred = jnp.broadcast_to(dc[:, None, None], (refs.shape[0], n, n))
         if is_luma and n < 32:
+            # edge filter via iota masks (a static-index .at[].set
+            # lowers to an XLA scatter, which serializes on TPU)
             row0 = (top + 3 * dc[:, None] + 2) >> 2
             col0 = (left + 3 * dc[:, None] + 2) >> 2
             tl = (left[:, 0] + 2 * dc + top[:, 0] + 2) >> 2
-            pred = pred.at[:, 0, :].set(row0)
-            pred = pred.at[:, :, 0].set(col0)
-            pred = pred.at[:, 0, 0].set(tl)
+            ii = jnp.arange(n)
+            is_r0 = (ii == 0)[None, :, None]
+            is_c0 = (ii == 0)[None, None, :]
+            pred = jnp.where(is_r0, row0[:, None, :], pred)
+            pred = jnp.where(is_c0 & ~is_r0, col0[:, :, None], pred)
+            pred = jnp.where(is_r0 & is_c0, tl[:, None, None], pred)
         return pred.reshape(refs.shape[0], n * n)
 
     def _fix_1026(self, preds: jax.Array, refs: jax.Array,

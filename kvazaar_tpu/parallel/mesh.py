@@ -85,7 +85,7 @@ class MeshTiledIntraPipeline:
             # single-tile path; the mesh stitch ships dense planes
             return {k: v for k, v in out.items()
                     if not k.startswith(("lmask_", "lvals_"))
-                    and k != "lvl_ovf"}
+                    and k not in ("lvl_ovf", "n_waves")}
 
         consts_example = dict(self.pipe.consts)
         consts_example["hash_mask_y"] = self._hy

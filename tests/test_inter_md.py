@@ -96,6 +96,42 @@ def test_inter_md_mixed_sizes_and_modes(rng):
     assert (np.abs(mvs) >= 4).any(), "no real motion found"
 
 
+def test_inter_md_64_skip(rng):
+    """Static/panning content must code 64x64 inter CUs (pu-depth-inter
+    0, medium parity) and they must decode hash-exactly."""
+    w, h = 256, 128
+    frames = _pan_frames(w, h, 3, rng, dx=2, dy=0)
+    cfg = Config(width=w, height=h, qp=30, ctu_size=64, intra_period=0)
+    enc = Encoder(cfg)
+    out = b""
+    for f in frames:
+        chunk, _ = enc.encode_frame(*f)
+        out += chunk
+    dec = HEVCDecoder().decode(out)
+    assert len(dec) == 3 and all(f.hash_ok for f in dec)
+    d = enc._inter_pipeline.materialize(enc._inter_pipeline.submit_inter(
+        *frames[2], [np.asarray(dec[1].planes[0])],
+        [np.asarray(dec[1].planes[1])], [np.asarray(dec[1].planes[2])],
+        ref_pocs=[0]))
+    assert (np.asarray(d["size_map8"]) == 64).any(), \
+        "no 64x64 CUs on a pure pan"
+    # depth range honoured: pu-depth-inter 1-3 forbids 64
+    cfg2 = Config(width=w, height=h, qp=30, ctu_size=64, intra_period=0,
+                  pu_depth_inter=(1, 3))
+    enc2 = Encoder(cfg2)
+    out2 = b""
+    for f in frames:
+        chunk, _ = enc2.encode_frame(*f)
+        out2 += chunk
+    d2 = enc2._inter_pipeline.materialize(
+        enc2._inter_pipeline.submit_inter(
+            *frames[2], [np.asarray(dec[1].planes[0])],
+            [np.asarray(dec[1].planes[1])],
+            [np.asarray(dec[1].planes[2])], ref_pocs=[0]))
+    assert not (np.asarray(d2["size_map8"]) == 64).any()
+    assert all(f.hash_ok for f in HEVCDecoder().decode(out2))
+
+
 def test_inter_md_long_range_motion(rng):
     """A +-40 pel pan must be caught by the hierarchical ME (the old
     16-grid pipeline's +-8 window could not)."""
