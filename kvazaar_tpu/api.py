@@ -182,22 +182,21 @@ class Encoder:
         self._inter_pipeline = None
         # inter on the quadtree path: low-delay P at CTB 64 (mixed CU
         # sizes); B pyramids still ride the 16-grid pipeline
+        # vaq/roi ride the all-intra quadtree delta-QP machinery; with
+        # them set the encoder codes all-intra at ctu 64 (as round 1)
         self.inter_md = (dev_ok and cfg.ctu_size == 64
                          and cfg.intra_period != 1
                          and (cfg.gop_len <= 1 or cfg.gop_lowdelay)
                          and tuple(cfg.tiles) == (1, 1)
                          and not cfg.lossless
+                         and not (cfg.vaq or cfg.roi_file)
                          and cfg.input_bitdepth == 8
                          and cfg.scaling_list == "off")
         if self.inter_md:
-            # delta-QP (VAQ/ROI/LCU-RC) stays off on the inter quadtree
-            # path this round; frame-level RC still applies
+            # LCU-level RC delta-QP stays off on the inter quadtree path
+            # this round; frame-level RC still applies
             self.lcu_rc = False
-            self.dqp_enabled = bool(cfg.vaq or cfg.roi_file)
-            if self.dqp_enabled:
-                raise NotImplementedError(
-                    "vaq/roi with inter quadtree coding is not "
-                    "supported yet (use --period 1 or ctu 16)")
+            self.dqp_enabled = False
             self.pps.cu_qp_delta_enabled = 0
         self.inter_enabled = ((self.use_device and not self.use_md
                                and cfg.intra_period != 1)

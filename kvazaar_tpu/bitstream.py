@@ -72,17 +72,24 @@ class BitWriter:
         return bytes(self._bytes)
 
 
+_EP_RE = None
+
+
 def rbsp_to_ebsp(rbsp: bytes) -> bytes:
-    """Insert emulation-prevention 0x03 bytes (spec 7.4.2)."""
-    out = bytearray()
-    zeros = 0
-    for b in rbsp:
-        if zeros >= 2 and b <= 3:
-            out.append(3)
-            zeros = 0
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-    return bytes(out)
+    """Insert emulation-prevention 0x03 bytes (spec 7.4.2).
+
+    Implemented as a regex substitution (C speed): insert 0x03 after
+    every two zero bytes followed by a byte <= 3. The lookahead leaves
+    the third byte unconsumed, which reproduces the sequential
+    zero-counter reset exactly (a byte-walk over a 1080p slice costs
+    ~100 ms in Python; this is ~100x faster)."""
+    if b"\x00\x00" not in rbsp:
+        return rbsp
+    global _EP_RE
+    if _EP_RE is None:
+        import re
+        _EP_RE = re.compile(b"\x00\x00(?=[\x00-\x03])")
+    return _EP_RE.sub(b"\x00\x00\x03", rbsp)
 
 
 def ebsp_to_rbsp_ex(ebsp: bytes) -> tuple[bytes, list[int]]:

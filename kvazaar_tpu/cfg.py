@@ -89,15 +89,23 @@ class Config:
     source_scan_type: str = "progressive"
 
 
-    # rate control
+    # rate control. rc_algorithm "auto" resolves at construction:
+    # lambda RC when a bitrate is set, else no-rc (constant QP) —
+    # mirroring --bitrate's parse-time upgrade (ref src/cfg.c:1096).
+    # An explicit "no-rc" always means constant QP.
     target_bitrate: int = 0
-    rc_algorithm: str = "no-rc"
+    rc_algorithm: str = "auto"
 
     # stream metadata
     hash: str = "checksum"          # checksum | md5 | none
     aud_enable: bool = False
     info: bool = False
     level: int = 0                  # 0 = auto
+
+    def __post_init__(self) -> None:
+        if self.rc_algorithm == "auto":
+            self.rc_algorithm = ("lambda" if self.target_bitrate > 0
+                                 else "no-rc")
 
     def validate(self) -> None:
         if self.width <= 0 or self.height <= 0:

@@ -744,7 +744,8 @@ class MdInterPipeline(MdIntraPipeline):
             out["lvals_" + name] = vals
             ovf = ovf | o
         out["lvl_ovf"] = ovf
-        return out
+        out["mv8"] = out["mv8"].astype(jnp.int16)   # qpel |mv| <= 512
+        return self._pack_host_outputs(out)
 
     # ------------------------------------------------------------------
     # host interface
@@ -774,9 +775,7 @@ class MdInterPipeline(MdIntraPipeline):
                                stack(refs_cr),
                                jnp.asarray(pocs, jnp.int32))
         for k, v in out.items():
-            if (k.startswith(("lmask_", "lvals_", "sao_"))
-                    or k in ("hash", "sse", "size_map8", "mode_map8",
-                             "inter8", "mv8", "ref8", "lvl_ovf")):
+            if k == "hostbuf" or k.startswith(("lmask_", "lvals_")):
                 try:
                     v.copy_to_host_async()
                 except (AttributeError, RuntimeError):
@@ -788,4 +787,7 @@ class MdInterPipeline(MdIntraPipeline):
         for k in ("inter8", "mv8", "ref8"):
             if k in res:
                 res[k] = np.asarray(res[k])
+        if "inter8" in res:
+            res["inter8"] = res["inter8"].astype(bool)
+            res["mv8"] = res["mv8"].astype(np.int32)
         return res

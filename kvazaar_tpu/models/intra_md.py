@@ -1157,7 +1157,54 @@ class MdIntraPipeline(IntraPipeline):
             out["lvals_" + name] = vals
             ovf = ovf | o
         out["lvl_ovf"] = ovf
+        return self._pack_host_outputs(out)
+
+    # everything the host needs per frame rides ONE uint8 buffer: the
+    # tunnel D2H path costs ~30 ms latency per array (profiled: 18
+    # arrays = 531 ms/frame), so per-array pulls dominate the host side
+    HOST_PACK_EXCLUDE = ("rec_y", "rec_cb", "rec_cr", "levels16_y",
+                         "levels16_cb", "levels16_cr")
+
+    def _pack_host_outputs(self, out):
+        if not getattr(self, "_host_pack", True):
+            return out
+        spec = []
+        chunks = []
+        off = 0
+        for k in sorted(out.keys()):
+            if k in self.HOST_PACK_EXCLUDE:
+                continue
+            v = out.pop(k)
+            if v.ndim == 0:
+                v = v.reshape(1)
+            if v.dtype == jnp.bool_:
+                v = v.astype(jnp.uint8)
+            shape = v.shape
+            dt = np.dtype(v.dtype.name)
+            if dt.itemsize == 1:
+                b = jax.lax.bitcast_convert_type(
+                    v.reshape(-1), jnp.uint8).reshape(-1)
+            else:
+                b = jax.lax.bitcast_convert_type(
+                    v.reshape(-1), jnp.uint8).reshape(-1)
+            spec.append((k, dt.str, shape, off, int(b.shape[0])))
+            chunks.append(b)
+            off += int(b.shape[0])
+        # one pipeline carries several programs (intra + inter) with
+        # different output sets; key the layout by total length
+        if not hasattr(self, "_host_specs"):
+            self._host_specs = {}
+        self._host_specs[off] = spec
+        out["hostbuf"] = jnp.concatenate(chunks)
         return out
+
+    def _unpack_host(self, out) -> dict:
+        buf = np.asarray(out["hostbuf"])
+        res = {}
+        for (k, dt, shape, off, nb) in self._host_specs[buf.shape[0]]:
+            res[k] = np.frombuffer(buf[off:off + nb].tobytes(),
+                                   dt).reshape(shape)
+        return res
 
     # ------------------------------------------------------------------
     # host interface
@@ -1183,9 +1230,7 @@ class MdIntraPipeline(IntraPipeline):
                          jnp.asarray(src_cb, pix_t),
                          jnp.asarray(src_cr, pix_t))
         for k, v in out.items():
-            if (k.startswith(("lmask_", "lvals_", "sao_"))
-                    or k in ("hash", "sse", "size_map8", "mode_map8",
-                             "lvl_ovf", "qp_ctb")):
+            if k == "hostbuf" or k.startswith(("lmask_", "lvals_")):
                 try:
                     v.copy_to_host_async()
                 except (AttributeError, RuntimeError):
@@ -1203,9 +1248,7 @@ class MdIntraPipeline(IntraPipeline):
         per = [{k: v[i] for k, v in out.items()} for i in range(len(ys))]
         for p in per:
             for k, v in p.items():
-                if (k.startswith(("lmask_", "lvals_", "sao_"))
-                        or k in ("hash", "sse", "size_map8", "mode_map8",
-                                 "lvl_ovf", "qp_ctb")):
+                if k == "hostbuf":
                     try:
                         v.copy_to_host_async()
                     except (AttributeError, RuntimeError):
@@ -1213,22 +1256,28 @@ class MdIntraPipeline(IntraPipeline):
         return per
 
     def materialize(self, out):
-        res = {k: (np.asarray(v)
-                   if k in ("hash", "sse", "size_map8", "mode_map8",
-                            "qp_ctb")
-                   or k.startswith("sao_") else v)
-               for k, v in out.items()}
-        if bool(np.asarray(out["lvl_ovf"])):
+        if "hostbuf" in out:
+            res = self._unpack_host(out)
+            res["rec_y"] = out["rec_y"]
+            res["rec_cb"] = out["rec_cb"]
+            res["rec_cr"] = out["rec_cr"]
+        else:
+            res = {k: (np.asarray(v)
+                       if k in ("hash", "sse", "size_map8", "mode_map8",
+                                "qp_ctb")
+                       or k.startswith("sao_") else v)
+                   for k, v in out.items()}
+        if bool(np.asarray(res["lvl_ovf"])):
             for p in ("y", "cb", "cr"):
                 res["levels_" + p] = np.asarray(out["levels16_" + p])
         else:
             for p in ("y", "cb", "cr"):
                 shape = out["levels16_" + p].shape
-                bits = np.unpackbits(np.asarray(out["lmask_" + p]))
+                bits = np.unpackbits(np.asarray(res["lmask_" + p]))
                 flat = np.zeros(bits.shape[0], np.int16)
                 nnz = int(bits.sum())
                 flat[bits.astype(bool)] = \
-                    np.asarray(out["lvals_" + p])[:nnz]
+                    np.asarray(res["lvals_" + p])[:nnz]
                 res["levels_" + p] = flat.reshape(shape)
         for p in ("y", "cb", "cr"):
             res.pop("levels16_" + p, None)

@@ -67,6 +67,7 @@ class MeshTiledIntraPipeline:
         tile_w = grid.col_widths[0] * ctb
         assert tile_h * rows == height and tile_w * cols == width
         self.pipe = MdIntraPipeline(tile_h, tile_w, qp, **pipe_kw)
+        self.pipe._host_pack = False   # mesh stitches raw per-tile outputs
         self.mesh = Mesh(
             np.asarray(devices[:rows * cols]).reshape(rows, cols),
             ("tr", "tc"))

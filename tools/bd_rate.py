@@ -135,13 +135,14 @@ def encode_ref(frames, w, h, qp, preset) -> tuple[int, float]:
 
 
 def measure(preset: str = "medium", n_frames: int = 8,
-            tools: dict | None = None) -> dict:
+            tools: dict | None = None,
+            size: tuple[int, int] = (416, 240)) -> dict:
     if tools is None:
         # quality tools matching the medium preset row (cfg.c:657):
         # deblock + sao + rdoq (+ signhide off at medium)
         tools = dict(deblock_enable=True, sao_type="full",
                      rdoq_enable=True, signhide_enable=False)
-    clips, w, h = synth_clips(n_frames)
+    clips, w, h = synth_clips(n_frames, *size)
     per_clip = {}
     for name, frames in clips.items():
         ours_r, ours_p, ref_r, ref_p = [], [], [], []
@@ -171,8 +172,12 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="medium")
     ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--size", default="416x240",
+                    help="clip WxH (e.g. 448x288 isolates the CTB "
+                         "padding overhead: no conformance cropping)")
     args = ap.parse_args()
     if not os.path.exists(REF):
         print(json.dumps({"error": "reference encoder not built"}))
         sys.exit(0)
-    print(json.dumps(measure(args.preset, args.frames)))
+    w, h = (int(v) for v in args.size.split("x"))
+    print(json.dumps(measure(args.preset, args.frames, size=(w, h))))
