@@ -714,6 +714,7 @@ class Encoder:
                 union_pocs=meta.get("union", l0))
         elif self._pipeline is not None:
             decisions = self._pipeline.materialize(meta["dev"])
+        self._last_decisions = decisions  # introspection/tests
         sao_w = None
         if self.sps.sao_enabled and decisions is not None:
             from .engine.sao_writer import SaoWriter
@@ -761,7 +762,8 @@ class Encoder:
                     sdh=bool(self.pps.sign_data_hiding_enabled),
                     sao_packed=(native.pack_sao(decisions)
                                 if self.sps.sao_enabled else None),
-                    bit_depth=self.sps.bit_depth_luma)
+                    bit_depth=self.sps.bit_depth_luma,
+                    mode4=decisions.get("mode_map4"))
                 off = 0
                 for s in sizes:
                     substreams.append(data[off:off + s])

@@ -57,7 +57,7 @@ class Config:
 
     # mode search
     # intra PU depth range (kvazaar --pu-depth-intra min-max); depths on
-    # the quadtree path: 1=32x32, 2=16x16, 3=8x8 (64 and 4x4 NxN later)
+    # the quadtree path: 0=64x64, 1=32x32, 2=16x16, 3=8x8, 4=4x4 NxN
     pu_depth_intra: tuple[int, int] = (1, 3)
     # inter CU depth range (kvazaar --pu-depth-inter); 0=64x64 .. 3=8x8
     pu_depth_inter: tuple[int, int] = (0, 3)
@@ -210,7 +210,8 @@ PRESETS = {
     # engine has (src/cfg.c:484-766: rd / pu-depth-intra / gop / ref /
     # sao / rdoq / signhide); me pattern and smp/amp are omitted until
     # they land (me is n/a by design: the ME is an exhaustive batched
-    # sweep, and depth 4 = 4x4 NxN clamps to 3 until implemented).
+    # sweep). Depth 4 (NxN 4x4 PUs) matches the reference's medium+
+    # rows (cfg.c:628 "pu-depth-intra 1-4").
     "ultrafast": dict(rd=0, pu_depth_intra=(2, 3),
                       pu_depth_inter=(1, 2), gop_len=8,
                       ref_frames=1, sao_type="off",
@@ -231,23 +232,23 @@ PRESETS = {
                  gop_len=8, ref_frames=2,
                  sao_type="full", signhide_enable=False,
                  rdoq_enable=False),
-    "medium": dict(rd=0, pu_depth_intra=(1, 3),
+    "medium": dict(rd=0, pu_depth_intra=(1, 4),
                    pu_depth_inter=(0, 3), gop_len=16,
                    ref_frames=4, sao_type="full",
                    signhide_enable=False, rdoq_enable=True),
-    "slow": dict(rd=1, pu_depth_intra=(1, 3), pu_depth_inter=(0, 3),
+    "slow": dict(rd=1, pu_depth_intra=(1, 4), pu_depth_inter=(0, 3),
                  gop_len=16, ref_frames=4,
                  sao_type="full", signhide_enable=False,
                  rdoq_enable=True),
-    "slower": dict(rd=2, pu_depth_intra=(1, 3),
+    "slower": dict(rd=2, pu_depth_intra=(1, 4),
                    pu_depth_inter=(0, 3), gop_len=16,
                    ref_frames=4, sao_type="full", signhide_enable=True,
                    rdoq_enable=True),
-    "veryslow": dict(rd=3, pu_depth_intra=(1, 3),
+    "veryslow": dict(rd=3, pu_depth_intra=(1, 4),
                      pu_depth_inter=(0, 3), gop_len=16,
                      ref_frames=4, sao_type="full", signhide_enable=True,
                      rdoq_enable=True),
-    "placebo": dict(rd=3, pu_depth_intra=(1, 3),
+    "placebo": dict(rd=3, pu_depth_intra=(1, 4),
                     pu_depth_inter=(0, 3), gop_len=16,
                     ref_frames=4, sao_type="full", signhide_enable=True,
                     rdoq_enable=True),

@@ -28,6 +28,10 @@ class MdIntraWriter:
         self.d = decisions
         self.size8 = np.asarray(decisions["size_map8"], np.int32)
         self.mode8 = np.asarray(decisions["mode_map8"], np.int32)
+        # per-4x4 PU modes (NxN cells); absent on paths without NxN
+        m4 = decisions.get("mode_map4")
+        self.mode4d = (np.asarray(m4, np.int32) if m4 is not None
+                       else np.repeat(np.repeat(self.mode8, 2, 0), 2, 1))
         self.lvl = [np.asarray(decisions["levels_y"]),
                     np.asarray(decisions["levels_cb"]),
                     np.asarray(decisions["levels_cr"])]
@@ -147,7 +151,8 @@ class MdIntraWriter:
         sps = self.sps
         size = 1 << log2_size
         inside = (x0 + size <= sps.width) and (y0 + size <= sps.height)
-        leaf_size = int(self.size8[y0 >> 3, x0 >> 3])
+        # size code 4 = NxN-partitioned 8x8 CU (a leaf at size 8)
+        leaf_size = max(int(self.size8[y0 >> 3, x0 >> 3]), 8)
         if inside and log2_size > sps.log2_min_cb_size:
             split = size > leaf_size
             ctx_off = 0
@@ -180,8 +185,14 @@ class MdIntraWriter:
             # all-lossless encode: every CU bypasses transform+quant
             cab.encode_bin(
                 ContextSet.idx("cu_transquant_bypass_flag", 0), 1)
+        nxn = (log2_size == 3
+               and int(self.size8[y0 >> 3, x0 >> 3]) == 4)
         if log2_size == self.sps.log2_min_cb_size:
-            cab.encode_bin(ContextSet.idx("part_mode", 0), 1)  # 2Nx2N
+            cab.encode_bin(ContextSet.idx("part_mode", 0),
+                           0 if nxn else 1)
+        if nxn:
+            self._coding_unit_nxn(x0, y0)
+            return
         mode = int(self.mode8[y0 >> 3, x0 >> 3])
         mpm = self.mpm_list(x0, y0)
         if mode in mpm:
@@ -208,8 +219,104 @@ class MdIntraWriter:
         cab.encode_bin(ContextSet.idx("intra_chroma_pred_mode", 0), 0)
         self.transform_unit(x0, y0, log2_size, mode)
 
+    def _coding_unit_nxn(self, x0: int, y0: int) -> None:
+        """NxN intra CU: four 4x4 PUs with independent modes, forced TU
+        split into four 4x4 DST TUs (IntraSplitFlag, spec 7.3.8.5,
+        7.3.8.8). All prev_intra_luma_pred_flags precede the mpm_idx /
+        rem_intra payloads; MPM lists update progressively so PU i sees
+        PU <i modes, mirroring decoder parse order."""
+        cab = self.cab
+        offs = ((0, 0), (4, 0), (0, 4), (4, 4))        # (dx, dy) z order
+        modes, flags, payloads = [], [], []
+        for dx, dy in offs:
+            x, y = x0 + dx, y0 + dy
+            mode = int(self.mode4d[y >> 2, x >> 2])
+            mpm = self.mpm_list(x, y)
+            if mode in mpm:
+                flags.append(1)
+                payloads.append(("mpm", mpm.index(mode)))
+            else:
+                rem = mode
+                for cand in sorted(mpm, reverse=True):
+                    if rem > cand:
+                        rem -= 1
+                flags.append(0)
+                payloads.append(("rem", rem))
+            self.mode4[y >> 2, x >> 2] = mode
+            self.coded[y >> 2, x >> 2] = True
+            modes.append(mode)
+        for f in flags:
+            cab.encode_bin(
+                ContextSet.idx("prev_intra_luma_pred_flag", 0), f)
+        for kind, v in payloads:
+            if kind == "mpm":
+                if v == 0:
+                    cab.encode_bin_ep(0)
+                else:
+                    cab.encode_bin_ep(1)
+                    cab.encode_bin_ep(v - 1)
+            else:
+                cab.encode_bins_ep(v, 5)
+        cab.encode_bin(ContextSet.idx("intra_chroma_pred_mode", 0), 0)
+        # transform tree (depth 0 forced split): chroma cbfs at the 8x8
+        # level, then four 4x4 luma TUs; the CU's single 4x4 chroma TU
+        # rides the last child (blkIdx 3, spec 7.3.8.10)
+        cy0, cx0 = y0 >> 1, x0 >> 1
+        cbf_cb = 1 if self.lvl[1][cy0:cy0 + 4, cx0:cx0 + 4].any() else 0
+        cbf_cr = 1 if self.lvl[2][cy0:cy0 + 4, cx0:cx0 + 4].any() else 0
+        cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cb)
+        cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cr)
+        for i, (dx, dy) in enumerate(offs):
+            x, y = x0 + dx, y0 + dy
+            lv_y = self.lvl[0][y:y + 4, x:x + 4]
+            cbf_y = 1 if lv_y.any() else 0
+            cab.encode_bin(ContextSet.idx("cbf_luma", 0), cbf_y)
+            # 4x4 TUs use the PARENT's chroma cbfs in the delta-QP
+            # condition for all four children (spec 7.3.8.10)
+            if self.dqp and not self.qg_coded and \
+                    (cbf_y or cbf_cb or cbf_cr):
+                self._write_qp_delta()
+            if cbf_y:
+                scan = intra_mode_scan_idx(modes[i], 2, False)
+                encode_residual(cab, lv_y, 2, 0, scan, self.sdh)
+            if i == 3:
+                # chroma scan follows the chroma (DM = PU0) mode
+                if cbf_cb:
+                    scan = intra_mode_scan_idx(modes[0], 2, True)
+                    encode_residual(cab, self.lvl[1][cy0:cy0 + 4,
+                                                     cx0:cx0 + 4],
+                                    2, 1, scan, self.sdh)
+                if cbf_cr:
+                    scan = intra_mode_scan_idx(modes[0], 2, True)
+                    encode_residual(cab, self.lvl[2][cy0:cy0 + 4,
+                                                     cx0:cx0 + 4],
+                                    2, 2, scan, self.sdh)
+
     def transform_unit(self, x0: int, y0: int, log2_size: int,
                        mode: int) -> None:
+        if log2_size == 6:
+            # 64x64 CU: forced TU split (log2 > MaxTbLog2SizeY, spec
+            # 7.3.8.8) — chroma cbfs at trafoDepth 0, then four 32x32
+            # TUs in z order, each signalling its chroma cbf only when
+            # the parent's is set
+            cab = self.cab
+            csize = 32
+            cy0, cx0 = y0 >> 1, x0 >> 1
+            cbf_cb = 1 if self.lvl[1][cy0:cy0 + csize,
+                                      cx0:cx0 + csize].any() else 0
+            cbf_cr = 1 if self.lvl[2][cy0:cy0 + csize,
+                                      cx0:cx0 + csize].any() else 0
+            cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cb)
+            cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cr)
+            for dx, dy in ((0, 0), (32, 0), (0, 32), (32, 32)):
+                self._tu_leaf(x0 + dx, y0 + dy, 5, mode, 1,
+                              cbf_cb, cbf_cr)
+            return
+        self._tu_leaf(x0, y0, log2_size, mode, 0, 1, 1)
+
+    def _tu_leaf(self, x0: int, y0: int, log2_size: int, mode: int,
+                 trafo_depth: int, parent_cb: int, parent_cr: int) \
+            -> None:
         size = 1 << log2_size
         cab = self.cab
         c_log2 = log2_size - 1
@@ -218,12 +325,19 @@ class MdIntraWriter:
         lv_cb = self.lvl[1][cy0:cy0 + csize, cx0:cx0 + csize]
         lv_cr = self.lvl[2][cy0:cy0 + csize, cx0:cx0 + csize]
         lv_y = self.lvl[0][y0:y0 + size, x0:x0 + size]
-        cbf_cb = 1 if lv_cb.any() else 0
-        cbf_cr = 1 if lv_cr.any() else 0
+        cbf_cb = (1 if lv_cb.any() else 0) if parent_cb else 0
+        cbf_cr = (1 if lv_cr.any() else 0) if parent_cr else 0
         cbf_y = 1 if lv_y.any() else 0
-        cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cb)
-        cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cr)
-        cab.encode_bin(ContextSet.idx("cbf_luma", 1), cbf_y)
+        # chroma cbf ctx = trafoDepth; luma ctx 1 iff trafoDepth 0
+        if parent_cb:
+            cab.encode_bin(ContextSet.idx("cbf_chroma", trafo_depth),
+                           cbf_cb)
+        if parent_cr:
+            cab.encode_bin(ContextSet.idx("cbf_chroma", trafo_depth),
+                           cbf_cr)
+        cab.encode_bin(
+            ContextSet.idx("cbf_luma", 1 if trafo_depth == 0 else 0),
+            cbf_y)
         if self.dqp and not self.qg_coded and (cbf_y or cbf_cb or cbf_cr):
             self._write_qp_delta()
         if cbf_y:

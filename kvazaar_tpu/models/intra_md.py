@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ..ops.intra_matrices import (build_filter_matrix, build_pred_matrices,
                                   ref_vec_len)
-from ..tables import DCT_MATRICES, chroma_qp
+from ..tables import DCT_MATRICES, DST4, chroma_qp
 from .intra_pipeline import IntraPipeline, _hadamard
 
 
@@ -85,12 +85,19 @@ class MdIntraPipeline(IntraPipeline):
         assert height % self.CTB == 0 and width % self.CTB == 0
         self.bd = bit_depth
         self.maxv = (1 << bit_depth) - 1
-        # allowed leaf sizes from the depth range (1=32, 2=16, 3=8);
-        # at least one size must remain
-        lo, hi = max(pu_depth[0], 1), min(pu_depth[1], 3)
+        # allowed leaf sizes from the depth range (0=64, 1=32, 2=16,
+        # 3=8, 4=NxN, kvazaar's --pu-depth-intra scale, ref cfg.c:1017);
+        # at least one size must remain. A 64 leaf is one CU whose TU
+        # tree is forced-split once (spec 7.3.8.8) into four 32x32 TUs.
+        # Depth 4 = NxN partitioning of an 8x8 CU: four 4x4 PUs with
+        # independent modes and four 4x4 DST TUs (IntraSplitFlag).
+        lo, hi = max(pu_depth[0], 0), min(pu_depth[1], 4)
         if lo > hi:
-            lo = hi = min(max(pu_depth[0], 1), 3)
-        self.allow = {32: lo <= 1, 16: lo <= 2 <= hi, 8: hi >= 3}
+            lo = hi = min(max(pu_depth[0], 0), 4)
+        self.allow = {64: lo <= 0, 32: lo <= 1 <= hi, 16: lo <= 2 <= hi,
+                      8: hi >= 3, 4: hi >= 4}
+        # lo == 4 forces every 8x8 CU to NxN (no 2Nx2N at depth 3)
+        self.force_nxn = lo >= 4
         if not any(self.allow.values()):
             self.allow[16] = True
         # TPU f32 matmuls default to bf16 inputs — exact for 8-bit
@@ -109,7 +116,7 @@ class MdIntraPipeline(IntraPipeline):
         # (intra ids: luma 0, chroma 1 — default cb/cr lists are equal)
         self.use_scaling = scaling is not None
         if scaling is not None:
-            for n in (8, 16, 32):
+            for n in (4, 8, 16, 32):
                 setattr(self, f"qt{n}",
                         jnp.asarray(scaling.quant_table(n, 0)))
                 setattr(self, f"dm{n}",
@@ -145,6 +152,11 @@ class MdIntraPipeline(IntraPipeline):
                                 jnp.int8)
         self.g16c = jnp.asarray(build_pred_matrices(16, chroma=True),
                                 jnp.int8)
+        # 4x4 luma (NxN PUs): no [1 2 1] smoothing at n=4 (spec
+        # 8.4.4.2.3), DST-VII transform for intra luma 4x4 (spec 8.6.4)
+        self.g4l = jnp.asarray(build_pred_matrices(4), jnp.int8)
+        self.f4 = jnp.asarray(build_filter_matrix(4), jnp.int8)
+        self.dst4 = jnp.asarray(DST4)
         self.t4 = jnp.asarray(DCT_MATRICES[4])
         self.t8 = jnp.asarray(DCT_MATRICES[8])
         self.t16 = jnp.asarray(DCT_MATRICES[16])
@@ -196,7 +208,8 @@ class MdIntraPipeline(IntraPipeline):
                                         in_axes=(None, 0, 0, 0)))
 
     CONST_KEYS = ("g8l", "g16l", "g32l", "f8", "f16l", "f32", "g4c",
-                  "g8cc", "g16c", "t4", "t8", "t16", "t32", "h8", "m8",
+                  "g8cc", "g16c", "g4l", "f4", "dst4", "t4", "t8",
+                  "t16", "t32", "h8", "m8",
                   "sdh_ord", "sdh_inv", "hash_mask_y", "hash_mask_c",
                   "qp2", "lam2")
 
@@ -204,7 +217,8 @@ class MdIntraPipeline(IntraPipeline):
         keys = self.CONST_KEYS + (("qpmap_y", "qpmap_c", "lammap")
                                   if self.delta_qp else ())
         if self.use_scaling:
-            keys = keys + ("qt8", "qt16", "qt32", "dm8", "dm16", "dm32",
+            keys = keys + ("qt4", "qt8", "qt16", "qt32", "dm4", "dm8",
+                           "dm16", "dm32",
                            "qt4c", "qt8c", "qt16c", "dm4c", "dm8c",
                            "dm16c")
         return keys
@@ -464,6 +478,122 @@ class MdIntraPipeline(IntraPipeline):
         cost = dist + lam * (rate + self.MODE_BITS) + ccost
         return modes, cost
 
+    def _leaf_rd64(self, src_y, src_cb, src_cr, lam):
+        """64x64 intra CU leaf cost: one shared luma mode, four 32x32
+        TUs (the TU tree is forced-split once at log2 6, spec 7.3.8.8)
+        plus per-TU 16x16 chroma, all costed with source references
+        like the other leaf sweeps. Returns (modes [B64], cost [B64]).
+        Reference: kvazaar codes depth-0 intra CUs (src/search.c:646,
+        src/cu.h depth 0)."""
+        qp_y, qp_c, lam64 = self._qp_lam_for(64)
+        if self.delta_qp:
+            lam = lam64                                  # [B64]
+        n = 32
+        r64, c64 = self.h // 64, self.w // 64
+
+        def to_children(v64):
+            return jnp.repeat(jnp.repeat(v64.reshape(r64, c64), 2, 0),
+                              2, 1).reshape(-1)
+
+        refs = self._src_refs(src_y, n)
+        preds = self._preds_full(refs, self.g32l, self.f32, n, True)
+        blocks = self._blocks(src_y, n)
+        satd = self._satd_tiles(blocks[:, None]
+                                - preds.reshape(-1, 35, n, n))  # [B32,35]
+        satd4 = satd.reshape(r64, 2, c64, 2, 35).sum(axis=(1, 3))
+        m64 = jnp.argmin(satd4.reshape(-1, 35), axis=1) \
+            .astype(jnp.int32)                           # [B64]
+        mch = to_children(m64)                           # [B32]
+        pred = jnp.take_along_axis(
+            preds, mch[:, None, None], axis=1)[:, 0].reshape(-1, n, n)
+        resi = blocks - pred
+        qy = to_children(qp_y) if self.delta_qp else qp_y
+        qc = to_children(qp_c) if self.delta_qp else qp_c
+        lam_ch = to_children(lam) if self.delta_qp else lam
+        levels, r2 = self._transform_quant_plain(
+            resi, self.t32, qy, n, mats=self._mats_for(n, True))
+        dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
+        rate = self._rate_bins(levels) + \
+            self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
+        child = dist + lam_ch * rate
+        for plane in (src_cb, src_cr):
+            crefs = self._src_refs(plane, 16)
+            cpred = self._pred_one(crefs, mch, self.g16c, self.g16c,
+                                   16, False)
+            cblocks = self._blocks(plane, 16)
+            cresi = cblocks - cpred.reshape(-1, 16, 16)
+            clev, cr2 = self._transform_quant_plain(
+                cresi, self.t16, qc, 16, mats=self._mats_for(16, False))
+            cdist = ((cresi - cr2).astype(jnp.float32) ** 2) \
+                .sum(axis=(1, 2))
+            crate = self._rate_bins(clev) + \
+                self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
+            child = child + cdist + lam_ch * crate
+        cost64 = child.reshape(r64, 2, c64, 2).sum(axis=(1, 3)) \
+            .reshape(-1) + lam * self.MODE_BITS
+        return m64, cost64
+
+    def _satd4(self, diff: jax.Array) -> jax.Array:
+        """SATD over trailing [.., 4, 4] via the 4x4 Hadamard (exact f32
+        matmuls; kvazaar satd_4x4 analog with /2 normalisation)."""
+        h4 = jnp.asarray([[1, 1, 1, 1], [1, -1, 1, -1],
+                          [1, 1, -1, -1], [1, -1, -1, 1]], jnp.float32)
+        d = diff.astype(jnp.float32)
+        t = jnp.einsum("ij,...jk,kl->...il", h4, d, h4)
+        return jnp.floor((jnp.abs(t).sum(axis=(-1, -2)) + 1.0) / 2.0) \
+            .astype(jnp.int32)
+
+    def _leaf_rd4(self, src_y, src_cb, src_cr, lam):
+        """NxN cost per 8x8 CU: four 4x4 luma PUs with independent modes
+        (DST-VII TUs) + one 4x4 chroma TU riding PU0's mode. Source-ref
+        mode sweep like the other leaf sizes. Returns (modes4 [B4] —
+        per-4x4 best mode, cost [B8] — per-8x8-cell NxN RD cost).
+        Reference: kvazaar searches depth-4 intra (SIZE_NxN) when
+        --pu-depth-intra reaches 4 (src/search.c:807, cfg.c:628)."""
+        qp_y, qp_c, lam8 = self._qp_lam_for(8)
+        if self.delta_qp:
+            lam = lam8                                   # [B8]
+        r4n, c4n = self.h // 4, self.w // 4
+        refs = self._src_refs(src_y, 4)
+        preds = self._preds_full(refs, self.g4l, self.f4, 4, True)
+        blocks = self._blocks(src_y, 4)
+        satd = self._satd4(blocks[:, None]
+                           - preds.reshape(-1, 35, 4, 4))   # [B4, 35]
+        m4 = jnp.argmin(satd, axis=1).astype(jnp.int32)
+        pred = jnp.take_along_axis(
+            preds, m4[:, None, None], axis=1)[:, 0].reshape(-1, 4, 4)
+        resi = blocks - pred
+        if self.delta_qp:
+            qy = self._ctb_vec(self.qpmap_y, 4)
+            lam4 = self._ctb_vec(self.lammap, 4)
+        else:
+            qy, lam4 = qp_y, lam
+        levels, r2 = self._transform_quant_plain(
+            resi, self.dst4, qy, 4, mats=self._mats_for(4, True))
+        dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
+        rate = self._rate_bins(levels) + \
+            self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
+        child = (dist + lam4 * (rate + self.MODE_BITS)) \
+            .reshape(r4n // 2, 2, c4n // 2, 2).sum(axis=(1, 3)) \
+            .reshape(-1)                                  # [B8]
+        # chroma 4x4 TU, derived (DM) from PU0's luma mode
+        m0 = m4.reshape(r4n, c4n)[::2, ::2].reshape(-1)   # [B8]
+        cost = child
+        for plane in (src_cb, src_cr):
+            crefs = self._src_refs(plane, 4)
+            cpred = self._pred_one(crefs, m0, self.g4c, self.g4c, 4,
+                                   False)
+            cblocks = self._blocks(plane, 4)
+            cresi = cblocks - cpred.reshape(-1, 4, 4)
+            clev, cr2 = self._transform_quant_plain(
+                cresi, self.t4, qp_c, 4, mats=self._mats_for(4, False))
+            cdist = ((cresi - cr2).astype(jnp.float32) ** 2) \
+                .sum(axis=(1, 2))
+            crate = self._rate_bins(clev) + \
+                self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
+            cost = cost + cdist + lam * crate
+        return m4, cost
+
     def _transform_quant(self, resi, t, qp, n, mats=None):
         if self.lossless:
             return resi, resi
@@ -480,9 +610,24 @@ class MdIntraPipeline(IntraPipeline):
             self.rdoq, self.sign_hiding = saved
 
     def _partition(self, src_y, src_cb, src_cr, lam):
-        """Returns (size_map8 [R8,C8] in {8,16,32}, mode_map8 [R8,C8])."""
+        """Returns (size_map8 [R8,C8] in {4,8,16,32,64} — 4 marks an
+        NxN-partitioned 8x8 CU — mode_map8 [R8,C8], and mode_map4
+        [R4,C4] with per-4x4 PU modes)."""
         m8, c8c = self._leaf_rd(src_y, src_cb, src_cr, 8, self.g8l,
                                 self.f8, self.g4c, self.t8, self.t4, lam)
+        # NxN-vs-2Nx2N competition at the 8x8 CU level (the part_mode
+        # bin is coded either way at min CB size, so it cancels; NxN
+        # pays 3 extra mode signallings, counted in _leaf_rd4)
+        nxn8 = m4 = None
+        if self.allow[4]:
+            m4, cnxn = self._leaf_rd4(src_y, src_cb, src_cr, lam)
+            cn = cnxn.reshape(self.r8, self.c8)
+            c2n = c8c.reshape(self.r8, self.c8)
+            if self.force_nxn:
+                nxn8 = jnp.ones_like(cn, bool)
+            else:
+                nxn8 = cn < c2n
+            c8c = jnp.where(nxn8, cn, c2n).reshape(-1)
         m16, c16c = self._leaf_rd(src_y, src_cb, src_cr, 16, self.g16l,
                                   self.f16l, self.g8cc, self.t16, self.t8,
                                   lam)
@@ -517,6 +662,20 @@ class MdIntraPipeline(IntraPipeline):
             split32 = jnp.ones_like(split32)
         elif not (self.allow[16] or self.allow[8]):
             split32 = jnp.zeros_like(split32)
+        # 64-level DP step (the depth-0 split_cu_flag costs one bin
+        # either way, so it cancels out of the comparison)
+        split64 = None
+        if self.allow[64]:
+            m64, c64c = self._leaf_rd64(src_y, src_cb, src_cr, lam)
+            r64, c64n = self.h // 64, self.w // 64
+            lam64 = (self._ctb_vec(self.lammap, 64).reshape(r64, c64n)
+                     if self.delta_qp else lam)
+            best32 = jnp.where(split32, sum16 + lam32 * self.SPLIT_BITS,
+                               leaf32)
+            sum32 = sum4(best32, r64, c64n) + lam64 * 4 * self.SPLIT_BITS
+            split64 = sum32 < c64c.reshape(r64, c64n)
+            if not (self.allow[32] or self.allow[16] or self.allow[8]):
+                split64 = jnp.zeros_like(split64)
         # expand decisions to the 8-grid
         e32 = jnp.repeat(jnp.repeat(split32, 2, 0), 2, 1)  # [r16, c16]
         sz16 = jnp.where(~e32, 32, jnp.where(split16, 8, 16))
@@ -529,7 +688,29 @@ class MdIntraPipeline(IntraPipeline):
         mode_map8 = jnp.where(size_map8 == 8, m8.reshape(self.r8, self.c8),
                               jnp.where(size_map8 == 16, mode16_8,
                                         mode32_8)).astype(jnp.int32)
-        return size_map8, mode_map8
+        if split64 is not None:
+            is64 = ~jnp.repeat(jnp.repeat(split64, 8, 0), 8, 1)
+            mode64_8 = jnp.repeat(jnp.repeat(m64.reshape(r64, c64n),
+                                             8, 0), 8, 1)
+            size_map8 = jnp.where(is64, 64, size_map8).astype(jnp.int32)
+            mode_map8 = jnp.where(is64, mode64_8, mode_map8) \
+                .astype(jnp.int32)
+        if nxn8 is not None:
+            r4n, c4n = self.h // 4, self.w // 4
+            isn = (size_map8 == 8) & nxn8
+            m4m = m4.reshape(r4n, c4n)
+            # mode_map8 for an NxN cell = PU0's mode (chroma DM source)
+            size_map8 = jnp.where(isn, 4, size_map8).astype(jnp.int32)
+            mode_map8 = jnp.where(isn, m4m[::2, ::2], mode_map8) \
+                .astype(jnp.int32)
+            isn4 = jnp.repeat(jnp.repeat(isn, 2, 0), 2, 1)
+            mode_map4 = jnp.where(
+                isn4, m4m,
+                jnp.repeat(jnp.repeat(mode_map8, 2, 0), 2, 1)) \
+                .astype(jnp.int32)
+        else:
+            mode_map4 = jnp.repeat(jnp.repeat(mode_map8, 2, 0), 2, 1)
+        return size_map8, mode_map8, mode_map4
 
     # ------------------------------------------------------------------
     # stage 3: self-scheduled wavefront reconstruction
@@ -730,18 +911,16 @@ class MdIntraPipeline(IntraPipeline):
         pad = jnp.zeros((left.shape[0], 1), jnp.int32)
         return jnp.concatenate([left, corner[:, None], top, pad], axis=1)
 
-    def _refs_from_stores(self, R, C, n, rs, cs, c_star, valid, has_left,
-                          has_top, n_bl, n_tr, cell_px, k8):
-        """Normative refs for all slots of one class, read from the
-        row store R [rows8, w'] (bottom pixel row of every written
+    def _raw_refs_from_stores(self, R, C, n, rs, cs, c_star, valid,
+                              has_left, k8):
+        """Raw (pre-substitution) refs for all slots of one class:
+        (left_raw [L, 2n], top_raw [L, 2n], corner_raw [L]), read from
+        the row store R [rows8, w'] (bottom pixel row of every written
         8-cell row) and the TRANSPOSED column store C [cols8, h'] (last
         pixel column of every written 8-cell column). All reads are
         static-index takes or small one-hot contractions; per-slot
         dynamic windows never touch a full-resolution plane (XLA TPU
-        serializes those). k8 = cells per class step in the store grid,
-        cell_px = store cell size in this plane's pixels."""
-        wpix = R.shape[1]
-        hpix = C.shape[1]
+        serializes those). k8 = cells per class step in the store grid."""
         f32 = jnp.float32
         # top rows: store row (r*k8 - 1), static indices (r=0 -> dup 0,
         # masked by has_top)
@@ -770,6 +949,13 @@ class MdIntraPipeline(IntraPipeline):
         dg[np.arange(rs), 1, np.arange(rs) + 1] = 1.0
         left_raw = jnp.einsum("rkc,rcn->rkn", jnp.asarray(dg), selp) \
             .reshape(rs, 2 * n).astype(jnp.int32)
+        return left_raw, top_raw, corner_raw
+
+    def _refs_from_stores(self, R, C, n, rs, cs, c_star, valid, has_left,
+                          has_top, n_bl, n_tr, cell_px, k8):
+        """Normative (substituted) refs for all slots of one class."""
+        left_raw, top_raw, corner_raw = self._raw_refs_from_stores(
+            R, C, n, rs, cs, c_star, valid, has_left, k8)
         return self._substitute(left_raw, top_raw, corner_raw, n,
                                 has_left, has_top, n_bl, n_tr, cell_px)
 
@@ -818,6 +1004,73 @@ class MdIntraPipeline(IntraPipeline):
             pre["qpy"] = self.qpmap_y[rr[:, None], cc[None, :]]
             pre["qpc"] = self.qpmap_c[rr[:, None], cc[None, :]]
         return pre
+
+    def _nxn_apply(self, Rl, Cl, rs, cs, c_star, valid, has_left,
+                   has_top, nbl, ntr, modes4, qp_y, src8):
+        """Sequential z-order reconstruction of the four 4x4 DST luma
+        TUs of NxN cells, batched over slots. Each sub-TU does its own
+        reference substitution (spec 8.4.4.2.2) with availability
+        derived from z order: internal neighbours come from the just-
+        reconstructed sub-blocks, external ones from the cell's raw
+        stores refs. Returns (rec8 [L, 8, 8], lvl8 [L, 8, 8])."""
+        lraw, traw, craw = self._raw_refs_from_stores(
+            Rl, Cl, 8, rs, cs, c_star, valid, has_left, 1)
+        L = lraw.shape[0]
+        true_ = jnp.ones((L,), bool)
+        one = jnp.ones((L,), jnp.int32)
+        zero = jnp.zeros((L,), jnp.int32)
+        z4 = jnp.zeros((L, 4), jnp.int32)
+        mats4 = self._mats_for(4, True)
+        recs, lvls = [], []
+        # (dy, dx, per-sub ref construction) in z order
+        for i, (dy, dx) in enumerate(((0, 0), (0, 4), (4, 0), (4, 4))):
+            mode = modes4[:, i]
+            if i == 0:
+                lr, tr_, cr = lraw[:, 0:8], traw[:, 0:8], craw
+                hl, ht = has_left, has_top
+                nb = has_left.astype(jnp.int32)
+                nt = has_top.astype(jnp.int32)
+            elif i == 1:
+                lr = jnp.concatenate([recs[0][:, :, 3], z4], axis=1)
+                tr_, cr = traw[:, 4:12], traw[:, 3]
+                hl, ht = true_, has_top
+                nb, nt = zero, jnp.minimum(ntr, 1)
+            elif i == 2:
+                lr, cr = lraw[:, 4:12], lraw[:, 3]
+                tr_ = jnp.concatenate([recs[0][:, 3, :],
+                                       recs[1][:, 3, :]], axis=1)
+                hl, ht = has_left, true_
+                nb, nt = jnp.minimum(nbl, 1), one
+            else:
+                lr = jnp.concatenate([recs[2][:, :, 3], z4], axis=1)
+                tr_ = jnp.concatenate([recs[1][:, 3, :], z4], axis=1)
+                cr = recs[0][:, 3, 3]
+                hl, ht = true_, true_
+                nb, nt = zero, zero
+            refs = self._substitute(lr, tr_, cr, 4, hl, ht, nb, nt, 4)
+            pred = self._pred_one(refs, mode, self.g4l, self.f4, 4,
+                                  True).reshape(L, 4, 4)
+            resi = src8[:, dy:dy + 4, dx:dx + 4] - pred
+            # 4x4 luma: mode-dependent coefficient scan (spec 7.4.9.11)
+            self._sdh_scan_sel = jnp.where(
+                (mode >= 6) & (mode <= 14), 2,
+                jnp.where((mode >= 22) & (mode <= 30), 1, 0))
+            try:
+                levels, r2 = self._transform_quant(
+                    resi, self.dst4, qp_y, 4, mats=mats4)
+            finally:
+                self._sdh_scan_sel = None
+            cbf = jnp.any(levels != 0, axis=(1, 2))
+            recs.append(jnp.clip(
+                pred + jnp.where(cbf[:, None, None], r2, 0),
+                0, self.maxv))
+            lvls.append(jnp.where(cbf[:, None, None], levels, 0))
+
+        def asm(parts):
+            top = jnp.concatenate([parts[0], parts[1]], axis=2)
+            bot = jnp.concatenate([parts[2], parts[3]], axis=2)
+            return jnp.concatenate([top, bot], axis=1)
+        return asm(recs), asm(lvls)
 
     def _class_apply(self, stores, s, c_star, valid, st, pre):
         """Reconstruct the fired TUs of size s (slot r fires column
@@ -870,6 +1123,21 @@ class MdIntraPipeline(IntraPipeline):
             return rec_blk, lvl_blk
 
         rb, lb = plane(Rl, Cl, pre["by"], s, 8, qp_y, t, True)
+        if s == 8 and "nxn" in pre:
+            # NxN cells: replace the 2Nx2N recon with the four-4x4-TU
+            # sequential recon (chroma below is untouched — its DM mode
+            # is PU0's, which mode_map8 already carries for NxN cells)
+            nxnf = self._sel2(oh, pre["nxn"].astype(jnp.int32)) > 0
+            m4sel = jnp.einsum(
+                "lc,lcm->lm", oh, pre["modes4"].astype(jnp.float32)) \
+                .astype(jnp.int32)
+            srcb8 = jnp.take(pre["by"], bidx, axis=0)
+            rb_n, lb_n = self._nxn_apply(
+                Rl, Cl, rs, cs, c_star, valid, has_left, has_top,
+                nbl, ntr, m4sel, qp_y, srcb8)
+            sel3 = nxnf[:, None, None]
+            rb = jnp.where(sel3, rb_n, rb)
+            lb = jnp.where(sel3, lb_n, lb)
         Rl, Cl = self._store_updates(Rl, Cl, rb, c_star, valid, rs, cs,
                                      s, k)
         sc = s // 2
@@ -909,7 +1177,7 @@ class MdIntraPipeline(IntraPipeline):
                 to_plane(lc[:, :, 2], sc), to_plane(lc[:, :, 3], sc))
 
     def _recon_md(self, src_y, src_cb, src_cr, size_map8, mode_map8,
-                  init_state=None, exclude8=None):
+                  init_state=None, exclude8=None, mode_map4=None):
         """Self-scheduled recon. The wavefront loop carries only the
         row/column reference stores, the written mask, per-class fire
         wave maps and per-wave block logs; the full planes are assembled
@@ -921,6 +1189,16 @@ class MdIntraPipeline(IntraPipeline):
         cells whose leaves the wavefront must NOT fire (inter cells).
         Returns (luma [2, Hp, Wp], chroma [4, Hc, Wc], written) in the
         same +1-offset layout as before."""
+        # a 64x64 intra CU reconstructs exactly as four 32x32 TUs
+        # sharing one mode (prediction/recon happen per TU with z-order
+        # availability, spec 8.4.4.2.2), so the wavefront sees it as
+        # four 32-leaves; only the syntax writer needs the distinction.
+        # NxN cells (code 4) schedule as 8-leaves whose apply step runs
+        # the sequential four-4x4-TU recon instead.
+        nxn8 = None
+        if mode_map4 is not None and self.allow[4]:
+            nxn8 = size_map8 == 4
+        size_map8 = jnp.clip(size_map8, 8, 32)
         h, w = self.h, self.w
         zseed = (src_y[0, 0] * 0).astype(jnp.int32)
         if init_state is None:
@@ -948,8 +1226,20 @@ class MdIntraPipeline(IntraPipeline):
                 k = s // 8
                 st = dict(st)
                 st["leaf"] = st["leaf"] & ~exclude8[::k, ::k]
+            if s == 8 and nxn8 is not None:
+                # NxN cells wait for every neighbour region their four
+                # sub-modes might read (conservative, always correct)
+                st = dict(st)
+                for kk in ("need_l", "need_t", "need_bl", "need_tr"):
+                    st[kk] = st[kk] | nxn8
             statics[s] = st
             pres[s] = self._class_pre(src_y, src_cb, src_cr, mode_map8, s)
+            if s == 8 and nxn8 is not None:
+                pres[s]["nxn"] = nxn8
+                m4 = mode_map4
+                pres[s]["modes4"] = jnp.stack(
+                    [m4[0::2, 0::2], m4[0::2, 1::2],
+                     m4[1::2, 0::2], m4[1::2, 1::2]], axis=-1)
         cap = 3 * self.r8 + 2 * self.c8 + 64   # >= any observed chain
         logs = {}
         wvs = {}
@@ -1059,9 +1349,13 @@ class MdIntraPipeline(IntraPipeline):
         return fq.reshape(rc, cc).astype(jnp.int32)
 
     def _edge_maps(self, size_map8):
-        """Deblocking BS=2 maps on the TU grid from the partition."""
+        """Deblocking BS=2 maps on the TU grid from the partition. A 64
+        CU's internal 32-TU edges are TU boundaries (filtered like
+        split CUs), so the 64 entries reduce to 32; an NxN cell's
+        internal 4x4 TU edges are off the 8-sample deblocking grid
+        (spec 8.7.2), so code 4 behaves as 8."""
         h, w = self.h, self.w
-        k = size_map8 >> 3
+        k = jnp.clip(size_map8, 8, 32) >> 3
         c = jnp.arange(self.c8)[None, :]
         r = jnp.arange(self.r8)[:, None]
         ver8 = ((c & (k - 1)) == 0) & (c > 0)   # [R8, C8]
@@ -1075,8 +1369,10 @@ class MdIntraPipeline(IntraPipeline):
         src_cb = src_cb_u8.astype(jnp.int32)
         src_cr = src_cr_u8.astype(jnp.int32)
         lam = self.lam2[0]
-        size_map8, mode_map8 = self._partition(src_y, src_cb, src_cr, lam)
-        state = self._recon_md(src_y, src_cb, src_cr, size_map8, mode_map8)
+        size_map8, mode_map8, mode_map4 = self._partition(
+            src_y, src_cb, src_cr, lam)
+        state = self._recon_md(src_y, src_cb, src_cr, size_map8,
+                               mode_map8, mode_map4=mode_map4)
         luma, chroma, _ = state
         h, w = self.h, self.w
         ry = luma[0, 1:1 + h, 1:1 + w]
@@ -1137,6 +1433,7 @@ class MdIntraPipeline(IntraPipeline):
             "rec_cr": rcr.astype(pix_t),
             "size_map8": size_map8.astype(jnp.int8),
             "mode_map8": mode_map8.astype(jnp.int8),
+            "mode_map4": mode_map4.astype(jnp.int8),
             "levels16_y": lvl_y.astype(jnp.int16),
             "levels16_cb": lvl_cb.astype(jnp.int16),
             "levels16_cr": lvl_cr.astype(jnp.int16),
@@ -1264,7 +1561,7 @@ class MdIntraPipeline(IntraPipeline):
         else:
             res = {k: (np.asarray(v)
                        if k in ("hash", "sse", "size_map8", "mode_map8",
-                                "qp_ctb")
+                                "mode_map4", "qp_ctb")
                        or k.startswith("sao_") else v)
                    for k, v in out.items()}
         if bool(np.asarray(res["lvl_ovf"])):

@@ -48,7 +48,7 @@ def get_lib():
     p32 = ctypes.POINTER(ctypes.c_int32)
     lib.kvz_tpu_encode_md_slice.restype = ctypes.c_int64
     lib.kvz_tpu_encode_md_slice.argtypes = [
-        p32, p32, p32, p32, p32,
+        p32, p32, p32, p32, p32, p32,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, p32, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -57,7 +57,14 @@ def get_lib():
     return lib
 
 
+# test hook: force the pure-Python writer path even when the native
+# library builds (used to assert bit-identical native/Python streams)
+_FORCE_OFF = False
+
+
 def available() -> bool:
+    if _FORCE_OFF:
+        return False
     try:
         get_lib()
         return True
@@ -116,7 +123,8 @@ def encode_md_slice(size8: np.ndarray, mode8: np.ndarray,
                     levels_y: np.ndarray, levels_cb: np.ndarray,
                     levels_cr: np.ndarray, qp: int, wpp: bool,
                     sdh: bool = False, sao_packed=None,
-                    bit_depth: int = 8) -> tuple[bytes, list[int]]:
+                    bit_depth: int = 8,
+                    mode4=None) -> tuple[bytes, list[int]]:
     """Encode quadtree (CTB-64) intra slice data.
     Returns (bytes, entry_sizes)."""
     lib = get_lib()
@@ -135,8 +143,12 @@ def encode_md_slice(size8: np.ndarray, mode8: np.ndarray,
         sao_packed = np.ascontiguousarray(sao_packed, dtype=np.int32)
         sao_ptr = sao_packed.ctypes.data_as(p)
     cmax = (1 << (min(bit_depth, 10) - 5)) - 1
+    mode4_ptr = None
+    if mode4 is not None:
+        mode4 = np.ascontiguousarray(mode4, dtype=np.int32)
+        mode4_ptr = mode4.ctypes.data_as(p)
     n = lib.kvz_tpu_encode_md_slice(
-        size8.ctypes.data_as(p), mode8.ctypes.data_as(p),
+        size8.ctypes.data_as(p), mode8.ctypes.data_as(p), mode4_ptr,
         ly.ctypes.data_as(p), lcb.ctypes.data_as(p), lcr.ctypes.data_as(p),
         h, w, qp, 1 if wpp else 0, 1 if sdh else 0,
         sao_ptr, cmax,

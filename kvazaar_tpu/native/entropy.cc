@@ -595,6 +595,7 @@ struct SaoRec {
 
 struct MdWriter {
   const int32_t *size8, *mode8;
+  const int32_t* mode4d;  // per-4x4 PU modes (NxN cells) or null
   const int32_t *ly, *lcb, *lcr;
   int h, w, r8, c8;
   int sdh;
@@ -603,16 +604,33 @@ struct MdWriter {
   int ctb_rows, ctb_cols;
   uint8_t* coded8;    // [r8*c8] written-cell mask
   int8_t* depth8;     // [r8*c8]
+  // 4x4-granular coded/mode state: MPM neighbours are PUs, which NxN
+  // makes 4x4-granular (mirrors decoder fs.intra_mode/fs.coded)
+  uint8_t* coded4;    // [r4*c4]
+  int32_t* mode4s;    // [r4*c4]
   Cabac* cab;
 
   bool coded_at8(int c8x, int c8y) const {
     if (c8x < 0 || c8y < 0 || c8x >= c8 || c8y >= r8) return false;
     return coded8[c8y * c8 + c8x] != 0;
   }
-  int neighbor_mode(int c8x, int c8y, int cur_y8, bool above) const {
-    if (!coded_at8(c8x, c8y)) return 1;  // DC
-    if (above && (c8y >> 3) != (cur_y8 >> 3)) return 1;  // other CTB row
-    return mode8[c8y * c8 + c8x];
+  // (x, y) in pixels; cur_y = current PU's top pixel row
+  int neighbor_mode(int x, int y, int cur_y, bool above) const {
+    int c4 = this->c8 * 2, r4 = this->r8 * 2;
+    int x4 = x >> 2, y4 = y >> 2;
+    if (x4 < 0 || y4 < 0 || x4 >= c4 || y4 >= r4) return 1;  // DC
+    if (!coded4[y4 * c4 + x4]) return 1;
+    if (above && (y >> 6) != (cur_y >> 6)) return 1;  // other CTB row
+    return mode4s[y4 * c4 + x4];
+  }
+  void mark4(int x0, int y0, int size, int mode) {
+    int c4 = this->c8 * 2;
+    for (int r = 0; r < (size >> 2); r++)
+      for (int c = 0; c < (size >> 2); c++) {
+        int i = ((y0 >> 2) + r) * c4 + (x0 >> 2) + c;
+        coded4[i] = 1;
+        mode4s[i] = mode;
+      }
   }
 
   void write_sao_offsets(const int32_t* off, bool band) {
@@ -662,26 +680,27 @@ struct MdWriter {
     }
   }
 
-  void transform_unit(int x0, int y0, int log2, int mode) {
+  int plane_any(const int32_t* p, int stride, int x0, int y0,
+                int size) const {
+    for (int r = 0; r < size; r++) {
+      const int32_t* row = p + (int64_t)(y0 + r) * stride + x0;
+      for (int c = 0; c < size; c++) if (row[c]) return 1;
+    }
+    return 0;
+  }
+
+  void tu_leaf(int x0, int y0, int log2, int mode, int depth,
+               int parent_cb, int parent_cr) {
     int size = 1 << log2;
     int csize = size >> 1, c_log2 = log2 - 1;
     int cy0 = y0 >> 1, cx0 = x0 >> 1, cw = w >> 1;
-    int cbf_y = 0, cbf_cb = 0, cbf_cr = 0;
-    for (int r = 0; r < size && !cbf_y; r++) {
-      const int32_t* p = ly + (int64_t)(y0 + r) * w + x0;
-      for (int c = 0; c < size; c++) if (p[c]) { cbf_y = 1; break; }
-    }
-    for (int r = 0; r < csize && !cbf_cb; r++) {
-      const int32_t* p = lcb + (int64_t)(cy0 + r) * cw + cx0;
-      for (int c = 0; c < csize; c++) if (p[c]) { cbf_cb = 1; break; }
-    }
-    for (int r = 0; r < csize && !cbf_cr; r++) {
-      const int32_t* p = lcr + (int64_t)(cy0 + r) * cw + cx0;
-      for (int c = 0; c < csize; c++) if (p[c]) { cbf_cr = 1; break; }
-    }
-    cab->encode_bin(KVZ_CTX_CBF_CHROMA + 0, cbf_cb);
-    cab->encode_bin(KVZ_CTX_CBF_CHROMA + 0, cbf_cr);
-    cab->encode_bin(KVZ_CTX_CBF_LUMA + 1, cbf_y);
+    int cbf_y = plane_any(ly, w, x0, y0, size);
+    int cbf_cb = parent_cb ? plane_any(lcb, cw, cx0, cy0, csize) : 0;
+    int cbf_cr = parent_cr ? plane_any(lcr, cw, cx0, cy0, csize) : 0;
+    // chroma cbf ctx = trafoDepth; luma ctx 1 iff trafoDepth 0
+    if (parent_cb) cab->encode_bin(KVZ_CTX_CBF_CHROMA + depth, cbf_cb);
+    if (parent_cr) cab->encode_bin(KVZ_CTX_CBF_CHROMA + depth, cbf_cr);
+    cab->encode_bin(KVZ_CTX_CBF_LUMA + (depth == 0 ? 1 : 0), cbf_y);
     if (cbf_y)
       encode_residual_any(*cab, ly, w, x0, y0, log2, 0,
                           intra_scan_idx(mode, log2, 0), sdh);
@@ -693,15 +712,29 @@ struct MdWriter {
                           intra_scan_idx(mode, c_log2, 2), sdh);
   }
 
-  void coding_unit(int x0, int y0, int log2) {
-    int x8 = x0 >> 3, y8 = y0 >> 3;
-    if (log2 == 3)
-      cab->encode_bin(KVZ_CTX_PART_MODE, 1);  // 2Nx2N at min CB
-    int mode = mode8[y8 * c8 + x8];
-    // MPM (spec 8.4.2): candA left, candB above (other-CTB-row -> DC)
-    int a = neighbor_mode(x8 - 1, y8, y8, false);
-    int b = neighbor_mode(x8, y8 - 1, y8, true);
-    int mpm[3];
+  void transform_unit(int x0, int y0, int log2, int mode) {
+    if (log2 == 6) {
+      // 64x64 CU: forced TU split (spec 7.3.8.8) — chroma cbfs at
+      // trafoDepth 0, then four 32x32 TUs in z order
+      int cw = w >> 1;
+      int cbf_cb = plane_any(lcb, cw, x0 >> 1, y0 >> 1, 32);
+      int cbf_cr = plane_any(lcr, cw, x0 >> 1, y0 >> 1, 32);
+      cab->encode_bin(KVZ_CTX_CBF_CHROMA + 0, cbf_cb);
+      cab->encode_bin(KVZ_CTX_CBF_CHROMA + 0, cbf_cr);
+      static const int off[4][2] = {{0, 0}, {1, 0}, {0, 1}, {1, 1}};
+      for (int i = 0; i < 4; i++)
+        tu_leaf(x0 + off[i][0] * 32, y0 + off[i][1] * 32, 5, mode, 1,
+                cbf_cb, cbf_cr);
+      return;
+    }
+    tu_leaf(x0, y0, log2, mode, 0, 1, 1);
+  }
+
+  // MPM list (spec 8.4.2): candA left, candB above (other-CTB-row ->
+  // DC); (x0, y0) = the PU's top-left pixel
+  void mpm_list(int x0, int y0, int mpm[3]) const {
+    int a = neighbor_mode(x0 - 1, y0, y0, false);
+    int b = neighbor_mode(x0, y0 - 1, y0, true);
     if (a == b) {
       if (a < 2) { mpm[0] = 0; mpm[1] = 1; mpm[2] = 26; }
       else { mpm[0] = a; mpm[1] = 2 + ((a + 29) % 32);
@@ -712,36 +745,105 @@ struct MdWriter {
       else if (a + b < 2) mpm[2] = 26;
       else mpm[2] = 1;
     }
-    int idx = -1;
-    for (int i = 0; i < 3; i++) if (mpm[i] == mode) { idx = i; break; }
-    if (idx >= 0) {
-      cab->encode_bin(KVZ_CTX_PREV_INTRA_LUMA_PRED_FLAG, 1);
-      if (idx == 0) cab->encode_bin_ep(0);
-      else { cab->encode_bin_ep(1); cab->encode_bin_ep(idx - 1); }
+  }
+
+  // -> flag; payload goes out via *pay (mpm idx if flag, else rem)
+  static int mode_payload(int mode, const int mpm[3], int* pay) {
+    for (int i = 0; i < 3; i++)
+      if (mpm[i] == mode) { *pay = i; return 1; }
+    int rem = mode;
+    int s0 = mpm[0], s1 = mpm[1], s2 = mpm[2], t;
+    if (s0 > s1) { t = s0; s0 = s1; s1 = t; }
+    if (s1 > s2) { t = s1; s1 = s2; s2 = t; }
+    if (s0 > s1) { t = s0; s0 = s1; s1 = t; }
+    if (rem > s2) rem--;
+    if (rem > s1) rem--;
+    if (rem > s0) rem--;
+    *pay = rem;
+    return 0;
+  }
+
+  void write_mode_payload(int flag, int pay) {
+    if (flag) {
+      if (pay == 0) cab->encode_bin_ep(0);
+      else { cab->encode_bin_ep(1); cab->encode_bin_ep(pay - 1); }
     } else {
-      cab->encode_bin(KVZ_CTX_PREV_INTRA_LUMA_PRED_FLAG, 0);
-      int rem = mode;
-      int s0 = mpm[0], s1 = mpm[1], s2 = mpm[2], t;
-      if (s0 > s1) { t = s0; s0 = s1; s1 = t; }
-      if (s1 > s2) { t = s1; s1 = s2; s2 = t; }
-      if (s0 > s1) { t = s0; s0 = s1; s1 = t; }
-      if (rem > s2) rem--;
-      if (rem > s1) rem--;
-      if (rem > s0) rem--;
-      cab->encode_bins_ep(rem, 5);
+      cab->encode_bins_ep(pay, 5);
     }
+  }
+
+  void coding_unit(int x0, int y0, int log2) {
+    int x8 = x0 >> 3, y8 = y0 >> 3;
+    bool nxn = log2 == 3 && size8[y8 * c8 + x8] == 4 && mode4d;
+    if (log2 == 3)
+      cab->encode_bin(KVZ_CTX_PART_MODE, nxn ? 0 : 1);
     int k = 1 << (log2 - 3);
     for (int r = 0; r < k; r++)
       for (int c = 0; c < k; c++)
         coded8[(y8 + r) * c8 + x8 + c] = 1;
+    if (nxn) { coding_unit_nxn(x0, y0); return; }
+    int mode = mode8[y8 * c8 + x8];
+    int mpm[3], pay;
+    mpm_list(x0, y0, mpm);
+    int flag = mode_payload(mode, mpm, &pay);
+    cab->encode_bin(KVZ_CTX_PREV_INTRA_LUMA_PRED_FLAG, flag);
+    write_mode_payload(flag, pay);
+    mark4(x0, y0, 1 << log2, mode);
     cab->encode_bin(KVZ_CTX_INTRA_CHROMA_PRED_MODE, 0);  // derived mode
     transform_unit(x0, y0, log2, mode);
+  }
+
+  // NxN intra CU: four 4x4 PUs with independent modes, forced TU split
+  // into four 4x4 DST TUs (IntraSplitFlag, spec 7.3.8.5/7.3.8.8). All
+  // prev_intra_luma_pred_flags precede the payloads; MPM lists update
+  // progressively so PU i sees PU <i modes (decoder parse order).
+  void coding_unit_nxn(int x0, int y0) {
+    static const int off[4][2] = {{0, 0}, {4, 0}, {0, 4}, {4, 4}};
+    int c4 = c8 * 2;
+    int modes[4], flags[4], pays[4];
+    for (int i = 0; i < 4; i++) {
+      int x = x0 + off[i][0], y = y0 + off[i][1];
+      modes[i] = mode4d[(y >> 2) * c4 + (x >> 2)];
+      int mpm[3];
+      mpm_list(x, y, mpm);
+      flags[i] = mode_payload(modes[i], mpm, &pays[i]);
+      mark4(x, y, 4, modes[i]);
+    }
+    for (int i = 0; i < 4; i++)
+      cab->encode_bin(KVZ_CTX_PREV_INTRA_LUMA_PRED_FLAG, flags[i]);
+    for (int i = 0; i < 4; i++) write_mode_payload(flags[i], pays[i]);
+    cab->encode_bin(KVZ_CTX_INTRA_CHROMA_PRED_MODE, 0);
+    // transform tree: chroma cbfs at the 8x8 level (ctx trafoDepth 0),
+    // four 4x4 luma TUs; the CU's 4x4 chroma TU rides blkIdx 3
+    int cw = w >> 1, cx0 = x0 >> 1, cy0 = y0 >> 1;
+    int cbf_cb = plane_any(lcb, cw, cx0, cy0, 4);
+    int cbf_cr = plane_any(lcr, cw, cx0, cy0, 4);
+    cab->encode_bin(KVZ_CTX_CBF_CHROMA + 0, cbf_cb);
+    cab->encode_bin(KVZ_CTX_CBF_CHROMA + 0, cbf_cr);
+    for (int i = 0; i < 4; i++) {
+      int x = x0 + off[i][0], y = y0 + off[i][1];
+      int cbf_y = plane_any(ly, w, x, y, 4);
+      cab->encode_bin(KVZ_CTX_CBF_LUMA + 0, cbf_y);
+      if (cbf_y)
+        encode_residual_any(*cab, ly, w, x, y, 2, 0,
+                            intra_scan_idx(modes[i], 2, 0), sdh);
+      if (i == 3) {
+        // chroma scan follows the chroma (DM = PU0) mode
+        if (cbf_cb)
+          encode_residual_any(*cab, lcb, cw, cx0, cy0, 2, 1,
+                              intra_scan_idx(modes[0], 2, 2), sdh);
+        if (cbf_cr)
+          encode_residual_any(*cab, lcr, cw, cx0, cy0, 2, 2,
+                              intra_scan_idx(modes[0], 2, 2), sdh);
+      }
+    }
   }
 
   void coding_quadtree(int x0, int y0, int log2, int depth) {
     int size = 1 << log2;
     bool inside = (x0 + size <= w) && (y0 + size <= h);
     int leaf = inside ? size8[(y0 >> 3) * c8 + (x0 >> 3)] : 0;
+    if (leaf == 4) leaf = 8;  // NxN cell: a leaf at size 8
     bool split;
     if (inside && log2 > 3) {
       split = size > leaf;
@@ -786,6 +888,7 @@ extern "C" {
 // SaoRec) or null. Returns total bytes (-1 on overflow); entry_sizes[r]
 // gets per-row substream sizes when wpp.
 int64_t kvz_tpu_encode_md_slice(const int32_t* size8, const int32_t* mode8,
+                                const int32_t* mode4,
                                 const int32_t* ly, const int32_t* lcb,
                                 const int32_t* lcr, int h, int w, int qp,
                                 int wpp, int sdh,
@@ -801,9 +904,11 @@ int64_t kvz_tpu_encode_md_slice(const int32_t* size8, const int32_t* mode8,
   int rows = h >> 6, cols = w >> 6;
   uint8_t* coded8 = new uint8_t[r8 * c8]();
   int8_t* depth8 = new int8_t[r8 * c8]();
-  MdWriter md{size8, mode8, ly, lcb, lcr, h, w, r8, c8, sdh,
+  uint8_t* coded4 = new uint8_t[r8 * c8 * 4]();
+  int32_t* mode4s = new int32_t[r8 * c8 * 4]();
+  MdWriter md{size8, mode8, mode4, ly, lcb, lcr, h, w, r8, c8, sdh,
               (const SaoRec*)sao_packed, sao_cmax, rows, cols,
-              coded8, depth8, &cab};
+              coded8, depth8, coded4, mode4s, &cab};
 
   if (!wpp) {
     cab.reset_engine();
@@ -836,6 +941,8 @@ int64_t kvz_tpu_encode_md_slice(const int32_t* size8, const int32_t* mode8,
     }
   }
   delete[] coded8;
+  delete[] coded4;
+  delete[] mode4s;
   delete[] depth8;
   return bw.len <= out_cap ? bw.len : -1;
 }
