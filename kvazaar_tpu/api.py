@@ -220,7 +220,8 @@ class Encoder:
                     deblock_tc=cfg.deblock_tc, sao=cfg.sao_type,
                     sign_hiding=cfg.signhide_enable,
                     rdoq=cfg.rdoq_enable,
-                    pu_depth=tuple(cfg.pu_depth_intra))
+                    pu_depth=tuple(cfg.pu_depth_intra),
+                    rd=cfg.rd)
                 self._pipeline = self._inter_pipeline
             elif self.inter_enabled:
                 from .models.inter_pipeline import InterPipeline
@@ -247,7 +248,8 @@ class Encoder:
                     pipe_kw.update(delta_qp=self.dqp_enabled,
                                    wpp=bool(cfg.wpp),
                                    bit_depth=cfg.input_bitdepth,
-                                   pu_depth=tuple(cfg.pu_depth_intra))
+                                   pu_depth=tuple(cfg.pu_depth_intra),
+                                   rd=cfg.rd)
                     if cfg.scaling_list != "off":
                         from .hevc.scaling import ScalingLists
                         pipe_kw.update(scaling=ScalingLists())

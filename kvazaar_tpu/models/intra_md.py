@@ -81,7 +81,8 @@ class MdIntraPipeline(IntraPipeline):
                  delta_qp: bool = False, wpp: bool = False,
                  scaling=None, lossless: bool = False,
                  bit_depth: int = 8,
-                 pu_depth: tuple[int, int] = (1, 3)) -> None:
+                 pu_depth: tuple[int, int] = (1, 3),
+                 rd: int = 0) -> None:
         assert height % self.CTB == 0 and width % self.CTB == 0
         self.bd = bit_depth
         self.maxv = (1 << bit_depth) - 1
@@ -105,6 +106,19 @@ class MdIntraPipeline(IntraPipeline):
         # the normative prediction matmuls then need full f32
         self._prec = (jax.lax.Precision.HIGHEST if bit_depth > 8
                       else None)
+        # rd ladder: number of best-SATD modes that get a full RD cost
+        # per leaf (the reference's --rd widens its RDO candidate list
+        # the same way, src/cfg.c preset table / search_intra_rdo)
+        self.rd_cands = max(1, min(int(rd), 3) + 1)
+        # learned fast coefficient-cost weights (reference
+        # src/fast_coeff_cost.c analog; trained offline by
+        # tools/rdcost_weights.py). Keyed by log2 TU size; empty dict
+        # (missing module) falls back to the context-free bin count.
+        try:
+            from ..engine.fast_cost_weights import FAST_COST_WEIGHTS
+            self.fast_cost = dict(FAST_COST_WEIGHTS)
+        except ImportError:
+            self.fast_cost = {}
         # lossless (transquant bypass): residual passes through
         # untouched; SDH/RDOQ are meaningless and forced off
         self.lossless = lossless
@@ -364,6 +378,23 @@ class MdIntraPipeline(IntraPipeline):
                                 jnp.where(al == 2, 4.0, r3)))
         return r.sum(axis=(-1, -2))
 
+    def _rate_tu(self, levels: jax.Array, n: int) -> jax.Array:
+        """TU rate for the leaf RD costs: the learned fast
+        coefficient-cost model (linear in batched |level| features,
+        trained by tools/rdcost_weights.py on exact CABAC bits — the
+        reference's src/fast_coeff_cost.c analog), falling back to the
+        context-free bin count when no weights exist for this size."""
+        w = self.fast_cost.get(n.bit_length() - 1)
+        if w is None:
+            return self._rate_bins(levels)
+        al = jnp.abs(levels).astype(jnp.float32)
+        f1 = (al >= 1.0).sum(axis=(-1, -2), dtype=jnp.float32)
+        f2 = (al >= 2.0).sum(axis=(-1, -2), dtype=jnp.float32)
+        f3 = jnp.minimum(al, 3.0).sum(axis=(-1, -2))
+        f4 = jnp.log2(jnp.maximum(al - 2.0, 1.0)).sum(axis=(-1, -2))
+        r = w[0] + w[1] * f1 + w[2] * f2 + w[3] * f3 + w[4] * f4
+        return jnp.maximum(r, 1.0) * (f1 > 0)
+
     # scan-aware sign-data-hiding: when the TU's coefficient scan is
     # mode-dependent (8x8 luma, 4x4 chroma), the parity fix must walk the
     # same scan the writer/decoder use. _fire_class sets _sdh_scan_sel
@@ -452,14 +483,37 @@ class MdIntraPipeline(IntraPipeline):
         blocks = self._blocks(src_y, n)
         satd = self._satd_tiles(blocks[:, None] -
                                 preds.reshape(-1, 35, n, n))
-        modes = jnp.argmin(satd, axis=1).astype(jnp.int32)
+        k = self.rd_cands
+        if k == 1:
+            modes = jnp.argmin(satd, axis=1).astype(jnp.int32)
+        else:
+            # rd ladder: RD-cost the K best-SATD modes and keep the
+            # cheapest (reference: --rd widens the RDO candidate set,
+            # src/search_intra.c search_intra_rdo / cfg.c rdo levels)
+            _, cand = jax.lax.top_k(-satd, k)          # [B, k]
+            B = blocks.shape[0]
+            predk = jnp.take_along_axis(
+                preds.reshape(B, 35, n, n), cand[:, :, None, None],
+                axis=1)                                 # [B, k, n, n]
+            resik = (blocks[:, None] - predk).reshape(B * k, n, n)
+            qpk = jnp.repeat(qp_y, k) if self.delta_qp else qp_y
+            lvk, rk2 = self._transform_quant_plain(
+                resik, t, qpk, n, mats=self._mats_for(n, True))
+            dk = ((resik - rk2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
+            rtk = self._rate_tu(lvk, n) + \
+                self.TU_BITS * jnp.any(lvk != 0, axis=(1, 2))
+            lamk = jnp.repeat(lam, k) if self.delta_qp else lam
+            ck = (dk + lamk * rtk).reshape(B, k)
+            sel = jnp.argmin(ck, axis=1)                # [B]
+            modes = jnp.take_along_axis(cand, sel[:, None],
+                                        axis=1)[:, 0].astype(jnp.int32)
         pred = jnp.take_along_axis(
             preds, modes[:, None, None], axis=1)[:, 0].reshape(-1, n, n)
         resi = blocks - pred
         levels, r2 = self._transform_quant_plain(
             resi, t, qp_y, n, mats=self._mats_for(n, True))
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
-        rate = self._rate_bins(levels) + \
+        rate = self._rate_tu(levels, n) + \
             self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
         # chroma (derived mode) at n/2
         nc = n // 2
@@ -472,7 +526,7 @@ class MdIntraPipeline(IntraPipeline):
             clev, cr2 = self._transform_quant_plain(
                 cresi, tc, qp_c, nc, mats=self._mats_for(nc, False))
             cdist = ((cresi - cr2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
-            crate = self._rate_bins(clev) + \
+            crate = self._rate_tu(clev, nc) + \
                 self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
             ccost = ccost + cdist + lam * crate
         cost = dist + lam * (rate + self.MODE_BITS) + ccost
@@ -513,7 +567,7 @@ class MdIntraPipeline(IntraPipeline):
         levels, r2 = self._transform_quant_plain(
             resi, self.t32, qy, n, mats=self._mats_for(n, True))
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
-        rate = self._rate_bins(levels) + \
+        rate = self._rate_tu(levels, 32) + \
             self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
         child = dist + lam_ch * rate
         for plane in (src_cb, src_cr):
@@ -526,7 +580,7 @@ class MdIntraPipeline(IntraPipeline):
                 cresi, self.t16, qc, 16, mats=self._mats_for(16, False))
             cdist = ((cresi - cr2).astype(jnp.float32) ** 2) \
                 .sum(axis=(1, 2))
-            crate = self._rate_bins(clev) + \
+            crate = self._rate_tu(clev, 16) + \
                 self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
             child = child + cdist + lam_ch * crate
         cost64 = child.reshape(r64, 2, c64, 2).sum(axis=(1, 3)) \
@@ -571,7 +625,7 @@ class MdIntraPipeline(IntraPipeline):
         levels, r2 = self._transform_quant_plain(
             resi, self.dst4, qy, 4, mats=self._mats_for(4, True))
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
-        rate = self._rate_bins(levels) + \
+        rate = self._rate_tu(levels, 4) + \
             self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
         child = (dist + lam4 * (rate + self.MODE_BITS)) \
             .reshape(r4n // 2, 2, c4n // 2, 2).sum(axis=(1, 3)) \
@@ -589,7 +643,7 @@ class MdIntraPipeline(IntraPipeline):
                 cresi, self.t4, qp_c, 4, mats=self._mats_for(4, False))
             cdist = ((cresi - cr2).astype(jnp.float32) ** 2) \
                 .sum(axis=(1, 2))
-            crate = self._rate_bins(clev) + \
+            crate = self._rate_tu(clev, 4) + \
                 self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
             cost = cost + cdist + lam * crate
         return m4, cost

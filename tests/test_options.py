@@ -65,3 +65,24 @@ def test_interlace_rejects_bpyramid():
                  gop_len=8, ctu_size=16, intra_period=0)
     with pytest.raises(ValueError):
         cfg.validate()
+
+
+def test_rd_ladder_changes_decisions():
+    """--rd widens the per-leaf RDO candidate set (top-K SATD modes get
+    a full RD cost, reference src/cfg.c preset rd axis): decisions must
+    differ on structured content, and every rd level stays conformant."""
+    from kvazaar_tpu.decoder.decoder import HEVCDecoder
+    w, h = 128, 64
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = ((xx * 3 + yy * 7) % 256).astype(np.uint8)
+    y[16:48, 32:96] = (xx[16:48, 32:96] * 11 % 256).astype(np.uint8)
+    frames = [(y, np.full((h // 2, w // 2), 100, np.uint8),
+               np.full((h // 2, w // 2), 150, np.uint8))]
+    outs = {}
+    for rd in (0, 3):
+        cfg = Config(width=w, height=h, qp=27, intra_period=1, rd=rd)
+        data, _ = encode_sequence(cfg, frames)
+        recs = HEVCDecoder().decode(bytes(data))
+        assert all(f.hash_ok for f in recs)
+        outs[rd] = bytes(data)
+    assert outs[0] != outs[3]

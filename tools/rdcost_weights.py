@@ -1,0 +1,159 @@
+"""rdcost-weight-tool analog: train the fast coefficient-cost model.
+
+The reference ships a learned linear model for the CABAC cost of a
+quantized TU (src/fast_coeff_cost.c, weights trained offline by
+rdcost-weight-tool/ on encoder logs) and uses it at low --rd levels in
+place of the exact context walk. This tool is the TPU-native
+counterpart: it encodes synthetic clips on the quadtree path, replays
+every coded TU through the real CabacEncoder to measure its exact bit
+cost, fits a least-squares linear model on cheap batched features
+(counts and capped sums — all vectorizable reductions on device), and
+writes the weights to kvazaar_tpu/engine/fast_cost_weights.py.
+
+Features per TU (computed from |levels|):
+    f0 = 1                      (cbf overhead: last-pos + csbf flags)
+    f1 = #(|l| >= 1)            (sig flags + sign bits + base cost)
+    f2 = #(|l| >= 2)            (gt1 flags)
+    f3 = sum(min(|l|, 3))       (gt2 / base magnitude)
+    f4 = sum(log2(max(|l|-2,1)))  (escape Golomb length)
+
+Usage: python tools/rdcost_weights.py [--frames 4] [--out PATH]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QPS = (22, 27, 32, 37)
+
+
+def tu_features(block: np.ndarray) -> np.ndarray:
+    al = np.abs(block.astype(np.int64))
+    return np.array([
+        1.0,
+        float((al >= 1).sum()),
+        float((al >= 2).sum()),
+        float(np.minimum(al, 3).sum()),
+        float(np.log2(np.maximum(al - 2, 1)).sum()),
+    ])
+
+
+def cabac_bits(cab) -> float:
+    """Current (fractional) bit position of a CabacEncoder."""
+    return cab.bit_count - np.log2(cab.range / 256.0)
+
+
+def measure_tus(frames, w, h, qp, tools):
+    """Encode one clip and replay every coded TU through the real
+    CABAC, returning (features [N,5], bits [N], log2size [N])."""
+    from kvazaar_tpu.api import Encoder
+    from kvazaar_tpu.bitstream import BitWriter
+    from kvazaar_tpu.cabac import CabacEncoder, ContextSet
+    from kvazaar_tpu.cfg import Config
+    from kvazaar_tpu.syntax.residual import encode_residual
+
+    cfg = Config(width=w, height=h, qp=qp, ctu_size=64, intra_period=1,
+                 **tools)
+    enc = Encoder(cfg)
+    rows = []
+    for f in frames:
+        enc.encode_frame(*f)
+        d = enc._last_decisions
+        size8 = np.asarray(d["size_map8"])
+        lvl_y = np.asarray(d["levels_y"])
+        cab = CabacEncoder(BitWriter(), ContextSet(0, qp))  # I slice
+        seen = np.zeros_like(size8, bool)
+        for r8 in range(size8.shape[0]):
+            for c8 in range(size8.shape[1]):
+                if seen[r8, c8]:
+                    continue
+                s = max(int(size8[r8, c8]), 8)
+                k = s // 8
+                seen[r8:r8 + k, c8:c8 + k] = True
+                if int(size8[r8, c8]) == 4:
+                    subs = [(lvl_y[r8 * 8 + dy:r8 * 8 + dy + 4,
+                                   c8 * 8 + dx:c8 * 8 + dx + 4], 2)
+                            for dy in (0, 4) for dx in (0, 4)]
+                elif s == 64:
+                    subs = [(lvl_y[r8 * 8 + dy:r8 * 8 + dy + 32,
+                                   c8 * 8 + dx:c8 * 8 + dx + 32], 5)
+                            for dy in (0, 32) for dx in (0, 32)]
+                else:
+                    subs = [(lvl_y[r8 * 8:r8 * 8 + s,
+                                   c8 * 8:c8 * 8 + s],
+                             s.bit_length() - 1)]
+                for blk, log2s in subs:
+                    if not blk.any():
+                        continue
+                    b0 = cabac_bits(cab)
+                    encode_residual(cab, blk.astype(np.int64), log2s,
+                                    0, 0, False)
+                    rows.append((tu_features(blk),
+                                 cabac_bits(cab) - b0, log2s))
+    if not rows:
+        return (np.zeros((0, 5)), np.zeros(0), np.zeros(0, int))
+    feats = np.stack([r[0] for r in rows])
+    bits = np.array([r[1] for r in rows])
+    sizes = np.array([r[2] for r in rows], int)
+    return feats, bits, sizes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "kvazaar_tpu", "engine", "fast_cost_weights.py"))
+    args = ap.parse_args()
+
+    from tools.bd_rate import synth_clips
+    tools = dict(deblock_enable=True, sao_type="full", rdoq_enable=True,
+                 pu_depth_intra=(1, 4))
+    clips, w, h = synth_clips(args.frames)
+    feats, bits, sizes = [], [], []
+    for name, frames in clips.items():
+        for qp in QPS:
+            f, b, s = measure_tus(frames, w, h, qp, tools)
+            feats.append(f)
+            bits.append(b)
+            sizes.append(s)
+            print(f"{name} qp{qp}: {len(b)} TUs", file=sys.stderr)
+    feats = np.concatenate(feats)
+    bits = np.concatenate(bits)
+    sizes = np.concatenate(sizes)
+
+    weights = {}
+    for log2s in (2, 3, 4, 5):
+        m = sizes == log2s
+        if m.sum() < 32:
+            continue
+        wvec, res, *_ = np.linalg.lstsq(feats[m], bits[m], rcond=None)
+        pred = feats[m] @ wvec
+        err = float(np.mean(np.abs(pred - bits[m])))
+        rel = err / float(np.mean(bits[m]))
+        print(f"size {1 << log2s}: n={int(m.sum())} "
+              f"mean_bits={float(np.mean(bits[m])):.1f} "
+              f"mae={err:.2f} ({100 * rel:.1f}%)", file=sys.stderr)
+        weights[log2s] = [round(float(x), 4) for x in wvec]
+
+    with open(args.out, "w") as f:
+        f.write('"""Learned fast coefficient-cost weights '
+                "(generated by tools/rdcost_weights.py).\n\n"
+                "Linear model of exact CABAC TU bits on batched "
+                "features; the reference's\n"
+                "src/fast_coeff_cost.c default table analog. "
+                'Keyed by log2 TU size."""\n\n')
+        f.write("FAST_COST_WEIGHTS = {\n")
+        for k in sorted(weights):
+            f.write(f"    {k}: {weights[k]},\n")
+        f.write("}\n")
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
