@@ -874,22 +874,35 @@ class MdIntraPipeline(IntraPipeline):
         return need
 
     def _class_ready(self, written, st, s):
+        # All neighbour-window reductions are strided slices of the cell
+        # map plus leading/trailing-dim reshapes; the previous
+        # pad-then-reshape view ([r8+k, c8+k] -> [rs+1, k, cs+1, k])
+        # lowered to serialized gather fusions that dominated the wave
+        # body (profiled at ~100 us/wave at 1080p).
         k = s // 8
         rs, cs = self.r8 // k, self.c8 // k
         notdone = ~written[::k, ::k]
         unwr = (~written).astype(jnp.int32)
-        u4 = jnp.pad(unwr, ((0, k), (0, k))).reshape(rs + 1, k, cs + 1, k)
-        # left main: block (r, :, c-1, k-1) unwritten count (c > 0)
-        lm = jnp.pad(u4[:rs, :, :cs - 1, k - 1].sum(1), ((0, 0), (1, 0)))
-        # corner: cell (r-1 blk, k-1, c-1 blk, k-1)
-        cor = jnp.pad(u4[:rs - 1, k - 1, :cs - 1, k - 1],
-                      ((1, 0), (1, 0)))
-        # top main: block (r-1, k-1, c, :) (r > 0)
-        tm = jnp.pad(u4[:rs - 1, k - 1, :cs, :].sum(-1),
-                     ((1, 0), (0, 0)))
-        bl_dep = jnp.pad((st["av_bl"] & (u4[1:, :, :cs - 1, k - 1] > 0))
+        col_last = unwr[:, k - 1::k]                      # [r8, cs]
+        row_last = unwr[k - 1::k, :]                      # [rs, c8]
+        # left main: unwritten count in cell column (c-1, last col)
+        lm_full = col_last.reshape(rs, k, cs).sum(1)      # [rs, cs]
+        lm = jnp.pad(lm_full, ((0, 0), (1, 0)))[:, :cs]
+        # corner: cell (r-1, c-1) last pixel row+col
+        cor_cells = col_last[k - 1::k, :]                 # [rs, cs]
+        cor = jnp.pad(cor_cells, ((1, 0), (1, 0)))[:rs, :cs]
+        # top main: unwritten count in cell row (r-1, last row)
+        tm_full = row_last.reshape(rs, cs, k).sum(-1)     # [rs, cs]
+        tm = jnp.pad(tm_full, ((1, 0), (0, 0)))[:rs, :]
+        # below-left: rows (r+1)*k+j of column (c-1, last col)
+        blv = jnp.pad(col_last, ((0, k), (0, 0)))[k:] \
+            .reshape(rs, k, cs)
+        bl_dep = jnp.pad((st["av_bl"] & (blv[:, :, :cs - 1] > 0))
                          .sum(1), ((0, 0), (1, 0)))
-        tr_dep = jnp.pad((st["av_tr"] & (u4[:rs - 1, k - 1, 1:, :] > 0))
+        # top-right: cols (c+1)*k+m of row (r, last row)
+        trv = jnp.pad(row_last, ((0, 0), (0, k)))[:, k:] \
+            .reshape(rs, cs, k)
+        tr_dep = jnp.pad((st["av_tr"] & (trv[:rs - 1] > 0))
                          .sum(-1), ((1, 0), (0, 0)))
         ok_l = (lm == 0) if "need_l" not in st else \
             ((lm == 0) | ~st["need_l"])
@@ -1328,8 +1341,11 @@ class MdIntraPipeline(IntraPipeline):
                 row_has = ready.any(axis=1)
                 fired_mask = ready & \
                     (jnp.arange(cs)[None, :] == c_star[:, None])
-                new_written = new_written | jnp.repeat(
-                    jnp.repeat(fired_mask, k, 0), k, 1)
+                # broadcast+reshape, NOT jnp.repeat (gather on TPU)
+                up = jnp.broadcast_to(
+                    fired_mask[:, None, :, None],
+                    (rs, k, cs, k)).reshape(self.r8, self.c8)
+                new_written = new_written | up
                 stores, yb, cb = self._class_apply(
                     stores, s, c_star, row_has, statics[s], pres[s])
                 ylog, clog = logs[s]
