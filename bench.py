@@ -83,9 +83,9 @@ def bench_ours(frames):
 
 
 def bench_reference(frames, preset="medium"):
-    ref = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       ".refbuild", "bin", "kvazaar")
-    if not os.path.exists(ref):
+    from tools.refbuild import ensure_ref_encoder
+    ref = ensure_ref_encoder()
+    if ref is None:
         return None, None
     with tempfile.TemporaryDirectory() as td:
         yuv = os.path.join(td, "in.yuv")

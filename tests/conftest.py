@@ -34,7 +34,15 @@ REF_ENCODER = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def have_ref_encoder() -> bool:
-    return os.path.exists(REF_ENCODER)
+    if os.path.exists(REF_ENCODER):
+        return True
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from tools.refbuild import ensure_ref_encoder
+        return ensure_ref_encoder() is not None
+    except Exception:
+        return False
 
 
 @pytest.fixture

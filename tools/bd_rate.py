@@ -26,6 +26,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 REF = os.path.join(REPO, ".refbuild", "bin", "kvazaar")
 
+
+def _ensure_ref() -> bool:
+    from tools.refbuild import ensure_ref_encoder
+    return ensure_ref_encoder() is not None
+
 QPS = (22, 27, 32, 37)
 
 
@@ -137,11 +142,13 @@ def encode_ref(frames, w, h, qp, preset) -> tuple[int, float]:
 def measure(preset: str = "medium", n_frames: int = 8,
             tools: dict | None = None,
             size: tuple[int, int] = (416, 240)) -> dict:
+    _ensure_ref()
     if tools is None:
-        # quality tools matching the medium preset row (cfg.c:657):
-        # deblock + sao + rdoq (+ signhide off at medium)
+        # quality tools matching the medium preset row (cfg.c:625-652):
+        # deblock + sao + rdoq, signhide off, pu-depth-intra 1-4, rd 0
         tools = dict(deblock_enable=True, sao_type="full",
-                     rdoq_enable=True, signhide_enable=False)
+                     rdoq_enable=True, signhide_enable=False,
+                     pu_depth_intra=(1, 4), rd=0)
     clips, w, h = synth_clips(n_frames, *size)
     per_clip = {}
     for name, frames in clips.items():
@@ -176,7 +183,7 @@ if __name__ == "__main__":
                     help="clip WxH (e.g. 448x288 isolates the CTB "
                          "padding overhead: no conformance cropping)")
     args = ap.parse_args()
-    if not os.path.exists(REF):
+    if not _ensure_ref():
         print(json.dumps({"error": "reference encoder not built"}))
         sys.exit(0)
     w, h = (int(v) for v in args.size.split("x"))
