@@ -73,6 +73,17 @@ class MdIntraPipeline(IntraPipeline):
     MODE_BITS = 4.0     # per-CU mode signalling (mpm flag + idx / rem)
     SPLIT_BITS = 1.0    # per split_cu_flag
     TU_BITS = 8.0       # cbf + last-pos overhead for a coded TU
+    # Leaf sweeps predict from SOURCE neighbours (the batched design has
+    # no recon refs at search time), which flatters small blocks: the
+    # real wavefront recon predicts from QUANTIZED neighbours, and the
+    # resulting prediction degradation concentrates at block borders,
+    # i.e. scales ~ 1/n per pixel with the local quantization noise.
+    # Model it as dist *= (1 + K/n) in the DP leaf costs (the leaf's own
+    # per-pixel distortion is the proxy for its neighbours' recon
+    # noise). Without this the DP overselects 8x8/NxN at high QP and
+    # loses both rate AND PSNR vs the reference (sines clip, QP37:
+    # 1987 B / 39.3 dB vs depth-1-2-forced 1431 B / 40.2 dB).
+    REF_NOISE_K = 4.0
 
     def __init__(self, height: int, width: int, qp: int,
                  deblock: bool = False, deblock_beta: int = 0,
@@ -528,8 +539,10 @@ class MdIntraPipeline(IntraPipeline):
             cdist = ((cresi - cr2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
             crate = self._rate_tu(clev, nc) + \
                 self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
-            ccost = ccost + cdist + lam * crate
-        cost = dist + lam * (rate + self.MODE_BITS) + ccost
+            ccost = ccost + cdist * (1 + self.REF_NOISE_K / nc) \
+                + lam * crate
+        cost = dist * (1 + self.REF_NOISE_K / n) \
+            + lam * (rate + self.MODE_BITS) + ccost
         return modes, cost
 
     def _leaf_rd64(self, src_y, src_cb, src_cr, lam):
@@ -569,7 +582,7 @@ class MdIntraPipeline(IntraPipeline):
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
         rate = self._rate_tu(levels, 32) + \
             self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
-        child = dist + lam_ch * rate
+        child = dist * (1 + self.REF_NOISE_K / n) + lam_ch * rate
         for plane in (src_cb, src_cr):
             crefs = self._src_refs(plane, 16)
             cpred = self._pred_one(crefs, mch, self.g16c, self.g16c,
@@ -582,7 +595,8 @@ class MdIntraPipeline(IntraPipeline):
                 .sum(axis=(1, 2))
             crate = self._rate_tu(clev, 16) + \
                 self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
-            child = child + cdist + lam_ch * crate
+            child = child + cdist * (1 + self.REF_NOISE_K / 16) \
+                + lam_ch * crate
         cost64 = child.reshape(r64, 2, c64, 2).sum(axis=(1, 3)) \
             .reshape(-1) + lam * self.MODE_BITS
         return m64, cost64
@@ -627,7 +641,8 @@ class MdIntraPipeline(IntraPipeline):
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
         rate = self._rate_tu(levels, 4) + \
             self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
-        child = (dist + lam4 * (rate + self.MODE_BITS)) \
+        child = (dist * (1 + self.REF_NOISE_K / 4)
+                 + lam4 * (rate + self.MODE_BITS)) \
             .reshape(r4n // 2, 2, c4n // 2, 2).sum(axis=(1, 3)) \
             .reshape(-1)                                  # [B8]
         # chroma 4x4 TU, derived (DM) from PU0's luma mode
@@ -645,7 +660,8 @@ class MdIntraPipeline(IntraPipeline):
                 .sum(axis=(1, 2))
             crate = self._rate_tu(clev, 4) + \
                 self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
-            cost = cost + cdist + lam * crate
+            cost = cost + cdist * (1 + self.REF_NOISE_K / 4) \
+                + lam * crate
         return m4, cost
 
     def _transform_quant(self, resi, t, qp, n, mats=None):
