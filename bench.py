@@ -1,14 +1,17 @@
-"""Benchmark: 1080p all-intra encode fps on the QUADTREE flagship path
-(CTB 64 partition DP + wavefront recon + deblock + SAO + RDOQ, native
-C++ entropy) vs the reference encoder's MEDIUM preset on this host, with
-a BD-rate measurement at matched settings (tools/bd_rate.py, QP
-22/27/32/37, 416x240 clips).
+"""Benchmark: 1080p encode fps vs the reference encoder's MEDIUM preset
+on this host, with BD-rate measurements at matched scenarios
+(tools/bd_rate.py, QP 22/27/32/37, 416x240 clips).
+
+Scenarios (BASELINE.json driver configs):
+  - all-intra on the quadtree flagship path (CTB 64 partition DP +
+    wavefront recon + deblock + SAO + RDOQ, native C++ entropy)
+  - low-delay P (lp-g4d3t1) on the quadtree inter path
+  - GOP8 B pyramid
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline = our fps / reference-medium fps (all-intra, same content).
-Extra keys: breakdown (device/entropy ms), bytes at QP27 for both
-encoders, and bd_rate_vs_medium_pct (negative = we need fewer bits at
-equal PSNR).
+Extra keys: device/host breakdown, low-delay and GOP8 fps + ratios, and
+bd_rate_*_pct (negative = we need fewer bits at equal PSNR).
 """
 import json
 import os
@@ -45,44 +48,46 @@ def synth_frames(n, w, h):
     return frames
 
 
-def bench_ours(frames):
+def bench_ours(frames, cfg_extra=None):
     from kvazaar_tpu.api import Encoder, encode_sequence
     from kvazaar_tpu.cfg import Config
-    cfg = Config(width=W, height=H, qp=QP, ctu_size=64, intra_period=1,
-                 **TOOLS)
+    kw = dict(width=W, height=H, qp=QP, ctu_size=64, intra_period=1,
+              **TOOLS)
+    kw.update(cfg_extra or {})
+    cfg = Config(**kw)
     enc = Encoder(cfg)
     # warmup (compile)
-    enc.encode_frame(*frames[0])
-    enc.frame_num = 0
+    out0, _ = encode_sequence(cfg, frames[:2], encoder=enc)
+    enc2 = Encoder(cfg)
     t0 = time.time()
-    out, infos = encode_sequence(cfg, frames, encoder=enc)
+    out, infos = encode_sequence(cfg, frames, encoder=enc2)
     dt = time.time() - t0
-    # breakdown: device-only throughput (pull one small dependent output
-    # per frame so timing can't run ahead of execution), then host
-    # entropy alone
+    return len(frames) / dt, len(out), enc2
+
+
+def breakdown(enc, frames):
+    """(device ms/frame incl. D2H, host-only finalize ms) on the
+    all-intra pipeline, measured with the device output already pulled
+    so host work can't hide a device wait."""
     pipe = enc._pipeline
     y, cb, cr = frames[1]
-    yp = np.pad(y, ((0, 8), (0, 0)), mode="edge")
-    cbp = np.pad(cb, ((0, 4), (0, 0)), mode="edge")
-    crp = np.pad(cr, ((0, 4), (0, 0)), mode="edge")
-    outs = pipe.submit(yp, cbp, crp)
-    dep = "hostbuf" if "hostbuf" in outs else "hash"
-    np.asarray(outs[dep])
+    meta = enc.submit_frame(y, cb, cr)
+    np.asarray(meta["dev"]["hostbuf"])
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        outs = pipe.submit(yp, cbp, crp)
-        np.asarray(outs[dep])
+        outs = enc.submit_frame(y, cb, cr)
+        np.asarray(outs["dev"]["hostbuf"])
     t_dev = (time.time() - t0) / reps
-    d = pipe.materialize(outs)
-    meta = enc.submit_frame(*frames[1])
+    meta2 = enc.submit_frame(y, cb, cr)
+    np.asarray(meta2["dev"]["hostbuf"])
     t0 = time.time()
-    enc.finalize_frame(meta)
+    enc.finalize_frame(meta2)
     t_host = time.time() - t0
-    return len(frames) / dt, len(out), t_dev, t_host
+    return t_dev, t_host
 
 
-def bench_reference(frames, preset="medium"):
+def bench_reference(frames, preset="medium", extra=("-p", "1")):
     from tools.refbuild import ensure_ref_encoder
     ref = ensure_ref_encoder()
     if ref is None:
@@ -100,7 +105,7 @@ def bench_reference(frames, preset="medium"):
         subprocess.run([ref, "--preset", preset, "-i", yuv,
                         "--input-res", f"{W}x{H}", "-o",
                         os.path.join(td, "o.hevc"),
-                        "-p", "1", "--qp", str(QP)],
+                        *extra, "--qp", str(QP)],
                        check=True, capture_output=True)
         dt = time.time() - t0
         nbytes = os.path.getsize(os.path.join(td, "o.hevc"))
@@ -108,17 +113,12 @@ def bench_reference(frames, preset="medium"):
 
 
 def main():
+    fast = "--fast" in sys.argv
     frames = synth_frames(N_FRAMES, W, H)
-    fps, nbytes, t_dev, t_host = bench_ours(frames)
+    fps, nbytes, enc = bench_ours(frames)
+    t_dev, t_host = breakdown(enc, frames)
     ref_fps, ref_bytes = bench_reference(frames)
-    bd = None
-    if "--no-bd" not in sys.argv and ref_fps is not None:
-        try:
-            from tools.bd_rate import measure
-            bd = measure("medium", 8)["bd_rate_pct"]
-        except Exception:
-            bd = None
-    print(json.dumps({
+    res = {
         "metric": "1080p_allintra_quadtree_fps_vs_medium",
         "value": round(fps, 4),
         "unit": "fps",
@@ -128,8 +128,50 @@ def main():
         "host_entropy_ms_per_frame": round(t_host * 1000, 1),
         "bytes_qp27_ours": nbytes,
         "bytes_qp27_ref": ref_bytes,
-        "bd_rate_vs_medium_pct": bd,
-    }))
+    }
+
+    # low-delay P on the quadtree inter path (driver config 2)
+    try:
+        ld_cfg = dict(intra_period=0, gop_len=4, gop_lowdelay=True,
+                      gop_lp=(3, 1), ref_frames=1)
+        ld_fps, ld_bytes, _ = bench_ours(frames, ld_cfg)
+        ld_ref_fps, ld_ref_bytes = bench_reference(
+            frames, extra=("-p", "0", "--gop", "lp-g4d3t1"))
+        res["lowdelay_fps"] = round(ld_fps, 4)
+        res["lowdelay_vs_medium"] = (round(ld_fps / ld_ref_fps, 4)
+                                     if ld_ref_fps else None)
+        res["lowdelay_bytes_ours"] = ld_bytes
+        res["lowdelay_bytes_ref"] = ld_ref_bytes
+    except Exception as e:  # pragma: no cover - keep the bench emitting
+        res["lowdelay_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # GOP8 B pyramid (driver config 3)
+    try:
+        # ctu 16 until the B pyramid rides the quadtree path
+        g8_cfg = dict(intra_period=24, gop_len=8, ctu_size=16)
+        g8_fps, g8_bytes, _ = bench_ours(frames, g8_cfg)
+        g8_ref_fps, g8_ref_bytes = bench_reference(
+            frames, extra=("-p", "24", "--gop", "8"))
+        res["gop8_fps"] = round(g8_fps, 4)
+        res["gop8_vs_medium"] = (round(g8_fps / g8_ref_fps, 4)
+                                 if g8_ref_fps else None)
+        res["gop8_bytes_ours"] = g8_bytes
+        res["gop8_bytes_ref"] = g8_ref_bytes
+    except Exception as e:  # pragma: no cover
+        res["gop8_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    if "--no-bd" not in sys.argv and not fast and ref_fps is not None:
+        from tools.bd_rate import measure
+        for mode, key in (("intra", "bd_rate_vs_medium_pct"),
+                          ("lowdelay", "bd_rate_lowdelay_pct"),
+                          ("gop8", "bd_rate_gop8_pct")):
+            try:
+                res[key] = measure("medium", 8, mode=mode)["bd_rate_pct"]
+            except Exception as e:
+                res[key] = None
+                res[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":

@@ -88,6 +88,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="HEVC level x10 (e.g. 40 = 4.0); 0 = auto")
     p.add_argument("--psnr", action="store_true", default=True)
     p.add_argument("--no-psnr", dest="psnr", action="store_false")
+    p.add_argument("--stats-file-prefix", dest="stats_file_prefix",
+                   default="", help="write per-frame poc/qp/lambda/bits/"
+                   "PSNR lines to <prefix>frames.txt")
     return p
 
 
@@ -110,7 +113,8 @@ def main(argv=None) -> int:
                  rc_algorithm=args.rc_algorithm,
                  source_scan_type=args.source_scan_type,
                  aud_enable=args.aud, vps_period=args.vps_period,
-                 level=args.level)
+                 level=args.level,
+                 stats_file_prefix=args.stats_file_prefix)
     cfg.parse("gop", args.gop)
     if args.pu_depth_intra:
         cfg.parse("pu-depth-intra", args.pu_depth_intra)
@@ -118,13 +122,12 @@ def main(argv=None) -> int:
         cfg.parse("tiles", args.tiles)
     if args.preset:
         apply_preset(cfg, args.preset)
-    # B-pyramid GOPs currently ride the 16-grid pipeline; everything
-    # else defaults to the quadtree flagship (CTB 64)
+    # everything defaults to the quadtree flagship (CTB 64); --ctu 16
+    # selects the fixed-grid pipeline explicitly
     if args.ctu:
         cfg.ctu_size = args.ctu
     else:
-        cfg.ctu_size = 16 if (cfg.gop_len > 1 and not cfg.gop_lowdelay
-                              and cfg.intra_period != 1) else 64
+        cfg.ctu_size = 64
     if args.tiles or args.vaq or args.roi or args.lossless \
             or reader.bit_depth > 8 or args.scaling_list != "off":
         cfg.ctu_size = 64      # these tools ride the quadtree pipeline

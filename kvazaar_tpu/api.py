@@ -40,7 +40,10 @@ def build_sps(cfg: Config) -> SPS:
     sps.scaling_list_enabled = 0 if cfg.scaling_list == "off" else 1
     sps.amp_enabled = 0      # no AMP partitions emitted yet (cfg rejects)
     sps.strong_intra_smoothing = 1 if cfg.strong_intra_smoothing else 0
-    sps.temporal_mvp_enabled = 0
+    # TMVP on for inter coding (ref src/encoder.c enables it except
+    # with tiles, src/cfg.c:922 — cross-tile collocated reads)
+    sps.temporal_mvp_enabled = (1 if cfg.intra_period != 1
+                                and tuple(cfg.tiles) == (1, 1) else 0)
     if cfg.gop_len > 1:
         # dyadic pyramid: up to 4 retained refs + current picture
         sps.max_dec_pic_buffering_minus1 = 4
@@ -180,13 +183,11 @@ class Encoder:
         self.poc = 0
         self._pipeline = None
         self._inter_pipeline = None
-        # inter on the quadtree path: low-delay P at CTB 64 (mixed CU
-        # sizes); B pyramids still ride the 16-grid pipeline
+        # inter on the quadtree path: P and B at CTB 64 (mixed CU sizes)
         # vaq/roi ride the all-intra quadtree delta-QP machinery; with
         # them set the encoder codes all-intra at ctu 64 (as round 1)
         self.inter_md = (dev_ok and cfg.ctu_size == 64
                          and cfg.intra_period != 1
-                         and (cfg.gop_len <= 1 or cfg.gop_lowdelay)
                          and tuple(cfg.tiles) == (1, 1)
                          and not cfg.lossless
                          and not (cfg.vaq or cfg.roi_file)
@@ -206,7 +207,7 @@ class Encoder:
         if cfg.gop_len > 1 and not self.inter_enabled:
             raise NotImplementedError(
                 "B-pyramid GOPs require the device pipeline "
-                "(ctu-size 16) in this round")
+                "(ctu-size 16 or 64) in this round")
         if self.use_device:
             if self.inter_md:
                 from .models.inter_md import MdInterPipeline
@@ -214,6 +215,7 @@ class Encoder:
                 self._inter_pipeline = MdInterPipeline(
                     self.sps.height, self.sps.width, cfg.qp,
                     n_refs=self.n_refs,
+                    b_slices=self.gop_enabled,
                     pu_depth_inter=tuple(cfg.pu_depth_inter),
                     deblock=cfg.deblock_enable,
                     deblock_beta=cfg.deblock_beta,
@@ -309,9 +311,15 @@ class Encoder:
         # DPB: newest-first reconstructed reference pictures (device- or
         # host-resident), trimmed to n_refs
         self._dpb: list[dict] = []
+        # TMVP collocated motion fields, snapshotted per coded reference
+        # frame ({"poc", "mv" [H/4,W/4,2,2], "ref_poc" [H/4,W/4,2]});
+        # mirrors the decoder's retained ref-entry motion (src/inter.c
+        # :836-920 temporal candidates)
+        self._motion_fields: dict[int, dict] = {}
         if self.gop_enabled:
             from .engine.gop import GopScheduler
-            self._sched = GopScheduler(cfg.gop_len, cfg.intra_period)
+            self._sched = GopScheduler(cfg.gop_len, cfg.intra_period,
+                                       base_qp=cfg.qp)
             self._gop_buf: list[tuple] = []   # display-order pending frames
             self._idr_disp = 0                # display index of POC 0
             self._gop_lo = 0                  # POC of last coded anchor
@@ -520,10 +528,13 @@ class Encoder:
                              qp_offset=ent["qp_offset"],
                              l0=l0[:max(1, cfg.ref_frames)], keep=keep)
         else:
+            from .engine.gop import intra_qp_offset
             spec = FrameSpec(
                 disp_idx=self.frame_num, poc=self.poc,
                 is_idr=is_idr, is_ref=True,
                 slice_type=2 if is_idr else 1,
+                qp_offset=(intra_qp_offset(cfg.gop_len)
+                           if is_idr and lp is not None else 0),
                 l0=[] if is_idr else [e["poc"] for e in self._dpb],
                 keep=None)
         self.frame_num += 1
@@ -709,10 +720,20 @@ class Encoder:
                 from .engine.md_inter_writer import MdPSliceWriter as PW
             else:
                 from .engine.inter_writer import PSliceWriter as PW
+            # TMVP (src/inter.c:836-920): entries carry the collocated
+            # motion field snapshotted after each coded frame; the slice
+            # enables TMVP only when every referenced picture has one
+            # (so writer candidate derivation == decoder derivation)
+            re0 = [dict(self._motion_fields.get(p, {}), poc=p)
+                   for p in l0]
+            re1 = [dict(self._motion_fields.get(p, {}), poc=p)
+                   for p in l1]
+            sh.temporal_mvp_enabled = (
+                1 if self.sps.temporal_mvp_enabled
+                and re0 and all("mv" in e for e in re0 + re1) else 0)
             writer = PW(
                 self.sps, self.pps, sh, decisions,
-                [{"poc": p} for p in l0], meta["poc"],
-                ref_entries_l1=[{"poc": p} for p in l1],
+                re0, meta["poc"], ref_entries_l1=re1,
                 union_pocs=meta.get("union", l0))
         elif self._pipeline is not None:
             decisions = self._pipeline.materialize(meta["dev"])
@@ -884,6 +905,31 @@ class Encoder:
                 bw.byte_align_one()
                 substreams.append(bw.get_bytes())
 
+        # snapshot this frame's motion field for future TMVP (decoder
+        # retains the same data from what it decodes, so writer-side
+        # candidate derivation stays symmetric)
+        if self.inter_enabled and meta.get("is_ref", True) \
+                and self.sps.temporal_mvp_enabled:
+            if meta["is_idr"]:
+                self._motion_fields.clear()
+            if writer is not None and hasattr(writer, "fs"):
+                self._motion_fields[meta["poc"]] = {
+                    "poc": meta["poc"], "mv": writer.fs.mv,
+                    "ref_poc": writer.fs.ref_poc}
+            else:
+                # intra reference frame: all-NO_REF collocated field
+                mh = self.sps.height_in_ctbs * self.sps.ctb_size // 4
+                mw = self.sps.width_in_ctbs * self.sps.ctb_size // 4
+                self._motion_fields[meta["poc"]] = {
+                    "poc": meta["poc"],
+                    "mv": np.zeros((mh, mw, 2, 2), np.int32),
+                    "ref_poc": np.full((mh, mw, 2), -(1 << 30),
+                                       np.int64)}
+            keep_mf = set(meta.get("dpb_pocs", [])) | {meta["poc"]}
+            for p in list(self._motion_fields):
+                if p not in keep_mf:
+                    del self._motion_fields[p]
+
         # entry point offsets count post-emulation (EBSP) bytes; substreams
         # end with a non-zero byte, so per-substream emulation equals
         # whole-slice emulation
@@ -985,6 +1031,14 @@ class Encoder:
             "recon_out": crop,
             "psnr": psnr,
         }
+        if cfg.stats_file_prefix:
+            # per-frame RC/observability dump, one line per frame
+            # (ref src/rate_control.c:98-106 --stats-file-prefix)
+            lam = 0.57 * 2.0 ** ((meta["qp"] - 12) / 3.0)
+            with open(cfg.stats_file_prefix + "frames.txt", "a") as f:
+                f.write(f"{meta['poc']} {meta['qp']} {lam:.4f} "
+                        f"{len(out) * 8} {psnr[0]:.4f} {psnr[1]:.4f} "
+                        f"{psnr[2]:.4f}\n")
         return out, info
 
 

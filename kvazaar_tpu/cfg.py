@@ -101,6 +101,10 @@ class Config:
     aud_enable: bool = False
     info: bool = False
     level: int = 0                  # 0 = auto
+    # per-frame RC/observability dumps (ref src/rate_control.c:98-106:
+    # --stats-file-prefix writes one line per frame: poc, qp, lambda,
+    # bits, per-plane PSNR)
+    stats_file_prefix: str = ""
 
     def __post_init__(self) -> None:
         if self.rc_algorithm == "auto":
@@ -167,6 +171,7 @@ class Config:
         "hash": ("hash", str),
         "aud": ("aud_enable", bool),
         "info": ("info", bool),
+        "stats-file-prefix": ("stats_file_prefix", str),
     }
 
     def parse(self, name: str, value) -> None:

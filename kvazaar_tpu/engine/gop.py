@@ -40,9 +40,31 @@ def _dyadic(lo: int, hi: int, depth: int, out: list) -> None:
     _dyadic(mid, hi, depth + 1, out)
 
 
-# layer -> QP offset (kvazaar gop.h ra8 uses 1/2/3/4 by layer)
-def _qp_off(layer: int) -> int:
-    return min(layer, 4)
+# (qp_offset, qp_model_offset, qp_model_scale) by layer, from the
+# reference GOP tables (src/gop.h kvz_gop_ra8:94, kvz_gop_ra16:201).
+# Total per-frame offset = qp_offset + CLIP(0, 3, qp'*scale + offset)
+# with qp' = base + qp_offset (src/rate_control.c:1040-1047).
+_QP_TABLE_8 = {1: (0, 0.0, 0.0), 2: (3, -6.25, 0.25),
+               3: (4, -6.25, 0.25), 4: (8, -7.0, 0.245)}
+_QP_TABLE_16 = {1: (1, 0.0, 0.0), 2: (1, -4.8848, 0.2061),
+                3: (4, -5.7476, 0.2286), 4: (5, -5.90, 0.2333),
+                5: (6, -7.1444, 0.3)}
+
+
+def gop_qp_offset(layer: int, base_qp: int, gop_len: int) -> int:
+    """Full per-layer QP offset for B pyramids at fixed QP."""
+    table = _QP_TABLE_16 if gop_len >= 16 else _QP_TABLE_8
+    off, mo, ms = table[min(max(layer, 1), max(table))]
+    q = base_qp + off
+    return off + int(min(3.0, max(0.0, q * ms + mo)) + 0.5)
+
+
+def intra_qp_offset(gop_len: int) -> int:
+    """Auto intra QP offset (ref src/encoder.c:180-183): I frames are
+    coded at lower QP when they anchor a pyramid."""
+    if gop_len <= 1:
+        return 0
+    return max(-(int(gop_len - 1).bit_length()) + 1, -3)
 
 
 def lp_gop_table(g: int, d: int, t: int, n_refs: int) -> list[dict]:
@@ -96,10 +118,11 @@ class GopScheduler:
     specs in list order."""
 
     def __init__(self, gop_len: int, intra_period: int, n_past_refs: int = 2,
-                 n_fut_refs: int = 2) -> None:
+                 n_fut_refs: int = 2, base_qp: int = 0) -> None:
         assert gop_len >= 1
         self.gop = gop_len
         self.period = intra_period   # 0 = first frame only
+        self.base_qp = base_qp       # for the QP-model layer offsets
         self.n_past = max(1, n_past_refs)
         self.n_fut = max(1, n_fut_refs)
         # state
@@ -112,7 +135,8 @@ class GopScheduler:
     def plan_idr(self, disp_idx: int) -> FrameSpec:
         self.anchors = [0]
         return FrameSpec(disp_idx=disp_idx, poc=0, is_idr=True, is_ref=True,
-                         slice_type=2, layer=0, qp_offset=0,
+                         slice_type=2, layer=0,
+                         qp_offset=intra_qp_offset(self.gop),
                          keep={0})
 
     def plan_span(self, disp_base: int, lo: int, hi: int,
@@ -134,11 +158,13 @@ class GopScheduler:
         if intra_anchor:
             anchor = FrameSpec(disp_idx=disp_base + hi, poc=hi,
                                slice_type=2, is_ref=True, layer=0,
-                               qp_offset=0, nal="CRA")
+                               qp_offset=intra_qp_offset(self.gop),
+                               nal="CRA")
         else:
             anchor = FrameSpec(disp_idx=disp_base + hi, poc=hi,
                                slice_type=1, is_ref=True, layer=1,
-                               qp_offset=_qp_off(1), l0=l0_anchor)
+                               qp_offset=gop_qp_offset(1, self.base_qp, self.gop),
+                               l0=l0_anchor)
         specs.append(anchor)
         mids = []
         _dyadic(lo, hi, 2, mids)
@@ -149,7 +175,9 @@ class GopScheduler:
             is_ref = (mhi - mlo) > 2   # leaves of the pyramid are non-ref
             specs.append(FrameSpec(
                 disp_idx=disp_base + mid, poc=mid, slice_type=0,
-                is_ref=is_ref, layer=depth, qp_offset=_qp_off(depth),
+                is_ref=is_ref, layer=depth,
+                qp_offset=gop_qp_offset(depth, self.base_qp,
+                                        self.gop),
                 l0=past_p[:self.n_past], l1=fut_p[:self.n_fut],
                 nal="RASL" if intra_anchor else ""))
             if is_ref:

@@ -46,7 +46,19 @@ class PSliceWriter:
         helper.poc = poc
         helper.ref_list = list(ref_entries)
         helper.ref_list1 = list(ref_entries_l1)
-        helper.col_pic = None
+        # TMVP: collocated picture exactly as the decoder derives it
+        # (decoder.py make_sd) — entries must carry the motion field
+        # ("mv"/"ref_poc" maps) the encoder snapshots after each frame
+        helper.no_backward = all(
+            e["poc"] <= poc for e in helper.ref_list + helper.ref_list1)
+        if sh.temporal_mvp_enabled and helper.ref_list:
+            col_l = (helper.ref_list
+                     if sh.collocated_from_l0 or not helper.ref_list1
+                     else helper.ref_list1)
+            helper.col_pic = col_l[min(sh.collocated_ref_idx,
+                                       len(col_l) - 1)]
+        else:
+            helper.col_pic = None
         self.helper = helper
         self.ref_pocs = [e["poc"] for e in ref_entries]
         self.ref_pocs_l1 = [e["poc"] for e in ref_entries_l1]

@@ -34,6 +34,14 @@ class MdPSliceWriter(PSliceWriter):
         self.inter8 = np.asarray(decisions["inter8"], bool)
         self.mv8 = np.asarray(decisions["mv8"], np.int32)
         self.ref8 = np.asarray(decisions["ref8"], np.int32)
+        # B slices: per-list slots + inter_dir (models/inter_md.py
+        # _inter_full_b_impl); absent on the P path
+        self.dir8 = (np.asarray(decisions["dir8"], np.int32)
+                     if "dir8" in decisions else None)
+        self.mv8b = (np.asarray(decisions["mv8b"], np.int32)
+                     if "mv8b" in decisions else None)
+        self.ref8b = (np.asarray(decisions["ref8b"], np.int32)
+                      if "ref8b" in decisions else None)
         self.lvl = [np.asarray(decisions["levels_y"]),
                     np.asarray(decisions["levels_cb"]),
                     np.asarray(decisions["levels_cr"])]
@@ -87,6 +95,23 @@ class MdPSliceWriter(PSliceWriter):
     def _motion_at(self, x0: int, y0: int):
         r8, c8 = y0 >> 3, x0 >> 3
         mv = np.zeros((2, 2), np.int32)
+        if self.dir8 is not None:
+            # B decisions: per-list (mv, ref) slots + inter_dir
+            d = int(self.dir8[r8, c8])
+            flags = (bool(d & 1), bool(d & 2))
+            pocs = [NO_REF, NO_REF]
+            ridx2 = [-1, -1]
+            if flags[0]:
+                ridx2[0] = min(int(self.ref8[r8, c8]),
+                               len(self.ref_pocs) - 1)
+                pocs[0] = self.ref_pocs[ridx2[0]]
+                mv[0] = self.mv8[r8, c8]
+            if flags[1]:
+                ridx2[1] = min(int(self.ref8b[r8, c8]),
+                               len(self.ref_pocs_l1) - 1)
+                pocs[1] = self.ref_pocs_l1[ridx2[1]]
+                mv[1] = self.mv8b[r8, c8]
+            return ((flags, mv, tuple(pocs)), ridx2)
         k = min(int(self.ref8[r8, c8]), len(self.union_pocs) - 1)
         poc = self.union_pocs[k]
         if poc in self.ref_pocs:

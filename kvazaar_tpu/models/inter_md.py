@@ -48,9 +48,10 @@ class MdInterPipeline(MdIntraPipeline):
     INTER_MODE_BITS = 6.0   # skip/merge/pred_mode + ref signalling bins
     REF_BITS = 2.0          # extra bins per reference index step
     SUBPEL_PAD = 4 + 3      # refine window + 8-tap reach
+    INIT_TYPE = 1           # P-slice context init for the DP bit costs
 
     def __init__(self, height: int, width: int, qp: int,
-                 n_refs: int = 1,
+                 n_refs: int = 1, b_slices: bool = False,
                  pu_depth_inter: tuple[int, int] = (0, 3), **kw) -> None:
         super().__init__(height, width, qp, **kw)
         self.n_refs = max(1, n_refs)
@@ -60,29 +61,38 @@ class MdInterPipeline(MdIntraPipeline):
         self.allow_inter = {64: lo <= 0, 32: lo <= 1 <= hi,
                             16: lo <= 2 <= hi, 8: hi >= 3}
         self._full_inter = jax.jit(self._with_consts(self._inter_full_impl))
+        self.b_slices = b_slices
+        if b_slices:
+            # fixed per-list stack depth (pad by repeating) so B frames
+            # of any pyramid layer share one compiled program
+            self.n_refs_b = min(2, max(1, n_refs))
+            self._full_inter_b = jax.jit(
+                self._with_consts(self._inter_full_b_impl))
 
     # ------------------------------------------------------------------
     # size-generic motion compensation (exact qpel / eighth-pel)
     # ------------------------------------------------------------------
 
-    def _mc_luma(self, ypad, mv, y0, x0, n, pad):
+    def _mc_luma(self, ypad, mv, y0, x0, n, pad, nh=None):
         """Quarter-pel luma MC: ypad [H+2p, W+2p], per-block qpel mv and
-        block origins y0/x0 [L]. Returns [L, n, n]."""
+        block origins y0/x0 [L]. Returns [L, nh, n] (nh defaults n;
+        rectangular blocks serve the SMP PU shapes)."""
+        nh = n if nh is None else nh
         ix = mv[:, 0] >> 2
         iy = mv[:, 1] >> 2
         fx = mv[:, 0] & 3
         fy = mv[:, 1] & 3
-        wy = (y0 + iy + pad - 3)[:, None] + jnp.arange(n + 7)[None, :]
+        wy = (y0 + iy + pad - 3)[:, None] + jnp.arange(nh + 7)[None, :]
         wx = (x0 + ix + pad - 3)[:, None] + jnp.arange(n + 7)[None, :]
         wy = jnp.clip(wy, 0, ypad.shape[-2] - 1)
         wx = jnp.clip(wx, 0, ypad.shape[-1] - 1)
-        win = ypad[wy[:, :, None], wx[:, None, :]]  # [L, n+7, n+7]
+        win = ypad[wy[:, :, None], wx[:, None, :]]  # [L, nh+7, n+7]
         fmat = jnp.asarray(LUMA_FILTERS)
         cx = jnp.take(fmat, fx, axis=0)
         cy = jnp.take(fmat, fy, axis=0)
         h14 = sum(cx[:, k, None, None] * win[:, :, k:k + n]
                   for k in range(8))
-        v = sum(cy[:, k, None, None] * h14[:, k:k + n, :]
+        v = sum(cy[:, k, None, None] * h14[:, k:k + nh, :]
                 for k in range(8)) >> 6
         return jnp.clip((v + 32) >> 6, 0, self.maxv)
 
@@ -173,12 +183,14 @@ class MdInterPipeline(MdIntraPipeline):
         return cands
 
     def _tq_quad(self, resi, qp, is_luma):
-        """T/Q a [B, n, n] residual as four n/2 TUs (forced transform
-        split of 64-luma / 32-chroma CBs, spec 7.4.9.8: log2 > MaxTbLog2).
+        """T/Q a [B, n, n] residual as four n/2 TUs: the forced
+        transform split of 64-luma / 32-chroma CBs (spec 7.4.9.8:
+        log2 > MaxTbLog2) and of SMP CUs (spec 7.3.8.8 interSplitFlag
+        with max_transform_hierarchy_depth_inter == 0).
         Returns (levels [B, n, n], recon residual [B, n, n])."""
         B, n, _ = resi.shape
         hn = n // 2
-        t = {32: self.t32, 16: self.t16}[hn]
+        t = {32: self.t32, 16: self.t16, 8: self.t8, 4: self.t4}[hn]
         q = resi.reshape(B, 2, hn, 2, hn)
         q = jnp.moveaxis(q, 2, 3).reshape(B * 4, hn, hn)
         lev, r2 = self._transform_quant(
@@ -199,22 +211,23 @@ class MdInterPipeline(MdIntraPipeline):
 
     def _refine_int(self, blocks, rpad, y0, x0, cand_mvs, pad):
         """+-REFINE integer sweep around each candidate; returns best
-        (mv [L,2], sad [L]). cand_mvs: [L, K, 2]."""
+        (mv [L,2], sad [L]). cand_mvs: [L, K, 2]; blocks may be
+        rectangular [L, nh, nw] (SMP PUs)."""
         W = self.REFINE
-        n = blocks.shape[-1]
+        nh, n = blocks.shape[-2], blocks.shape[-1]
         best_sad = jnp.full((blocks.shape[0],), 1 << 30, jnp.int32)
         best_mv = jnp.zeros((blocks.shape[0], 2), jnp.int32)
         for k in range(cand_mvs.shape[1]):
             mvk = jnp.clip(cand_mvs[:, k], -64, 64)
             iy = (y0 + mvk[:, 1] + pad - W)[:, None] + \
-                jnp.arange(n + 2 * W)[None, :]
+                jnp.arange(nh + 2 * W)[None, :]
             ix = (x0 + mvk[:, 0] + pad - W)[:, None] + \
                 jnp.arange(n + 2 * W)[None, :]
             iy = jnp.clip(iy, 0, rpad.shape[0] - 1)
             ix = jnp.clip(ix, 0, rpad.shape[1] - 1)
             win = rpad[iy[:, :, None], ix[:, None, :]]
             for dy in range(2 * W + 1):
-                strip = jax.lax.dynamic_slice_in_dim(win, dy, n, axis=1)
+                strip = jax.lax.dynamic_slice_in_dim(win, dy, nh, axis=1)
                 for dx in range(2 * W + 1):
                     cand = jax.lax.dynamic_slice_in_dim(strip, dx, n,
                                                         axis=2)
@@ -228,15 +241,16 @@ class MdInterPipeline(MdIntraPipeline):
 
     def _refine_subpel(self, blocks, ypad, y0, x0, mv_int, pad):
         """Half then quarter pel refinement by SATD around mv_int."""
+        nh, nw = blocks.shape[-2], blocks.shape[-1]
         mv = jnp.clip(mv_int, -64, 64) * 4
         best = self._satd_tiles(blocks - self._mc_luma(
-            ypad, mv, y0, x0, blocks.shape[-1], pad))
+            ypad, mv, y0, x0, nw, pad, nh=nh))
         for step in (2, 1):
             for (dx, dy) in ((-1, 0), (1, 0), (0, -1), (0, 1),
                              (-1, -1), (1, -1), (-1, 1), (1, 1)):
                 cand = mv + jnp.asarray([dx * step, dy * step], jnp.int32)
                 cost = self._satd_tiles(blocks - self._mc_luma(
-                    ypad, cand, y0, x0, blocks.shape[-1], pad))
+                    ypad, cand, y0, x0, nw, pad, nh=nh))
                 better = cost < best
                 mv = jnp.where(better[:, None], cand, mv)
                 best = jnp.where(better, cost, best)
@@ -252,6 +266,53 @@ class MdInterPipeline(MdIntraPipeline):
     # per-size inter candidate + cost
     # ------------------------------------------------------------------
 
+    def _best_uni_leaf(self, blocks, refs_y, fields, y0, x0, n, lam,
+                       cands_list=None):
+        """SATD-best (mv qpel [B,2], ref [B], satd [B], mv_bits [B])
+        across one reference stack for every aligned n-block: coarse-
+        field candidate + zero MV -> integer refine -> subpel refine,
+        priced with MVD bins + ref-idx bins (src/search_inter.c:1237
+        per-ref loop, batched). cands_list overrides the per-ref integer
+        candidate sets ([B, K, 2] each — rectangular SMP PUs pass their
+        own field samples)."""
+        nb = blocks.shape[0]
+        P = self.SUBPEL_PAD
+        lam_satd = jnp.sqrt(lam).astype(jnp.float32)
+        best = None
+        for k in range(refs_y.shape[0]):
+            mv16 = fields[k]
+            if cands_list is not None:
+                cands = cands_list[k]
+            elif n >= 32:
+                cands = jnp.concatenate(
+                    [self._field_for(mv16, n),
+                     jnp.zeros((nb, 1, 2), jnp.int32)], axis=1)
+            else:
+                cands = jnp.stack(
+                    [self._field_for(mv16, n),
+                     jnp.zeros((nb, 2), jnp.int32)], axis=1)
+            rpad = jnp.pad(refs_y[k], self.REFINE, mode="edge")
+            mv_int, _ = self._refine_int(blocks, rpad, y0, x0, cands,
+                                         self.REFINE)
+            ypad = jnp.pad(refs_y[k], P, mode="edge")
+            mv_q, satd = self._refine_subpel(blocks, ypad, y0, x0,
+                                             mv_int, P)
+            mvd = mv_q - cands[:, 0] * 4  # field MV as AMVP proxy
+            cost = satd.astype(jnp.float32) + lam_satd * (
+                self._mv_bins(mvd) + self.REF_BITS * k)
+            if best is None:
+                best = (cost, mv_q, jnp.full((nb,), k, jnp.int32),
+                        self._mv_bins(mvd), satd)
+            else:
+                bc, bmv, bref, bbits, bsatd = best
+                better = cost < bc
+                best = (jnp.where(better, cost, bc),
+                        jnp.where(better[:, None], mv_q, bmv),
+                        jnp.where(better, k, bref),
+                        jnp.where(better, self._mv_bins(mvd), bbits),
+                        jnp.where(better, satd, bsatd))
+        return best[1], best[2], best[4], best[3]
+
     def _inter_leaf(self, src_y, src_cb, src_cr, refs_y, refs_cb,
                     refs_cr, fields, n, t, tc, lam):
         """Best inter candidate for every aligned n-block across the
@@ -266,38 +327,8 @@ class MdInterPipeline(MdIntraPipeline):
         y0 = (bid // cols) * n
         x0 = (bid % cols) * n
         P = self.SUBPEL_PAD
-        best = None
-        for k in range(self.n_refs):
-            mv16 = fields[k]
-            if n >= 32:
-                cands = jnp.concatenate(
-                    [self._field_for(mv16, n),
-                     jnp.zeros((nb, 1, 2), jnp.int32)], axis=1)
-            else:
-                cands = jnp.stack(
-                    [self._field_for(mv16, n),
-                     jnp.zeros((nb, 2), jnp.int32)], axis=1)
-            rpad = jnp.pad(refs_y[k], self.REFINE, mode="edge")
-            mv_int, _ = self._refine_int(blocks, rpad, y0, x0, cands,
-                                         self.REFINE)
-            ypad = jnp.pad(refs_y[k], P, mode="edge")
-            mv_q, satd = self._refine_subpel(blocks, ypad, y0, x0,
-                                             mv_int, P)
-            lam_satd = jnp.sqrt(lam).astype(jnp.float32)
-            mvd = mv_q - cands[:, 0] * 4  # field MV as AMVP proxy
-            cost = satd.astype(jnp.float32) + lam_satd * (
-                self._mv_bins(mvd) + self.REF_BITS * k)
-            if best is None:
-                best = (cost, mv_q, jnp.full((nb,), k, jnp.int32),
-                        self._mv_bins(mvd))
-            else:
-                bc, bmv, bref, bbits = best
-                better = cost < bc
-                best = (jnp.where(better, cost, bc),
-                        jnp.where(better[:, None], mv_q, bmv),
-                        jnp.where(better, k, bref),
-                        jnp.where(better, self._mv_bins(mvd), bbits))
-        _, mv_q, ref, mv_bits = best
+        mv_q, ref, _, mv_bits = self._best_uni_leaf(
+            blocks, refs_y, fields, y0, x0, n, lam)
 
         # exact RD cost of the chosen candidate (same currency as the
         # intra leaf costs: T/Q distortion + rate bins)
@@ -315,8 +346,15 @@ class MdInterPipeline(MdIntraPipeline):
         finally:
             self.rdoq, self.sign_hiding = saved
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
-        rate = self._rate_bins(levels) + \
-            self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
+        if n == 64:
+            # 64 CU -> four 32x32 TUs at trafo depth 1
+            L = levels.shape[0]
+            lv4 = jnp.moveaxis(levels.reshape(L, 2, 32, 2, 32), 2, 3) \
+                .reshape(L * 4, 32, 32)
+            rate = self._tu_rate_y(lv4, 32, depth1=True) \
+                .reshape(L, 4).sum(axis=1)
+        else:
+            rate = self._tu_rate_y(levels, n)
         nc = n // 2
         CPW = (P >> 1) + 2
         cbpad = jnp.pad(refs_cb, ((0, 0), (CPW, CPW), (CPW, CPW)),
@@ -344,20 +382,31 @@ class MdInterPipeline(MdIntraPipeline):
                 self.rdoq, self.sign_hiding = saved
             cdist = ((cresi - cr2).astype(jnp.float32) ** 2) \
                 .sum(axis=(1, 2))
-            crate = self._rate_bins(clev) + \
-                self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
+            if nc == 32:
+                L = clev.shape[0]
+                cl4 = jnp.moveaxis(clev.reshape(L, 2, 16, 2, 16), 2, 3) \
+                    .reshape(L * 4, 16, 16)
+                crate = self._tu_rate_c(cl4, 16, depth1=True) \
+                    .reshape(L, 4).sum(axis=1)
+            else:
+                crate = self._tu_rate_c(clev, nc)
             ccost = ccost + cdist + lam * crate
         cost = dist + lam * (rate + self.INTER_MODE_BITS + mv_bits
                              + self.REF_BITS * ref) + ccost
         return mv_q, ref, cost, pred_y, pred_cb, pred_cr
 
-    def _mc_luma_sel(self, ypad_all, ref, mv, y0, x0, n, pad):
-        """MC from a padded reference stack with per-block ref index."""
+    def _mc_luma_sel(self, ypad_all, ref, mv, y0, x0, n, pad, hi=False,
+                     nh=None):
+        """MC from a padded reference stack with per-block ref index.
+        hi=True returns the 14-bit intermediate for exact bi-prediction
+        (spec 8.5.3.3.3); nh selects a rectangular [L, nh, n] block
+        (SMP PUs)."""
+        nh = n if nh is None else nh
         ix = mv[:, 0] >> 2
         iy = mv[:, 1] >> 2
         fx = mv[:, 0] & 3
         fy = mv[:, 1] & 3
-        wy = (y0 + iy + pad - 3)[:, None] + jnp.arange(n + 7)[None, :]
+        wy = (y0 + iy + pad - 3)[:, None] + jnp.arange(nh + 7)[None, :]
         wx = (x0 + ix + pad - 3)[:, None] + jnp.arange(n + 7)[None, :]
         wy = jnp.clip(wy, 0, ypad_all.shape[-2] - 1)
         wx = jnp.clip(wx, 0, ypad_all.shape[-1] - 1)
@@ -367,16 +416,20 @@ class MdInterPipeline(MdIntraPipeline):
         cy = jnp.take(fmat, fy, axis=0)
         h14 = sum(cx[:, k, None, None] * win[:, :, k:k + n]
                   for k in range(8))
-        v = sum(cy[:, k, None, None] * h14[:, k:k + n, :]
+        v = sum(cy[:, k, None, None] * h14[:, k:k + nh, :]
                 for k in range(8)) >> 6
+        if hi:
+            return v
         return jnp.clip((v + 32) >> 6, 0, self.maxv)
 
-    def _mc_chroma_sel(self, cpad_all, ref, mv, cy0, cx0, nc, cpadw):
+    def _mc_chroma_sel(self, cpad_all, ref, mv, cy0, cx0, nc, cpadw,
+                       hi=False, nch=None):
+        nch = nc if nch is None else nch
         ix = mv[:, 0] >> 3
         iy = mv[:, 1] >> 3
         fx = mv[:, 0] & 7
         fy = mv[:, 1] & 7
-        wy = (cy0 + iy + cpadw - 1)[:, None] + jnp.arange(nc + 3)[None, :]
+        wy = (cy0 + iy + cpadw - 1)[:, None] + jnp.arange(nch + 3)[None, :]
         wx = (cx0 + ix + cpadw - 1)[:, None] + jnp.arange(nc + 3)[None, :]
         wy = jnp.clip(wy, 0, cpad_all.shape[-2] - 1)
         wx = jnp.clip(wx, 0, cpad_all.shape[-1] - 1)
@@ -387,9 +440,190 @@ class MdInterPipeline(MdIntraPipeline):
         cyf = jnp.take(fmat, fy, axis=0)
         h14 = sum(cxf[:, k, None, None] * win[:, :, k:k + nc]
                   for k in range(4))
-        v = sum(cyf[:, k, None, None] * h14[:, k:k + nc, :]
+        v = sum(cyf[:, k, None, None] * h14[:, k:k + nch, :]
                 for k in range(4)) >> 6
+        if hi:
+            return v
         return jnp.clip((v + 32) >> 6, 0, self.maxv)
+
+    # ------------------------------------------------------------------
+    # B slices: two reference lists + exact bi-prediction
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _bi_avg(a, b, maxv):
+        """Exact bi-prediction average of two 14-bit signals
+        (spec 8.5.3.3.3 for 8-bit output)."""
+        return jnp.clip((a + b + 64) >> 7, 0, maxv)
+
+    @staticmethod
+    def _uni_round(v, maxv):
+        return jnp.clip((v + 32) >> 6, 0, maxv)
+
+    def _inter_leaf_b(self, src_y, src_cb, src_cr, l0, l1, fields0,
+                      fields1, n, t, tc, lam):
+        """Best B-slice inter candidate per aligned n-block: per-list
+        SATD-best uni candidates + their exact bi-prediction, direction
+        chosen by SATD + signalling bins (reference picks bipred the
+        same way: src/search_inter.c:1442 search_pu_inter_bipred), then
+        one exact RD cost of the winner for the partition DP.
+        Returns (mv0, r0, mv1, r1, dir, cost)."""
+        qp_y, qp_c, lam_n = self._qp_lam_for(n)
+        if self.delta_qp:
+            lam = lam_n
+        (l0_y, l0_cb, l0_cr), (l1_y, l1_cb, l1_cr) = l0, l1
+        blocks, rows, cols = self._blocks_of(src_y, n)
+        nb = rows * cols
+        bid = jnp.arange(nb)
+        y0 = (bid // cols) * n
+        x0 = (bid % cols) * n
+        P = self.SUBPEL_PAD
+        mv0, r0, satd0, bits0 = self._best_uni_leaf(
+            blocks, l0_y, fields0, y0, x0, n, lam)
+        mv1, r1, satd1, bits1 = self._best_uni_leaf(
+            blocks, l1_y, fields1, y0, x0, n, lam)
+        sp = ((0, 0), (P, P), (P, P))
+        y0pad = jnp.pad(l0_y, sp, mode="edge")
+        y1pad = jnp.pad(l1_y, sp, mode="edge")
+        v0 = self._mc_luma_sel(y0pad, r0, mv0, y0, x0, n, P, hi=True)
+        v1 = self._mc_luma_sel(y1pad, r1, mv1, y0, x0, n, P, hi=True)
+        pred_bi = self._bi_avg(v0, v1, self.maxv)
+        satd_bi = self._satd_tiles(blocks - pred_bi)
+        lam_satd = jnp.sqrt(lam).astype(jnp.float32)
+        c0 = satd0.astype(jnp.float32) + lam_satd * (
+            bits0 + self.REF_BITS * r0)
+        c1 = satd1.astype(jnp.float32) + lam_satd * (
+            bits1 + self.REF_BITS * r1)
+        cbi = satd_bi.astype(jnp.float32) + lam_satd * (
+            bits0 + bits1 + self.REF_BITS * (r0 + r1) + 2.0)
+        dirn = jnp.where((cbi <= c0) & (cbi <= c1), 3,
+                         jnp.where(c0 <= c1, 1, 2)).astype(jnp.int32)
+        sel = dirn[:, None, None]
+        pred_y = jnp.where(sel == 3, pred_bi,
+                           jnp.where(sel == 1,
+                                     self._uni_round(v0, self.maxv),
+                                     self._uni_round(v1, self.maxv)))
+        # exact RD of the chosen candidate (same currency as intra)
+        resi = blocks - pred_y
+        saved = (self.rdoq, self.sign_hiding)
+        self.rdoq = self.sign_hiding = False
+        try:
+            if n == 64:
+                levels, r2 = self._tq_quad(resi, qp_y, True)
+            else:
+                levels, r2 = self._transform_quant(
+                    resi, t, qp_y, n, mats=self._mats_for(n, True))
+        finally:
+            self.rdoq, self.sign_hiding = saved
+        dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
+        if n == 64:
+            L = levels.shape[0]
+            lv4 = jnp.moveaxis(levels.reshape(L, 2, 32, 2, 32), 2, 3) \
+                .reshape(L * 4, 32, 32)
+            rate = self._tu_rate_y(lv4, 32, depth1=True) \
+                .reshape(L, 4).sum(axis=1)
+        else:
+            rate = self._tu_rate_y(levels, n)
+        nc = n // 2
+        CPW = (P >> 1) + 2
+        cp = ((0, 0), (CPW, CPW), (CPW, CPW))
+        cy0 = (bid // cols) * nc
+        cx0 = (bid % cols) * nc
+        ccost = jnp.zeros_like(dist)
+        for srcp, p0, p1 in ((src_cb, l0_cb, l1_cb),
+                             (src_cr, l0_cr, l1_cr)):
+            c0p = jnp.pad(p0, cp, mode="edge")
+            c1p = jnp.pad(p1, cp, mode="edge")
+            w0 = self._mc_chroma_sel(c0p, r0, mv0, cy0, cx0, nc, CPW,
+                                     hi=True)
+            w1 = self._mc_chroma_sel(c1p, r1, mv1, cy0, cx0, nc, CPW,
+                                     hi=True)
+            cpred = jnp.where(sel == 3, self._bi_avg(w0, w1, self.maxv),
+                              jnp.where(sel == 1,
+                                        self._uni_round(w0, self.maxv),
+                                        self._uni_round(w1, self.maxv)))
+            cblocks, _, _ = self._blocks_of(srcp, nc)
+            cresi = cblocks - cpred
+            saved = (self.rdoq, self.sign_hiding)
+            self.rdoq = self.sign_hiding = False
+            try:
+                if nc == 32:
+                    clev, cr2 = self._tq_quad(cresi, qp_c, False)
+                else:
+                    clev, cr2 = self._transform_quant(
+                        cresi, tc, qp_c, nc,
+                        mats=self._mats_for(nc, False))
+            finally:
+                self.rdoq, self.sign_hiding = saved
+            cdist = ((cresi - cr2).astype(jnp.float32) ** 2) \
+                .sum(axis=(1, 2))
+            if nc == 32:
+                L = clev.shape[0]
+                cl4 = jnp.moveaxis(clev.reshape(L, 2, 16, 2, 16), 2, 3) \
+                    .reshape(L * 4, 16, 16)
+                crate = self._tu_rate_c(cl4, 16, depth1=True) \
+                    .reshape(L, 4).sum(axis=1)
+            else:
+                crate = self._tu_rate_c(clev, nc)
+            ccost = ccost + cdist + lam * crate
+        mv_bits = jnp.where(dirn == 3, bits0 + bits1,
+                            jnp.where(dirn == 1, bits0, bits1))
+        ref_bits = jnp.where(
+            dirn == 3, self.REF_BITS * (r0 + r1),
+            jnp.where(dirn == 1, self.REF_BITS * r0,
+                      self.REF_BITS * r1)).astype(jnp.float32)
+        cost = dist + lam * (rate + self.INTER_MODE_BITS + mv_bits
+                             + ref_bits) + ccost
+        return mv0, r0, mv1, r1, dirn, cost
+
+    def _partition_inter_b(self, src_y, src_cb, src_cr, l0, l1, lam):
+        """B-slice quadtree DP: per-size inter-B vs intra competition,
+        then the same split DP as the P path. Returns (size_map8,
+        mode_map8, inter8, dir8, mv8, ref8, mv8b, ref8b)."""
+        fields0 = [self._coarse_field(src_y, l0[0][k])
+                   for k in range(l0[0].shape[0])]
+        fields1 = [self._coarse_field(src_y, l1[0][k])
+                   for k in range(l1[0].shape[0])]
+        per_size = {}
+        big = jnp.float32(1e18)
+        for n, g, f, gc, t, tc in (
+                (8, self.g8l, self.f8, self.g4c, self.t8, self.t4),
+                (16, self.g16l, self.f16l, self.g8cc, self.t16, self.t8),
+                (32, self.g32l, self.f32, self.g16c, self.t32, self.t16)):
+            imodes, icost = self._leaf_rd(src_y, src_cb, src_cr, n, g, f,
+                                          gc, t, tc, lam)
+            mv0, r0, mv1, r1, dirn, ecost = self._inter_leaf_b(
+                src_y, src_cb, src_cr, l0, l1, fields0, fields1, n, t,
+                tc, lam)
+            if not self.allow_inter[n]:
+                ecost = ecost + big
+            use_inter = ecost < icost
+            cost = jnp.where(use_inter, ecost, icost)
+            if n == 8:
+                cost = cost + lam * self.dpc[self.DPC_PART_2NX2N]
+            per_size[n] = dict(modes=imodes, mv=mv0, ref=r0, mvb=mv1,
+                               refb=r1, dir=dirn, inter=use_inter,
+                               cost=cost)
+        mv64, r64_, mv64b, r64b, dir64, ecost64 = self._inter_leaf_b(
+            src_y, src_cb, src_cr, l0, l1, fields0, fields1, 64,
+            self.t32, self.t16, lam)
+        r64, c64n = self.h // 64, self.w // 64
+        per_size[64] = dict(
+            modes=jnp.ones((r64 * c64n,), jnp.int32),
+            mv=mv64, ref=r64_, mvb=mv64b, refb=r64b, dir=dir64,
+            inter=jnp.ones((r64 * c64n,), bool),
+            cost=ecost64 if self.allow_inter[64] else ecost64 + big)
+        size_map8 = self._dp_merge(per_size, lam)
+        sel8 = self._sel8_fn(per_size, size_map8)
+        mode_map8 = sel8("modes").astype(jnp.int32)
+        inter8 = sel8("inter")
+        mv8 = sel8("mv", 2).astype(jnp.int32)
+        ref8 = sel8("ref").astype(jnp.int32)
+        mv8b = sel8("mvb", 2).astype(jnp.int32)
+        ref8b = sel8("refb").astype(jnp.int32)
+        dir8 = sel8("dir").astype(jnp.int32)
+        return (size_map8, mode_map8, inter8, dir8, mv8, ref8, mv8b,
+                ref8b)
 
     # ------------------------------------------------------------------
     # partition with inter/intra competition
@@ -414,6 +648,9 @@ class MdInterPipeline(MdIntraPipeline):
                 ecost = ecost + big
             use_inter = ecost < icost
             cost = jnp.where(use_inter, ecost, icost)
+            if n == 8:
+                # part_mode 2Nx2N coded at min CB size either way
+                cost = cost + lam * self.dpc[self.DPC_PART_2NX2N]
             per_size[n] = dict(modes=imodes, mv=mv_q, ref=ref,
                                inter=use_inter, cost=cost)
         # 64x64: inter-only leaves (intra max CU is 32; the reference
@@ -429,35 +666,48 @@ class MdInterPipeline(MdIntraPipeline):
             inter=jnp.ones((r64 * c64n,), bool),
             cost=ecost64 if self.allow_inter[64] else ecost64 + big)
 
+        size_map8 = self._dp_merge(per_size, lam)
+        sel8 = self._sel8_fn(per_size, size_map8)
+        mode_map8 = sel8("modes").astype(jnp.int32)
+        inter8 = sel8("inter")
+        mv8 = sel8("mv", 2).astype(jnp.int32)
+        ref8 = sel8("ref").astype(jnp.int32)
+        return size_map8, mode_map8, inter8, mv8, ref8
+
+    def _dp_merge(self, per_size, lam):
+        """Bottom-up split DP over per-size leaf costs -> size_map8."""
         r16, c16n = self.h // 16, self.w // 16
         r32, c32n = self.h // 32, self.w // 32
+        r64, c64n = self.h // 64, self.w // 64
         lam16 = lam32 = lam
 
         def sum4(c, rows, cols):
             return c.reshape(rows, 2, cols, 2).sum(axis=(1, 3))
 
+        sp0 = self.dpc[self.DPC_SPLIT0]
+        sp1 = self.dpc[self.DPC_SPLIT1]
         c8m = per_size[8]["cost"].reshape(self.r8, self.c8)
-        sum8 = sum4(c8m, r16, c16n) + lam16 * 4.0
+        sum8 = sum4(c8m, r16, c16n)
         leaf16 = per_size[16]["cost"].reshape(r16, c16n)
-        split16 = sum8 + lam16 * self.SPLIT_BITS < leaf16
+        split16 = sum8 + lam16 * sp1 < leaf16 + lam16 * sp0
         if not self.allow[8]:
             split16 = jnp.zeros_like(split16)
         if not self.allow[16]:
             split16 = jnp.ones_like(split16)
-        best16 = jnp.where(split16, sum8 + lam16 * self.SPLIT_BITS,
-                           leaf16)
-        sum16 = sum4(best16, r32, c32n) + lam32 * 4 * self.SPLIT_BITS
+        best16 = jnp.where(split16, sum8 + lam16 * sp1,
+                           leaf16 + lam16 * sp0)
+        sum16 = sum4(best16, r32, c32n)
         leaf32 = per_size[32]["cost"].reshape(r32, c32n)
-        split32 = sum16 + lam32 * self.SPLIT_BITS < leaf32
+        split32 = sum16 + lam32 * sp1 < leaf32 + lam32 * sp0
         if not self.allow[32]:
             split32 = jnp.ones_like(split32)
         elif not (self.allow[16] or self.allow[8]):
             split32 = jnp.zeros_like(split32)
-        best32 = jnp.where(split32, sum16 + lam32 * self.SPLIT_BITS,
-                           leaf32)
-        sum32 = sum4(best32, r64, c64n) + lam * 4 * self.SPLIT_BITS
+        best32 = jnp.where(split32, sum16 + lam32 * sp1,
+                           leaf32 + lam32 * sp0)
+        sum32 = sum4(best32, r64, c64n)
         leaf64 = per_size[64]["cost"].reshape(r64, c64n)
-        split64 = sum32 + lam * self.SPLIT_BITS < leaf64
+        split64 = sum32 + lam * sp1 < leaf64 + lam * sp0
         if not self.allow_inter[64]:
             split64 = jnp.ones_like(split64)
         e64 = jnp.repeat(jnp.repeat(
@@ -466,9 +716,9 @@ class MdInterPipeline(MdIntraPipeline):
         sz16 = jnp.where(~e64, 64,
                          jnp.where(~e32, 32,
                                    jnp.where(split16, 8, 16)))
-        size_map8 = jnp.repeat(jnp.repeat(sz16, 2, 0), 2, 1) \
-            .astype(jnp.int32)
+        return jnp.repeat(jnp.repeat(sz16, 2, 0), 2, 1).astype(jnp.int32)
 
+    def _sel8_fn(self, per_size, size_map8):
         def to8(a, n, chan=None):
             rows, cols = self.h // n, self.w // n
             k = n // 8
@@ -489,20 +739,18 @@ class MdInterPipeline(MdIntraPipeline):
             return jnp.where(cond[0], v8,
                              jnp.where(cond[1], v16,
                                        jnp.where(cond[2], v32, v64)))
-
-        mode_map8 = sel8("modes").astype(jnp.int32)
-        inter8 = sel8("inter")
-        mv8 = sel8("mv", 2).astype(jnp.int32)
-        ref8 = sel8("ref").astype(jnp.int32)
-        return size_map8, mode_map8, inter8, mv8, ref8
+        return sel8
 
     # ------------------------------------------------------------------
     # reconstruction: batched inter leaves + wavefront intra leaves
     # ------------------------------------------------------------------
 
     def _inter_recon_batch(self, src_y, src_cb, src_cr, refs_y, refs_cb,
-                           refs_cr, size_map8, inter8, mv8, ref8):
+                           refs_cr, size_map8, inter8, mv8, ref8,
+                           l1=None, dir8=None, mv8b=None, ref8b=None):
         """Reconstruct every inter leaf of every size in one batch.
+        With l1/dir8/mv8b/ref8b set (B slices), each block predicts
+        uni-L0 / uni-L1 / exact bipred per its inter_dir.
         Returns (luma [2,Hp,Wp], chroma [4,Hc,Wc], written8)."""
         h, w = self.h, self.w
         zseed = (src_y[0, 0] * 0).astype(jnp.int32)
@@ -517,6 +765,12 @@ class MdInterPipeline(MdIntraPipeline):
                         mode="edge")
         crpad = jnp.pad(refs_cr, ((0, 0), (CPW, CPW), (CPW, CPW)),
                         mode="edge")
+        if l1 is not None:
+            y1pad = jnp.pad(l1[0], ((0, 0), (P, P), (P, P)), mode="edge")
+            cb1pad = jnp.pad(l1[1], ((0, 0), (CPW, CPW), (CPW, CPW)),
+                             mode="edge")
+            cr1pad = jnp.pad(l1[2], ((0, 0), (CPW, CPW), (CPW, CPW)),
+                             mode="edge")
         for n, t, tc in ((8, self.t8, self.t4), (16, self.t16, self.t8),
                          (32, self.t32, self.t16),
                          (64, self.t32, self.t16)):
@@ -531,7 +785,21 @@ class MdInterPipeline(MdIntraPipeline):
             mv = mv8[::k, ::k].reshape(-1, 2)
             ref = ref8[::k, ::k].reshape(-1)
             qp_y, qp_c, _ = self._qp_lam_for(n)
-            pred_y = self._mc_luma_sel(ypad, ref, mv, y0, x0, n, P)
+            if l1 is None:
+                pred_y = self._mc_luma_sel(ypad, ref, mv, y0, x0, n, P)
+            else:
+                dirn = dir8[::k, ::k].reshape(-1)
+                mvb = mv8b[::k, ::k].reshape(-1, 2)
+                refb = ref8b[::k, ::k].reshape(-1)
+                sel = dirn[:, None, None]
+                v0 = self._mc_luma_sel(ypad, ref, mv, y0, x0, n, P,
+                                       hi=True)
+                v1 = self._mc_luma_sel(y1pad, refb, mvb, y0, x0, n, P,
+                                       hi=True)
+                pred_y = jnp.where(
+                    sel == 3, self._bi_avg(v0, v1, self.maxv),
+                    jnp.where(sel == 1, self._uni_round(v0, self.maxv),
+                              self._uni_round(v1, self.maxv)))
             blocks, _, _ = self._blocks_of(src_y, n)
             resi = blocks - pred_y
             if n == 64:       # forced TU split: four 32x32 luma TUs
@@ -552,10 +820,22 @@ class MdInterPipeline(MdIntraPipeline):
             nc = n // 2
             cy0 = (bid // cols) * nc
             cx0 = (bid % cols) * nc
+            cpads1 = (cb1pad, cr1pad) if l1 is not None else (None, None)
             for ci, (cpad, srcp) in enumerate(((cbpad, src_cb),
                                                (crpad, src_cr))):
-                cpred = self._mc_chroma_sel(cpad, ref, mv, cy0, cx0, nc,
-                                            CPW)
+                if l1 is None:
+                    cpred = self._mc_chroma_sel(cpad, ref, mv, cy0, cx0,
+                                                nc, CPW)
+                else:
+                    w0 = self._mc_chroma_sel(cpad, ref, mv, cy0, cx0,
+                                             nc, CPW, hi=True)
+                    w1 = self._mc_chroma_sel(cpads1[ci], refb, mvb, cy0,
+                                             cx0, nc, CPW, hi=True)
+                    cpred = jnp.where(
+                        sel == 3, self._bi_avg(w0, w1, self.maxv),
+                        jnp.where(sel == 1,
+                                  self._uni_round(w0, self.maxv),
+                                  self._uni_round(w1, self.maxv)))
                 cblocks, _, _ = self._blocks_of(srcp, nc)
                 cresi = cblocks - cpred
                 if nc == 32:  # four 16x16 chroma TUs
@@ -629,6 +909,59 @@ class MdInterPipeline(MdIntraPipeline):
         bs_v8 = jnp.where(ver_edge, bs(maps, left), 0)
         bs_h8 = jnp.where(hor_edge, bs(maps, up), 0)
         # expand to the deblock grid: ver [H/4, W/8], hor [H/8, W/4]
+        bs_ver = jnp.repeat(bs_v8, 2, axis=0).astype(jnp.int32)
+        bs_hor = jnp.repeat(bs_h8, 2, axis=1).astype(jnp.int32)
+        return bs_ver, bs_hor
+
+    def _edge_maps_inter_b(self, size_map8, inter8, dir8, mv8, mv8b,
+                           poc8_0, poc8_1, nz8):
+        """Deblocking BS for B slices (spec 8.7.2.4 full two-list rule,
+        same matching logic as the validated 16-grid path)."""
+        k = size_map8 >> 3
+        c = jnp.arange(self.c8)[None, :]
+        r = jnp.arange(self.r8)[:, None]
+        ver_edge = ((c & (k - 1)) == 0) & (c > 0)
+        hor_edge = ((r & (k - 1)) == 0) & (r > 0)
+        ver_edge = ver_edge | ((size_map8 == 64) & ((c & 7) == 4))
+        hor_edge = hor_edge | ((size_map8 == 64) & ((r & 7) == 4))
+        use0 = inter8 & ((dir8 & 1) != 0)
+        use1 = inter8 & ((dir8 & 2) != 0)
+        maps = dict(
+            intra=~inter8, nz=nz8,
+            p0=jnp.where(use0, poc8_0, NO_REF_POC),
+            p1=jnp.where(use1, poc8_1, NO_REF_POC),
+            m0x=jnp.where(use0, mv8[:, :, 0], 0),
+            m0y=jnp.where(use0, mv8[:, :, 1], 0),
+            m1x=jnp.where(use1, mv8b[:, :, 0], 0),
+            m1y=jnp.where(use1, mv8b[:, :, 1], 0),
+            cnt=use0.astype(jnp.int32) + use1.astype(jnp.int32))
+
+        def shift_left(v):
+            return jnp.pad(v[:, :-1], ((0, 0), (1, 0)),
+                           constant_values=(0,))
+
+        def shift_up(v):
+            return jnp.pad(v[:-1, :], ((1, 0), (0, 0)),
+                           constant_values=(0,))
+
+        def bs(cur, nb):
+            def far(ax, ay, bx, by):
+                return (jnp.abs(ax - bx) >= 4) | (jnp.abs(ay - by) >= 4)
+            eq_s = (cur["p0"] == nb["p0"]) & (cur["p1"] == nb["p1"])
+            eq_c = (cur["p0"] == nb["p1"]) & (cur["p1"] == nb["p0"])
+            d_s = far(cur["m0x"], cur["m0y"], nb["m0x"], nb["m0y"]) | \
+                far(cur["m1x"], cur["m1y"], nb["m1x"], nb["m1y"])
+            d_c = far(cur["m0x"], cur["m0y"], nb["m1x"], nb["m1y"]) | \
+                far(cur["m1x"], cur["m1y"], nb["m0x"], nb["m0y"])
+            ok = (eq_s & ~d_s) | (eq_c & ~d_c)
+            one = cur["nz"] | nb["nz"] | (cur["cnt"] != nb["cnt"]) | ~ok
+            return jnp.where(cur["intra"] | nb["intra"], 2,
+                             jnp.where(one, 1, 0))
+
+        left = {kk: shift_left(v) for kk, v in maps.items()}
+        up = {kk: shift_up(v) for kk, v in maps.items()}
+        bs_v8 = jnp.where(ver_edge, bs(maps, left), 0)
+        bs_h8 = jnp.where(hor_edge, bs(maps, up), 0)
         bs_ver = jnp.repeat(bs_v8, 2, axis=0).astype(jnp.int32)
         bs_hor = jnp.repeat(bs_h8, 2, axis=1).astype(jnp.int32)
         return bs_ver, bs_hor
@@ -747,6 +1080,105 @@ class MdInterPipeline(MdIntraPipeline):
         out["mv8"] = out["mv8"].astype(jnp.int16)   # qpel |mv| <= 512
         return self._pack_host_outputs(out)
 
+    def _inter_full_b_impl(self, src_y_u8, src_cb_u8, src_cr_u8,
+                           l0_y_u8, l0_cb_u8, l0_cr_u8,
+                           l1_y_u8, l1_cb_u8, l1_cr_u8,
+                           l0_pocs, l1_pocs):
+        src_y = src_y_u8.astype(jnp.int32)
+        src_cb = src_cb_u8.astype(jnp.int32)
+        src_cr = src_cr_u8.astype(jnp.int32)
+        l0 = (l0_y_u8.astype(jnp.int32), l0_cb_u8.astype(jnp.int32),
+              l0_cr_u8.astype(jnp.int32))
+        l1 = (l1_y_u8.astype(jnp.int32), l1_cb_u8.astype(jnp.int32),
+              l1_cr_u8.astype(jnp.int32))
+        lam = self.lam2[0]
+        (size_map8, mode_map8, inter8, dir8, mv8, ref8, mv8b,
+         ref8b) = self._partition_inter_b(src_y, src_cb, src_cr, l0, l1,
+                                          lam)
+        init = self._inter_recon_batch(src_y, src_cb, src_cr, l0[0],
+                                       l0[1], l0[2], size_map8, inter8,
+                                       mv8, ref8, l1=l1, dir8=dir8,
+                                       mv8b=mv8b, ref8b=ref8b)
+        state = self._recon_md(src_y, src_cb, src_cr, size_map8,
+                               mode_map8, init_state=init,
+                               exclude8=init[2])
+        luma, chroma, _ = state
+        h, w = self.h, self.w
+        ry = luma[0, 1:1 + h, 1:1 + w]
+        rcb = chroma[0, 1:1 + h // 2, 1:1 + w // 2]
+        rcr = chroma[1, 1:1 + h // 2, 1:1 + w // 2]
+        lvl_y = luma[1, 1:1 + h, 1:1 + w]
+        lvl_cb = chroma[2, 1:1 + h // 2, 1:1 + w // 2]
+        lvl_cr = chroma[3, 1:1 + h // 2, 1:1 + w // 2]
+        if self.deblock:
+            from ..ops.deblock_jax import deblock_frame_jax
+            nz8 = self._nz8(lvl_y, size_map8)
+            bs_ver, bs_hor = self._edge_maps_inter_b(
+                size_map8, inter8, dir8, mv8, mv8b,
+                l0_pocs[ref8], l1_pocs[ref8b], nz8)
+            ry, rcb, rcr = deblock_frame_jax(
+                ry, rcb, rcr, bs_ver, bs_hor, self.qp2[0], self.qp2[1],
+                self.qp2[1], self.deblock_beta, self.deblock_tc,
+                bit_depth=self.bd)
+        sao_out = {}
+        if self.sao:
+            from ..ops.sao_jax import sao_chroma, sao_luma
+            lamf = self.lam2[0]
+            ab = self.sao in ("full", "band")
+            ae = self.sao in ("full", "edge")
+            ry, py = sao_luma(src_y, ry, self.CTB, lamf, ab, ae,
+                              bit_depth=self.bd)
+            rcb, rcr, pc = sao_chroma(src_cb, src_cr, rcb, rcr,
+                                      self.CTB // 2, lamf, ab, ae,
+                                      bit_depth=self.bd)
+            for kk, v in py.items():
+                sao_out["sao_y_" + kk] = v.astype(jnp.int8)
+            for kk, v in pc.items():
+                sao_out["sao_c_" + kk] = v.astype(jnp.int8)
+
+        def cksum(plane, mask):
+            p32 = plane.astype(jnp.uint32)
+            tot = jnp.sum((p32 & 0xFF) ^ mask, dtype=jnp.uint32)
+            if self.bd > 8:
+                tot = tot + jnp.sum((p32 >> 8) ^ mask, dtype=jnp.uint32)
+            return tot
+
+        def sse(a, b):
+            d = a - b
+            return jnp.sum(d * d, dtype=jnp.int64)
+
+        pix_t = jnp.uint8 if self.bd == 8 else jnp.uint16
+        out = {
+            "rec_y": ry.astype(pix_t),
+            "rec_cb": rcb.astype(pix_t),
+            "rec_cr": rcr.astype(pix_t),
+            "size_map8": size_map8.astype(jnp.int8),
+            "mode_map8": mode_map8.astype(jnp.int8),
+            "inter8": inter8,
+            "dir8": dir8.astype(jnp.int8),
+            "mv8": mv8.astype(jnp.int16),
+            "ref8": ref8.astype(jnp.int8),
+            "mv8b": mv8b.astype(jnp.int16),
+            "ref8b": ref8b.astype(jnp.int8),
+            "levels16_y": lvl_y.astype(jnp.int16),
+            "levels16_cb": lvl_cb.astype(jnp.int16),
+            "levels16_cr": lvl_cr.astype(jnp.int16),
+            "hash": jnp.stack([cksum(ry, self.hash_mask_y),
+                               cksum(rcb, self.hash_mask_c),
+                               cksum(rcr, self.hash_mask_c)]),
+            "sse": jnp.stack([sse(ry, src_y), sse(rcb, src_cb),
+                              sse(rcr, src_cr)]),
+            **sao_out,
+        }
+        ovf = jnp.bool_(False)
+        for name, lv in (("y", lvl_y), ("cb", lvl_cb), ("cr", lvl_cr)):
+            mask_u8, vals, o = self._sparse_pack(lv)
+            out["lmask_" + name] = mask_u8
+            out["lvals_" + name] = vals
+            ovf = ovf | o
+        out["lvl_ovf"] = ovf
+        return self._pack_host_outputs(out)
+
     # ------------------------------------------------------------------
     # host interface
     # ------------------------------------------------------------------
@@ -782,12 +1214,49 @@ class MdInterPipeline(MdIntraPipeline):
                     pass
         return out
 
+    def submit_inter_b(self, src_y, src_cb, src_cr, l0, l1, l0_pocs,
+                       l1_pocs, qp: int | None = None):
+        """B frame on the quadtree path: l0/l1 = ([y..], [cb..], [cr..])
+        per-list reference stacks (numpy or device), padded to n_refs_b
+        by repeating the last entry."""
+        consts = self._consts_for(qp)
+        pix_t = jnp.uint8 if self.bd == 8 else jnp.uint16
+        K = self.n_refs_b
+
+        def stack(planes):
+            ps = list(planes)[:K]
+            while len(ps) < K:
+                ps.append(ps[-1])
+            return jnp.stack([jnp.asarray(p, pix_t) for p in ps])
+
+        def pocs(vals):
+            vs = list(vals)[:K]
+            while len(vs) < K:
+                vs.append(vs[-1])
+            return jnp.asarray(vs, jnp.int32)
+
+        out = self._full_inter_b(
+            consts, jnp.asarray(src_y, pix_t),
+            jnp.asarray(src_cb, pix_t), jnp.asarray(src_cr, pix_t),
+            stack(l0[0]), stack(l0[1]), stack(l0[2]),
+            stack(l1[0]), stack(l1[1]), stack(l1[2]),
+            pocs(l0_pocs), pocs(l1_pocs))
+        for k, v in out.items():
+            if k == "hostbuf" or k.startswith(("lmask_", "lvals_")):
+                try:
+                    v.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
+        return out
+
     def materialize(self, out):
         res = super().materialize(out)
-        for k in ("inter8", "mv8", "ref8"):
+        for k in ("inter8", "mv8", "ref8", "dir8", "mv8b", "ref8b"):
             if k in res:
                 res[k] = np.asarray(res[k])
         if "inter8" in res:
             res["inter8"] = res["inter8"].astype(bool)
             res["mv8"] = res["mv8"].astype(np.int32)
+        if "mv8b" in res:
+            res["mv8b"] = res["mv8b"].astype(np.int32)
         return res

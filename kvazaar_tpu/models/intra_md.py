@@ -69,10 +69,22 @@ class MdIntraPipeline(IntraPipeline):
 
     SIZES = (8, 16, 32)
     CTB = 64
-    # DP bit-cost constants (CABAC bins; tuned vs reference BD-rate)
-    MODE_BITS = 4.0     # per-CU mode signalling (mpm flag + idx / rem)
-    SPLIT_BITS = 1.0    # per split_cu_flag
-    TU_BITS = 8.0       # cbf + last-pos overhead for a coded TU
+    # DP bit costs are fractional-bit CABAC costs at the slice's context
+    # init states (engine/bit_cost.py — the reference's
+    # kvz_f_entropy_bits analog, src/cabac.h:130), carried in the consts
+    # vector `dpc` with this layout:
+    DPC_SPLIT0, DPC_SPLIT1 = 0, 1            # split_cu_flag
+    DPC_CBF_Y0, DPC_CBF_Y1 = 2, 3            # cbf_luma, trafo depth 0
+    DPC_CBF_Y0_D1, DPC_CBF_Y1_D1 = 4, 5      # cbf_luma, trafo depth > 0
+    DPC_CBF_C0, DPC_CBF_C1 = 6, 7            # cbf_cb/cr, depth 0
+    DPC_CBF_C0_D1, DPC_CBF_C1_D1 = 8, 9      # cbf_cb/cr, depth 1
+    DPC_CHROMA_DM = 10                       # intra_chroma_pred_mode (DM)
+    DPC_PART_2NX2N, DPC_PART_NXN = 11, 12    # part_mode at min CB
+    INIT_TYPE = 0                            # I-slice contexts
+    # legacy constants kept for the fixed-grid base pipeline
+    MODE_BITS = 4.0
+    SPLIT_BITS = 1.0
+    TU_BITS = 8.0
     # Leaf sweeps predict from SOURCE neighbours (the batched design has
     # no recon refs at search time), which flatters small blocks: the
     # real wavefront recon predicts from QUANTIZED neighbours, and the
@@ -123,8 +135,10 @@ class MdIntraPipeline(IntraPipeline):
         self.rd_cands = max(1, min(int(rd), 3) + 1)
         # learned fast coefficient-cost weights (reference
         # src/fast_coeff_cost.c analog; trained offline by
-        # tools/rdcost_weights.py). Keyed by log2 TU size; empty dict
-        # (missing module) falls back to the context-free bin count.
+        # tools/rdcost_weights.py). Keyed by log2 TU size then QP; empty
+        # dict (missing module) falls back to the analytic estimate.
+        # The per-QP weight values ride the consts dict ("fcw") so rate
+        # control can change QP without retracing.
         try:
             from ..engine.fast_cost_weights import FAST_COST_WEIGHTS
             self.fast_cost = dict(FAST_COST_WEIGHTS)
@@ -216,6 +230,18 @@ class MdIntraPipeline(IntraPipeline):
         # retraces (f32 scalar)
         self.lam2 = jnp.asarray(
             [0.57 * 2.0 ** ((qp - 12) / 3.0)], jnp.float32)
+        # fractional-bit DP costs + per-mode signalling costs (ride the
+        # consts dict so per-frame QP changes never retrace)
+        self.dpc = jnp.asarray(self._dpc_vec(qp), jnp.float32)
+        from ..engine.bit_cost import mode_cost_vec
+        self.mode_cost = jnp.asarray(mode_cost_vec(qp, self.INIT_TYPE),
+                                     jnp.float32)
+        # diagonal-scan position maps for the rate features (scan span)
+        from ..tables import scanpos_map
+        for n in (4, 8, 16, 32):
+            setattr(self, f"spos{n}", jnp.asarray(scanpos_map(n)))
+        # learned fast-cost weights at this QP, [4 sizes, 8 features]
+        self.fcw = jnp.asarray(self._fcw_matrix(qp), jnp.float32)
         if delta_qp:
             rc, cc = height // self.CTB, width // self.CTB
             self.qpmap_y = jnp.full((rc, cc), qp, jnp.int32)
@@ -236,7 +262,31 @@ class MdIntraPipeline(IntraPipeline):
                   "g8cc", "g16c", "g4l", "f4", "dst4", "t4", "t8",
                   "t16", "t32", "h8", "m8",
                   "sdh_ord", "sdh_inv", "hash_mask_y", "hash_mask_c",
-                  "qp2", "lam2")
+                  "qp2", "lam2", "dpc", "mode_cost", "fcw",
+                  "spos4", "spos8", "spos16", "spos32")
+
+    def _fcw_matrix(self, qp: int) -> list[list[float]]:
+        """Learned fast-cost weights for this QP, rows indexed by
+        log2(TU size) - 2; all-zero row = no model for that size (the
+        analytic fallback in _rate_tu is used instead; the row's
+        presence/absence is static so code paths never change with QP)."""
+        rows = []
+        for log2s in (2, 3, 4, 5):
+            per_qp = self.fast_cost.get(log2s)
+            if not per_qp:
+                rows.append([0.0] * 8)
+                continue
+            nearest = min(per_qp, key=lambda q: abs(q - qp))
+            rows.append([float(x) for x in per_qp[nearest]])
+        return rows
+
+    def _dpc_vec(self, qp: int) -> list[float]:
+        from ..engine.bit_cost import intra_dp_costs
+        c = intra_dp_costs(qp, self.INIT_TYPE)
+        return [c["split0"], c["split1"], c["cbf_y0"], c["cbf_y1"],
+                c["cbf_y0_d1"], c["cbf_y1_d1"], c["cbf_c0"], c["cbf_c1"],
+                c["cbf_c0_d1"], c["cbf_c1_d1"], c["chroma_dm"],
+                c["part_2nx2n"], c["part_nxn"]]
 
     def const_keys(self):
         keys = self.CONST_KEYS + (("qpmap_y", "qpmap_c", "lammap")
@@ -262,6 +312,11 @@ class MdIntraPipeline(IntraPipeline):
         consts["qp2"] = jnp.asarray([qp, chroma_qp(qp)], jnp.int32)
         consts["lam2"] = jnp.asarray(
             [0.57 * 2.0 ** ((qp - 12) / 3.0)], jnp.float32)
+        consts["dpc"] = jnp.asarray(self._dpc_vec(qp), jnp.float32)
+        from ..engine.bit_cost import mode_cost_vec
+        consts["mode_cost"] = jnp.asarray(
+            mode_cost_vec(qp, self.INIT_TYPE), jnp.float32)
+        consts["fcw"] = jnp.asarray(self._fcw_matrix(qp), jnp.float32)
         if self.delta_qp:
             rc, cc = self.h // self.CTB, self.w // self.CTB
             consts["qpmap_y"] = jnp.full((rc, cc), qp, jnp.int32)
@@ -276,11 +331,12 @@ class MdIntraPipeline(IntraPipeline):
     # ------------------------------------------------------------------
 
     def _satd_tiles(self, diff: jax.Array) -> jax.Array:
-        """SATD over trailing [.., n, n] via 8x8 Hadamard tiles (f32
-        matmuls on the MXU; exact — magnitudes stay far below 2^24)."""
-        n = diff.shape[-1]
-        m = n // 8
-        d = diff.astype(jnp.float32).reshape(*diff.shape[:-2], m, 8, m, 8)
+        """SATD over trailing [.., h, w] (any multiples of 8, incl. the
+        rectangular SMP PUs) via 8x8 Hadamard tiles (f32 matmuls on the
+        MXU; exact — magnitudes stay far below 2^24)."""
+        mh = diff.shape[-2] // 8
+        m = diff.shape[-1] // 8
+        d = diff.astype(jnp.float32).reshape(*diff.shape[:-2], mh, 8, m, 8)
         d = jnp.moveaxis(d, -2, -3)
         h8f = self.h8.astype(jnp.float32)
         t = jnp.einsum("ij,...jk,kl->...il", h8f, d, h8f)
@@ -389,22 +445,69 @@ class MdIntraPipeline(IntraPipeline):
                                 jnp.where(al == 2, 4.0, r3)))
         return r.sum(axis=(-1, -2))
 
-    def _rate_tu(self, levels: jax.Array, n: int) -> jax.Array:
-        """TU rate for the leaf RD costs: the learned fast
-        coefficient-cost model (linear in batched |level| features,
-        trained by tools/rdcost_weights.py on exact CABAC bits — the
-        reference's src/fast_coeff_cost.c analog), falling back to the
-        context-free bin count when no weights exist for this size."""
-        w = self.fast_cost.get(n.bit_length() - 1)
-        if w is None:
-            return self._rate_bins(levels)
+    def _tu_features(self, levels: jax.Array, n: int):
+        """Batched rate features per TU [L, n, n] -> dict of [L] f32.
+        Mirrors tools/rdcost_weights.py tu_features exactly (the trainer
+        regresses exact CABAC bits on these)."""
         al = jnp.abs(levels).astype(jnp.float32)
-        f1 = (al >= 1.0).sum(axis=(-1, -2), dtype=jnp.float32)
+        nz = al > 0
+        f1 = nz.sum(axis=(-1, -2), dtype=jnp.float32)
         f2 = (al >= 2.0).sum(axis=(-1, -2), dtype=jnp.float32)
         f3 = jnp.minimum(al, 3.0).sum(axis=(-1, -2))
         f4 = jnp.log2(jnp.maximum(al - 2.0, 1.0)).sum(axis=(-1, -2))
-        r = w[0] + w[1] * f1 + w[2] * f2 + w[3] * f3 + w[4] * f4
+        # scan span: position of the last significant coefficient in the
+        # diagonal scan + 1 (prices the sig flags of in-span zeros that
+        # a count-only model cannot see)
+        spos = getattr(self, f"spos{n}").astype(jnp.float32)
+        f5 = jnp.max(jnp.where(nz, spos, -1.0), axis=(-1, -2)) + 1.0
+        # coded 4x4 coefficient groups (csbf flags)
+        g = n // 4
+        L = levels.shape[0]
+        cgnz = nz.reshape(L, g, 4, g, 4).any(axis=(2, 4))
+        f6 = cgnz.sum(axis=(-1, -2), dtype=jnp.float32)
+        # last-position prefix length proxy (bounding box logs)
+        ii = jnp.arange(n, dtype=jnp.float32)
+        lastx = jnp.max(jnp.where(nz.any(-2), ii, -1.0), axis=-1)
+        lasty = jnp.max(jnp.where(nz.any(-1), ii, -1.0), axis=-1)
+        f7 = jnp.floor(jnp.log2(lastx + 2.0)) + \
+            jnp.floor(jnp.log2(lasty + 2.0))
+        return f1, f2, f3, f4, f5, f6, f7
+
+    def _rate_tu(self, levels: jax.Array, n: int) -> jax.Array:
+        """Coefficient rate of a coded TU (excl. cbf): the learned fast
+        coefficient-cost model (linear in batched |level| features,
+        trained by tools/rdcost_weights.py on exact CABAC bits — the
+        reference's src/fast_coeff_cost.c analog), falling back to an
+        analytic estimate (per-level bins + last-pos + in-span sig
+        flags + csbf) when no weights exist for this size."""
+        f1, f2, f3, f4, f5, f6, f7 = self._tu_features(levels, n)
+        log2s = n.bit_length() - 1
+        if not self.fast_cost.get(log2s):   # static: model availability
+            r = (self._rate_bins(levels) + 0.6 * (f5 - f1)
+                 + f6 + f7 + 2.0)
+            return r * (f1 > 0)
+        w = self.fcw[log2s - 2]             # per-QP values ride consts
+        r = (w[0] + w[1] * f1 + w[2] * f2 + w[3] * f3 + w[4] * f4
+             + w[5] * f5 + w[6] * f6 + w[7] * f7)
         return jnp.maximum(r, 1.0) * (f1 > 0)
+
+    def _tu_rate_y(self, levels: jax.Array, n: int,
+                   depth1: bool = False) -> jax.Array:
+        """Luma TU rate incl. the cbf_luma flag (fractional bits)."""
+        cbf = jnp.any(levels != 0, axis=(-1, -2))
+        i0 = self.DPC_CBF_Y0_D1 if depth1 else self.DPC_CBF_Y0
+        i1 = self.DPC_CBF_Y1_D1 if depth1 else self.DPC_CBF_Y1
+        return jnp.where(cbf, self.dpc[i1] + self._rate_tu(levels, n),
+                         self.dpc[i0])
+
+    def _tu_rate_c(self, levels: jax.Array, n: int,
+                   depth1: bool = False) -> jax.Array:
+        """Chroma TU rate incl. the cbf_cb/cr flag (fractional bits)."""
+        cbf = jnp.any(levels != 0, axis=(-1, -2))
+        i0 = self.DPC_CBF_C0_D1 if depth1 else self.DPC_CBF_C0
+        i1 = self.DPC_CBF_C1_D1 if depth1 else self.DPC_CBF_C1
+        return jnp.where(cbf, self.dpc[i1] + self._rate_tu(levels, n),
+                         self.dpc[i0])
 
     # scan-aware sign-data-hiding: when the TU's coefficient scan is
     # mode-dependent (8x8 luma, 4x4 chroma), the parity fix must walk the
@@ -511,10 +614,14 @@ class MdIntraPipeline(IntraPipeline):
             lvk, rk2 = self._transform_quant_plain(
                 resik, t, qpk, n, mats=self._mats_for(n, True))
             dk = ((resik - rk2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
-            rtk = self._rate_tu(lvk, n) + \
-                self.TU_BITS * jnp.any(lvk != 0, axis=(1, 2))
+            rtk = self._tu_rate_y(lvk, n) + \
+                self.mode_cost[cand.reshape(-1)]
             lamk = jnp.repeat(lam, k) if self.delta_qp else lam
-            ck = (dk + lamk * rtk).reshape(B, k)
+            # same metric as the final leaf cost below (incl. the
+            # source-reference noise factor) so the ladder's argmin and
+            # the DP's cost agree on the winner
+            ck = (dk * (1 + self.REF_NOISE_K / n)
+                  + lamk * rtk).reshape(B, k)
             sel = jnp.argmin(ck, axis=1)                # [B]
             modes = jnp.take_along_axis(cand, sel[:, None],
                                         axis=1)[:, 0].astype(jnp.int32)
@@ -524,8 +631,7 @@ class MdIntraPipeline(IntraPipeline):
         levels, r2 = self._transform_quant_plain(
             resi, t, qp_y, n, mats=self._mats_for(n, True))
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
-        rate = self._rate_tu(levels, n) + \
-            self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
+        rate = self._tu_rate_y(levels, n)
         # chroma (derived mode) at n/2
         nc = n // 2
         ccost = jnp.zeros_like(dist)
@@ -537,12 +643,12 @@ class MdIntraPipeline(IntraPipeline):
             clev, cr2 = self._transform_quant_plain(
                 cresi, tc, qp_c, nc, mats=self._mats_for(nc, False))
             cdist = ((cresi - cr2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
-            crate = self._rate_tu(clev, nc) + \
-                self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
+            crate = self._tu_rate_c(clev, nc)
             ccost = ccost + cdist * (1 + self.REF_NOISE_K / nc) \
                 + lam * crate
         cost = dist * (1 + self.REF_NOISE_K / n) \
-            + lam * (rate + self.MODE_BITS) + ccost
+            + lam * (rate + self.mode_cost[modes]
+                     + self.dpc[self.DPC_CHROMA_DM]) + ccost
         return modes, cost
 
     def _leaf_rd64(self, src_y, src_cb, src_cr, lam):
@@ -580,8 +686,7 @@ class MdIntraPipeline(IntraPipeline):
         levels, r2 = self._transform_quant_plain(
             resi, self.t32, qy, n, mats=self._mats_for(n, True))
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
-        rate = self._rate_tu(levels, 32) + \
-            self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
+        rate = self._tu_rate_y(levels, 32, depth1=True)
         child = dist * (1 + self.REF_NOISE_K / n) + lam_ch * rate
         for plane in (src_cb, src_cr):
             crefs = self._src_refs(plane, 16)
@@ -593,12 +698,12 @@ class MdIntraPipeline(IntraPipeline):
                 cresi, self.t16, qc, 16, mats=self._mats_for(16, False))
             cdist = ((cresi - cr2).astype(jnp.float32) ** 2) \
                 .sum(axis=(1, 2))
-            crate = self._rate_tu(clev, 16) + \
-                self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
+            crate = self._tu_rate_c(clev, 16, depth1=True)
             child = child + cdist * (1 + self.REF_NOISE_K / 16) \
                 + lam_ch * crate
         cost64 = child.reshape(r64, 2, c64, 2).sum(axis=(1, 3)) \
-            .reshape(-1) + lam * self.MODE_BITS
+            .reshape(-1) + lam * (self.mode_cost[m64]
+                                  + self.dpc[self.DPC_CHROMA_DM])
         return m64, cost64
 
     def _satd4(self, diff: jax.Array) -> jax.Array:
@@ -639,15 +744,15 @@ class MdIntraPipeline(IntraPipeline):
         levels, r2 = self._transform_quant_plain(
             resi, self.dst4, qy, 4, mats=self._mats_for(4, True))
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
-        rate = self._rate_tu(levels, 4) + \
-            self.TU_BITS * jnp.any(levels != 0, axis=(1, 2))
+        # NxN implies trafo depth 1 TUs (IntraSplitFlag, spec 7.3.8.8)
+        rate = self._tu_rate_y(levels, 4, depth1=True)
         child = (dist * (1 + self.REF_NOISE_K / 4)
-                 + lam4 * (rate + self.MODE_BITS)) \
+                 + lam4 * (rate + self.mode_cost[m4])) \
             .reshape(r4n // 2, 2, c4n // 2, 2).sum(axis=(1, 3)) \
             .reshape(-1)                                  # [B8]
         # chroma 4x4 TU, derived (DM) from PU0's luma mode
         m0 = m4.reshape(r4n, c4n)[::2, ::2].reshape(-1)   # [B8]
-        cost = child
+        cost = child + lam * self.dpc[self.DPC_CHROMA_DM]
         for plane in (src_cb, src_cr):
             crefs = self._src_refs(plane, 4)
             cpred = self._pred_one(crefs, m0, self.g4c, self.g4c, 4,
@@ -658,8 +763,7 @@ class MdIntraPipeline(IntraPipeline):
                 cresi, self.t4, qp_c, 4, mats=self._mats_for(4, False))
             cdist = ((cresi - cr2).astype(jnp.float32) ** 2) \
                 .sum(axis=(1, 2))
-            crate = self._rate_tu(clev, 4) + \
-                self.TU_BITS * jnp.any(clev != 0, axis=(1, 2))
+            crate = self._tu_rate_c(clev, 4)
             cost = cost + cdist * (1 + self.REF_NOISE_K / 4) \
                 + lam * crate
         return m4, cost
@@ -685,13 +789,15 @@ class MdIntraPipeline(IntraPipeline):
         [R4,C4] with per-4x4 PU modes)."""
         m8, c8c = self._leaf_rd(src_y, src_cb, src_cr, 8, self.g8l,
                                 self.f8, self.g4c, self.t8, self.t4, lam)
-        # NxN-vs-2Nx2N competition at the 8x8 CU level (the part_mode
-        # bin is coded either way at min CB size, so it cancels; NxN
-        # pays 3 extra mode signallings, counted in _leaf_rd4)
+        # NxN-vs-2Nx2N competition at the 8x8 CU level; the part_mode
+        # bin is coded either way at min CB size but its two values cost
+        # different fractional bits
+        c8c = c8c + lam * self.dpc[self.DPC_PART_2NX2N]
         nxn8 = m4 = None
         if self.allow[4]:
             m4, cnxn = self._leaf_rd4(src_y, src_cb, src_cr, lam)
-            cn = cnxn.reshape(self.r8, self.c8)
+            cn = (cnxn + lam * self.dpc[self.DPC_PART_NXN]) \
+                .reshape(self.r8, self.c8)
             c2n = c8c.reshape(self.r8, self.c8)
             if self.force_nxn:
                 nxn8 = jnp.ones_like(cn, bool)
@@ -715,35 +821,38 @@ class MdIntraPipeline(IntraPipeline):
         def sum4(c, rows, cols):
             return c.reshape(rows, 2, cols, 2).sum(axis=(1, 3))
 
+        sp0 = self.dpc[self.DPC_SPLIT0]
+        sp1 = self.dpc[self.DPC_SPLIT1]
         c8m = c8c.reshape(self.r8, self.c8)
-        sum8 = sum4(c8m, r16, c16n) + lam16 * (4 * 1.0)  # part_mode bins
+        # the four 8x8 children are at max depth: no split_cu_flag there
+        sum8 = sum4(c8m, r16, c16n)
         leaf16 = c16c.reshape(r16, c16n)
-        split16 = sum8 + lam16 * self.SPLIT_BITS < leaf16
+        split16 = sum8 + lam16 * sp1 < leaf16 + lam16 * sp0
         # --pu-depth-intra constraints: force/forbid splits statically
         if not self.allow[8]:
             split16 = jnp.zeros_like(split16)
         if not self.allow[16]:
             split16 = jnp.ones_like(split16)
-        best16 = jnp.where(split16, sum8 + lam16 * self.SPLIT_BITS, leaf16)
-        sum16 = sum4(best16, r32, c32n) + lam32 * 4 * self.SPLIT_BITS
+        best16 = jnp.where(split16, sum8 + lam16 * sp1,
+                           leaf16 + lam16 * sp0)
+        sum16 = sum4(best16, r32, c32n)
         leaf32 = c32c.reshape(r32, c32n)
-        split32 = sum16 + lam32 * self.SPLIT_BITS < leaf32
+        split32 = sum16 + lam32 * sp1 < leaf32 + lam32 * sp0
         if not self.allow[32]:
             split32 = jnp.ones_like(split32)
         elif not (self.allow[16] or self.allow[8]):
             split32 = jnp.zeros_like(split32)
-        # 64-level DP step (the depth-0 split_cu_flag costs one bin
-        # either way, so it cancels out of the comparison)
         split64 = None
         if self.allow[64]:
             m64, c64c = self._leaf_rd64(src_y, src_cb, src_cr, lam)
             r64, c64n = self.h // 64, self.w // 64
             lam64 = (self._ctb_vec(self.lammap, 64).reshape(r64, c64n)
                      if self.delta_qp else lam)
-            best32 = jnp.where(split32, sum16 + lam32 * self.SPLIT_BITS,
-                               leaf32)
-            sum32 = sum4(best32, r64, c64n) + lam64 * 4 * self.SPLIT_BITS
-            split64 = sum32 < c64c.reshape(r64, c64n)
+            best32 = jnp.where(split32, sum16 + lam32 * sp1,
+                               leaf32 + lam32 * sp0)
+            sum32 = sum4(best32, r64, c64n)
+            split64 = sum32 + lam64 * sp1 < \
+                c64c.reshape(r64, c64n) + lam64 * sp0
             if not (self.allow[32] or self.allow[16] or self.allow[8]):
                 split64 = jnp.zeros_like(split64)
         # expand decisions to the 8-grid
@@ -1362,15 +1471,29 @@ class MdIntraPipeline(IntraPipeline):
                     fired_mask[:, None, :, None],
                     (rs, k, cs, k)).reshape(self.r8, self.c8)
                 new_written = new_written | up
-                stores, yb, cb = self._class_apply(
-                    stores, s, c_star, row_has, statics[s], pres[s])
                 ylog, clog = logs[s]
-                ylog = jax.lax.dynamic_update_slice(
-                    ylog, yb[None], (wave, 0, 0, 0, 0))
-                clog = jax.lax.dynamic_update_slice(
-                    clog, cb[None], (wave, 0, 0, 0, 0))
+
+                # skip the whole class when no row is ready this wave
+                # (TPU lax.cond executes one branch): waves typically
+                # fire one or two of the size classes, so this trims
+                # the loop body's serial op chain substantially
+                def fire(args, s=s, c_star=c_star, row_has=row_has,
+                         fired_mask=fired_mask, wave=wave):
+                    stores_, ylog_, clog_, wv_ = args
+                    stores_, yb, cb = self._class_apply(
+                        stores_, s, c_star, row_has, statics[s], pres[s])
+                    ylog_ = jax.lax.dynamic_update_slice(
+                        ylog_, yb[None], (wave, 0, 0, 0, 0))
+                    clog_ = jax.lax.dynamic_update_slice(
+                        clog_, cb[None], (wave, 0, 0, 0, 0))
+                    wv_ = jnp.where(fired_mask, wave, wv_)
+                    return stores_, ylog_, clog_, wv_
+
+                stores, ylog, clog, wv = jax.lax.cond(
+                    row_has.any(), fire, lambda a: a,
+                    (stores, ylog, clog, wvs[s]))
                 new_logs[s] = (ylog, clog)
-                new_wvs[s] = jnp.where(fired_mask, wave, wvs[s])
+                new_wvs[s] = wv
             return (wave + 1, new_written, stores, new_logs, new_wvs)
 
         state = (jnp.int32(0), written, (Rl, Cl, Rc, Cc), logs, wvs)
@@ -1654,14 +1777,12 @@ class MdIntraPipeline(IntraPipeline):
             for p in ("y", "cb", "cr"):
                 res["levels_" + p] = np.asarray(out["levels16_" + p])
         else:
+            from .intra_pipeline import _sparse_unpack
             for p in ("y", "cb", "cr"):
-                shape = out["levels16_" + p].shape
-                bits = np.unpackbits(np.asarray(res["lmask_" + p]))
-                flat = np.zeros(bits.shape[0], np.int16)
-                nnz = int(bits.sum())
-                flat[bits.astype(bool)] = \
-                    np.asarray(res["lvals_" + p])[:nnz]
-                res["levels_" + p] = flat.reshape(shape)
+                res["levels_" + p] = _sparse_unpack(
+                    np.asarray(res["lmask_" + p]),
+                    np.asarray(res["lvals_" + p]),
+                    out["levels16_" + p].shape)
         for p in ("y", "cb", "cr"):
             res.pop("levels16_" + p, None)
             res.pop("lmask_" + p, None)

@@ -40,6 +40,22 @@ LUMA_N = 16
 CHROMA_N = 8
 
 
+def _sparse_unpack(mask_u8: np.ndarray, vals: np.ndarray,
+                   shape: tuple) -> np.ndarray:
+    """Rebuild a level plane from the device's sparse pack (bitmask +
+    compacted int16 values, see _sparse_pack). Uses the native C++
+    unpacker when available (int32 output, which is also what the
+    native slice writer consumes); numpy otherwise."""
+    from .. import native
+    if native.available():
+        return native.sparse_unpack(mask_u8, vals, shape)
+    bits = np.unpackbits(mask_u8)
+    flat = np.zeros(bits.shape[0], np.int16)
+    nnz = int(bits.sum())
+    flat[bits.astype(bool)] = vals[:nnz]
+    return flat.reshape(shape)
+
+
 def _hadamard(n: int) -> np.ndarray:
     h = np.array([[1]])
     while h.shape[0] < n:
@@ -320,13 +336,10 @@ class IntraPipeline:
                 res["levels_" + p] = np.asarray(out["levels16_" + p])
         else:
             for p in ("y", "cb", "cr"):
-                shape = out["levels16_" + p].shape
-                bits = np.unpackbits(np.asarray(out["lmask_" + p]))
-                flat = np.zeros(bits.shape[0], np.int16)
-                nnz = int(bits.sum())
-                flat[bits.astype(bool)] = \
-                    np.asarray(out["lvals_" + p])[:nnz]
-                res["levels_" + p] = flat.reshape(shape)
+                res["levels_" + p] = _sparse_unpack(
+                    np.asarray(out["lmask_" + p]),
+                    np.asarray(out["lvals_" + p]),
+                    out["levels16_" + p].shape)
         for p in ("y", "cb", "cr"):
             res.pop("levels16_" + p, None)
             res.pop("lmask_" + p, None)
@@ -776,18 +789,24 @@ class IntraPipeline:
     @staticmethod
     def _sparse_pack(levels):
         """Pack [B, n, n] int32 levels into (bitmask uint8[size/8],
-        compacted int8 values at 1/8 capacity, overflow flag)."""
+        compacted int16 values at 1/4 capacity, overflow flag).
+
+        1/4 density covers real content at low QPs (noisy 1080p at QP27
+        measured ~22% nonzero); the overflow flag falls back to pulling
+        the full int16 plane, which costs a multi-hundred-ms synchronous
+        device->host transfer on tunneled links — so the capacity is
+        sized to make that path rare, not common."""
         flat = levels.reshape(-1)
         nz = flat != 0
-        cap = flat.shape[0] // 8
+        cap = flat.shape[0] // 4
         pos = jnp.cumsum(nz.astype(jnp.int32)) - 1
         nnz = pos[-1] + 1
-        vals = jnp.zeros((cap,), jnp.int8).at[
+        vals = jnp.zeros((cap,), jnp.int16).at[
             jnp.where(nz, pos, cap)].set(
-            jnp.clip(flat, -128, 127).astype(jnp.int8), mode="drop")
+            flat.astype(jnp.int16), mode="drop")
         # MSB-first bit packing, matching np.unpackbits on the host
         weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
         mask_u8 = (nz.reshape(-1, 8).astype(jnp.int32) @ weights) \
             .astype(jnp.uint8)
-        ovf = (nnz > cap) | (jnp.max(jnp.abs(flat)) > 127)
+        ovf = nnz > cap
         return mask_u8, vals, ovf

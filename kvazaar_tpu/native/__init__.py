@@ -46,6 +46,10 @@ def get_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64)]
     p32 = ctypes.POINTER(ctypes.c_int32)
+    lib.kvz_tpu_sparse_unpack.restype = None
+    lib.kvz_tpu_sparse_unpack.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int64, p32]
     lib.kvz_tpu_encode_md_slice.restype = ctypes.c_int64
     lib.kvz_tpu_encode_md_slice.argtypes = [
         p32, p32, p32, p32, p32, p32,
@@ -97,6 +101,21 @@ def encode_intra_grid(modes: np.ndarray, levels_y: np.ndarray,
         raise RuntimeError("entropy buffer overflow")
     sizes = entries.tolist() if wpp else [int(n)]
     return bytes(out[:n]), [int(s) for s in sizes]
+
+
+def sparse_unpack(mask_u8: np.ndarray, vals: np.ndarray,
+                  shape: tuple) -> np.ndarray:
+    """Rebuild an int32 level plane from the device sparse pack (C++)."""
+    lib = get_lib()
+    n = int(np.prod(shape))
+    out = np.empty(n, np.int32)
+    mask_u8 = np.ascontiguousarray(mask_u8, np.uint8)
+    vals = np.ascontiguousarray(vals, np.int16)
+    lib.kvz_tpu_sparse_unpack(
+        mask_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out.reshape(shape)
 
 
 def pack_sao(d: dict) -> "np.ndarray | None":

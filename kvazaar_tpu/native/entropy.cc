@@ -884,6 +884,23 @@ struct MdWriter {
 
 extern "C" {
 
+// Rebuild an int32 level plane from the device's sparse pack (MSB-first
+// nonzero bitmask + compacted int16 values). Replaces the numpy
+// unpackbits + boolean-scatter path on the hot per-frame host loop.
+void kvz_tpu_sparse_unpack(const uint8_t* mask, const int16_t* vals,
+                           int64_t n, int32_t* out) {
+  int64_t vi = 0;
+  for (int64_t i = 0; i < n; i += 8) {
+    uint8_t m = mask[i >> 3];
+    if (!m) {
+      for (int b = 0; b < 8; ++b) out[i + b] = 0;
+      continue;
+    }
+    for (int b = 0; b < 8; ++b)
+      out[i + b] = (m >> (7 - b)) & 1 ? (int32_t)vals[vi++] : 0;
+  }
+}
+
 // Quadtree (CTB-64) intra slice data. sao_packed is [R*C*19] int32 (see
 // SaoRec) or null. Returns total bytes (-1 on overflow); entry_sizes[r]
 // gets per-row substream sizes when wpp.

@@ -1,6 +1,6 @@
 """Tiled frame pipeline: HEVC tiles as independent per-tile device
 programs (the single-host analog of the device-mesh sharding in
-parallel/tiles.py — same decomposition, same zero cross-tile traffic).
+parallel/mesh.py — same decomposition, same zero cross-tile traffic).
 
 Each tile runs the full multi-depth intra pipeline on its own rectangle.
 Because the PPS signals loop_filter_across_tiles=0 (as the reference

@@ -205,6 +205,15 @@ def _ver_scan(size: int) -> np.ndarray:
                     dtype=np.int32)
 
 
+def scanpos_map(n: int) -> np.ndarray:
+    """[n, n] map (indexed [y, x]) of each coefficient's position in the
+    diagonal scan — used by the search-time rate features (scan span)."""
+    xy = scan_order(SCAN_DIAG, int(np.log2(n)))
+    m = np.empty((n, n), np.int32)
+    m[xy[:, 1], xy[:, 0]] = np.arange(n * n, dtype=np.int32)
+    return m
+
+
 def scan_order(scan_idx: int, log2_size: int) -> np.ndarray:
     """Scan as (N*N, 2) array of (x, y), scanning order for coefficients.
 

@@ -104,14 +104,16 @@ def bd_rate(r1, p1, r2, p2) -> float:
 def encode_ours(frames, w, h, qp, tools) -> tuple[int, float]:
     from kvazaar_tpu.api import encode_sequence
     from kvazaar_tpu.cfg import Config
-    cfg = Config(width=w, height=h, qp=qp, ctu_size=64, intra_period=1,
-                 **tools)
+    cfg = Config(width=w, height=h, qp=qp, ctu_size=64, **tools)
     stream, infos = encode_sequence(cfg, frames)
+    # reorder to display order (B pyramids emit in coding order)
+    infos = sorted(infos, key=lambda i: i["poc"])
     recs = [i["recon_out"] for i in infos]
     return len(stream), psnr_yuv(frames, recs)
 
 
-def encode_ref(frames, w, h, qp, preset) -> tuple[int, float]:
+def encode_ref(frames, w, h, qp, preset,
+               extra: tuple = ("-p", "1")) -> tuple[int, float]:
     with tempfile.TemporaryDirectory() as td:
         yuv = os.path.join(td, "in.yuv")
         with open(yuv, "wb") as f:
@@ -123,7 +125,7 @@ def encode_ref(frames, w, h, qp, preset) -> tuple[int, float]:
         rec = os.path.join(td, "rec.yuv")
         subprocess.run(
             [REF, "--preset", preset, "-i", yuv, "--input-res",
-             f"{w}x{h}", "-o", hevc, "-p", "1", "--qp", str(qp),
+             f"{w}x{h}", "-o", hevc, *extra, "--qp", str(qp),
              "--threads", "0", "--debug", rec],
             check=True, capture_output=True)
         nbytes = os.path.getsize(hevc)
@@ -139,16 +141,44 @@ def encode_ref(frames, w, h, qp, preset) -> tuple[int, float]:
     return nbytes, psnr_yuv(frames, recs)
 
 
+# quality tools matching the medium preset row (cfg.c:625-652):
+# deblock + sao + rdoq, signhide off, pu-depth-intra 1-4, rd 0
+MEDIUM_TOOLS = dict(deblock_enable=True, sao_type="full",
+                    rdoq_enable=True, signhide_enable=False,
+                    pu_depth_intra=(1, 4), rd=0)
+
+# per-mode config: (our Config extras, reference CLI extras).
+# The BD comparison is scenario-matched (same random-access contract),
+# not tool-matched — each encoder runs its own best settings for the
+# scenario, like the BASELINE.md driver configs.
+MODES = {
+    "intra": (dict(intra_period=1), ("-p", "1")),
+    # low-delay P: one IDR, 4-frame lp-gop, 1 ref (driver config 2)
+    "lowdelay": (dict(intra_period=0, gop_len=4, gop_lowdelay=True,
+                      gop_lp=(3, 1), ref_frames=1),
+                 ("-p", "0", "--gop", "lp-g4d3t1")),
+    # random access GOP8 B pyramid (driver config 3)
+    "gop8": (dict(intra_period=16, gop_len=8, ctu_size=16),
+             ("-p", "16", "--gop", "8")),
+}
+
+
 def measure(preset: str = "medium", n_frames: int = 8,
             tools: dict | None = None,
-            size: tuple[int, int] = (416, 240)) -> dict:
-    _ensure_ref()
+            size: tuple[int, int] = (416, 240),
+            mode: str = "intra") -> dict:
+    if not _ensure_ref():
+        raise RuntimeError(
+            "reference encoder unavailable (build failed or no source); "
+            "cannot measure BD-rate")
     if tools is None:
-        # quality tools matching the medium preset row (cfg.c:625-652):
-        # deblock + sao + rdoq, signhide off, pu-depth-intra 1-4, rd 0
-        tools = dict(deblock_enable=True, sao_type="full",
-                     rdoq_enable=True, signhide_enable=False,
-                     pu_depth_intra=(1, 4), rd=0)
+        tools = dict(MEDIUM_TOOLS)
+    ours_extra, ref_extra = MODES[mode]
+    tools = {**tools, **ours_extra}
+    if tools.get("ctu_size") == 16:
+        # the 16-grid pipeline has no pu-depth/rd knobs
+        tools.pop("pu_depth_intra", None)
+        tools.pop("rd", None)
     clips, w, h = synth_clips(n_frames, *size)
     per_clip = {}
     for name, frames in clips.items():
@@ -157,7 +187,7 @@ def measure(preset: str = "medium", n_frames: int = 8,
             b, p = encode_ours(frames, w, h, qp, tools)
             ours_r.append(b)
             ours_p.append(p)
-            b, p = encode_ref(frames, w, h, qp, preset)
+            b, p = encode_ref(frames, w, h, qp, preset, ref_extra)
             ref_r.append(b)
             ref_p.append(p)
         per_clip[name] = {
@@ -167,7 +197,7 @@ def measure(preset: str = "medium", n_frames: int = 8,
         }
     vals = [c["bd_rate_pct"] for c in per_clip.values()]
     return {
-        "metric": f"bd_rate_vs_{preset}_allintra",
+        "metric": f"bd_rate_vs_{preset}_{mode}",
         "bd_rate_pct": round(float(np.mean(vals)), 2),
         "per_clip": per_clip,
         "qps": list(QPS),
@@ -179,6 +209,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="medium")
     ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--mode", default="intra", choices=sorted(MODES))
     ap.add_argument("--size", default="416x240",
                     help="clip WxH (e.g. 448x288 isolates the CTB "
                          "padding overhead: no conformance cropping)")
@@ -187,4 +218,5 @@ if __name__ == "__main__":
         print(json.dumps({"error": "reference encoder not built"}))
         sys.exit(0)
     w, h = (int(v) for v in args.size.split("x"))
-    print(json.dumps(measure(args.preset, args.frames, size=(w, h))))
+    print(json.dumps(measure(args.preset, args.frames, size=(w, h),
+                             mode=args.mode)))

@@ -10,12 +10,16 @@ cost, fits a least-squares linear model on cheap batched features
 (counts and capped sums — all vectorizable reductions on device), and
 writes the weights to kvazaar_tpu/engine/fast_cost_weights.py.
 
-Features per TU (computed from |levels|):
-    f0 = 1                      (cbf overhead: last-pos + csbf flags)
+Features per TU (computed from |levels|; MUST mirror
+kvazaar_tpu/models/intra_md.py _tu_features exactly):
+    f0 = 1                      (fixed overhead)
     f1 = #(|l| >= 1)            (sig flags + sign bits + base cost)
     f2 = #(|l| >= 2)            (gt1 flags)
     f3 = sum(min(|l|, 3))       (gt2 / base magnitude)
     f4 = sum(log2(max(|l|-2,1)))  (escape Golomb length)
+    f5 = last significant diag-scan position + 1  (in-span sig zeros)
+    f6 = #(coded 4x4 groups)    (csbf flags)
+    f7 = floor(log2(lastx+2)) + floor(log2(lasty+2))  (last-pos prefix)
 
 Usage: python tools/rdcost_weights.py [--frames 4] [--out PATH]
 """
@@ -24,6 +28,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+from functools import lru_cache
 
 import numpy as np
 
@@ -33,14 +38,31 @@ sys.path.insert(0, REPO)
 QPS = (22, 27, 32, 37)
 
 
+@lru_cache(maxsize=None)
+def _spos(n: int) -> np.ndarray:
+    from kvazaar_tpu.tables import scanpos_map
+    return scanpos_map(n)
+
+
 def tu_features(block: np.ndarray) -> np.ndarray:
     al = np.abs(block.astype(np.int64))
+    nz = al > 0
+    n = block.shape[0]
+    g = n // 4
+    span = float(np.max(np.where(nz, _spos(n), -1)) + 1)
+    cgnz = nz.reshape(g, 4, g, 4).any(axis=(1, 3))
+    ii = np.arange(n)
+    lastx = float(np.max(np.where(nz.any(0), ii, -1)))
+    lasty = float(np.max(np.where(nz.any(1), ii, -1)))
     return np.array([
         1.0,
-        float((al >= 1).sum()),
+        float(nz.sum()),
         float((al >= 2).sum()),
         float(np.minimum(al, 3).sum()),
         float(np.log2(np.maximum(al - 2, 1)).sum()),
+        span,
+        float(cgnz.sum()),
+        np.floor(np.log2(lastx + 2.0)) + np.floor(np.log2(lasty + 2.0)),
     ])
 
 
@@ -104,53 +126,102 @@ def measure_tus(frames, w, h, qp, tools):
     return feats, bits, sizes
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=4)
-    ap.add_argument("--out", default=os.path.join(
-        REPO, "kvazaar_tpu", "engine", "fast_cost_weights.py"))
-    args = ap.parse_args()
+FEATURE_VERSION = 2      # bump when tu_features changes (invalidates cache)
+DATA_CACHE = os.path.join(REPO, "tools", ".rdcost_data.npz")
 
+
+def _fit(feats: np.ndarray, bits: np.ndarray) -> np.ndarray:
+    """Non-negative weighted least squares: weights are constrained >= 0
+    (a negative intercept/structural term lets the partition DP collect
+    "free bits" by splitting into more TUs), and samples are weighted by
+    1/(bits+4) so sparse TUs — where split decisions are actually made —
+    are fit in RELATIVE error rather than drowned out by busy TUs."""
+    from scipy.optimize import nnls
+    sw = 1.0 / np.sqrt(bits + 4.0)
+    wvec, _ = nnls(feats * sw[:, None], bits * sw)
+    return wvec
+
+
+def collect(frames_per_clip: int) -> dict:
     from tools.bd_rate import synth_clips
     tools = dict(deblock_enable=True, sao_type="full", rdoq_enable=True,
                  pu_depth_intra=(1, 4))
-    clips, w, h = synth_clips(args.frames)
-    feats, bits, sizes = [], [], []
+    clips, w, h = synth_clips(frames_per_clip)
+    feats, bits, sizes, qps = [], [], [], []
     for name, frames in clips.items():
         for qp in QPS:
             f, b, s = measure_tus(frames, w, h, qp, tools)
             feats.append(f)
             bits.append(b)
             sizes.append(s)
+            qps.append(np.full(len(b), qp, int))
             print(f"{name} qp{qp}: {len(b)} TUs", file=sys.stderr)
-    feats = np.concatenate(feats)
-    bits = np.concatenate(bits)
-    sizes = np.concatenate(sizes)
+    data = dict(feats=np.concatenate(feats), bits=np.concatenate(bits),
+                sizes=np.concatenate(sizes), qps=np.concatenate(qps),
+                version=np.array(FEATURE_VERSION))
+    np.savez(DATA_CACHE, **data)
+    print(f"cached {len(data['bits'])} TUs -> {DATA_CACHE}",
+          file=sys.stderr)
+    return data
 
-    weights = {}
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--refit", action="store_true",
+                    help="refit from the cached sample data (no encodes)")
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "kvazaar_tpu", "engine", "fast_cost_weights.py"))
+    args = ap.parse_args()
+
+    data = None
+    if args.refit and os.path.exists(DATA_CACHE):
+        data = dict(np.load(DATA_CACHE))
+        if int(data["version"]) != FEATURE_VERSION:
+            print("cache is for an older feature set; re-collecting",
+                  file=sys.stderr)
+            data = None
+    if data is None:
+        data = collect(args.frames)
+    feats, bits = data["feats"], data["bits"]
+    sizes, qps = data["sizes"], data["qps"]
+
+    # per-QP models (the reference's table is per-QP,
+    # src/fast_coeff_cost.h:109); pooled fallback for thin cells
+    weights: dict = {}
     for log2s in (2, 3, 4, 5):
         m = sizes == log2s
         if m.sum() < 32:
             continue
-        wvec, res, *_ = np.linalg.lstsq(feats[m], bits[m], rcond=None)
-        pred = feats[m] @ wvec
-        err = float(np.mean(np.abs(pred - bits[m])))
-        rel = err / float(np.mean(bits[m]))
-        print(f"size {1 << log2s}: n={int(m.sum())} "
-              f"mean_bits={float(np.mean(bits[m])):.1f} "
-              f"mae={err:.2f} ({100 * rel:.1f}%)", file=sys.stderr)
-        weights[log2s] = [round(float(x), 4) for x in wvec]
+        pooled = _fit(feats[m], bits[m])
+        per_qp = {}
+        for qp in QPS:
+            mq = m & (qps == qp)
+            wv = _fit(feats[mq], bits[mq]) if mq.sum() >= 128 else pooled
+            per_qp[int(qp)] = [round(float(x), 4) for x in wv]
+            pred = feats[mq] @ np.asarray(per_qp[int(qp)])
+            err = float(np.mean(np.abs(pred - bits[mq]))) if mq.any() \
+                else 0.0
+            mean = float(np.mean(bits[mq])) if mq.any() else 1.0
+            print(f"size {1 << log2s} qp{qp}: n={int(mq.sum())} "
+                  f"mean_bits={mean:.1f} mae={err:.2f} "
+                  f"({100 * err / mean:.1f}%)", file=sys.stderr)
+        weights[log2s] = per_qp
 
     with open(args.out, "w") as f:
         f.write('"""Learned fast coefficient-cost weights '
                 "(generated by tools/rdcost_weights.py).\n\n"
-                "Linear model of exact CABAC TU bits on batched "
-                "features; the reference's\n"
-                "src/fast_coeff_cost.c default table analog. "
-                'Keyed by log2 TU size."""\n\n')
+                "Non-negative linear model of exact CABAC TU bits on "
+                "batched features; the\nreference's src/fast_coeff_cost.c "
+                "per-QP table analog. Keyed by log2 TU\nsize, then QP "
+                '(use the nearest available QP)."""\n\n'
+                f"TRAINED_QPS = {sorted(QPS)}\n\n")
         f.write("FAST_COST_WEIGHTS = {\n")
         for k in sorted(weights):
-            f.write(f"    {k}: {weights[k]},\n")
+            f.write(f"    {k}: {{\n")
+            for qp in sorted(weights[k]):
+                f.write(f"        {qp}: {weights[k][qp]},\n")
+            f.write("    },\n")
         f.write("}\n")
     print(f"wrote {args.out}", file=sys.stderr)
 

@@ -15,6 +15,11 @@ import subprocess
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_SRC = "/root/reference"
 
+# memoized build results (path or None) so a failing build is attempted
+# at most once per process — have_ref_encoder() runs in skipif at import
+# of many test modules, and a silent ~25 min rebuild per module is not ok
+_CACHE: dict[int, "str | None"] = {}
+
 
 def ref_encoder_path(bit_depth: int = 8) -> str:
     d = ".refbuild" if bit_depth == 8 else ".refbuild10"
@@ -23,13 +28,47 @@ def ref_encoder_path(bit_depth: int = 8) -> str:
 
 def ensure_ref_encoder(bit_depth: int = 8, quiet: bool = True) -> str | None:
     """Return the path to a reference kvazaar binary, building it with
-    cmake+ninja if needed. Returns None if it cannot be built."""
+    cmake+ninja if needed. Returns None if it cannot be built (cached:
+    a failed build is not retried within the process or across processes
+    that see the .failed sentinel)."""
+    if bit_depth in _CACHE:
+        return _CACHE[bit_depth]
+    exe = _ensure_uncached(bit_depth, quiet)
+    _CACHE[bit_depth] = exe
+    return exe
+
+
+def _ensure_uncached(bit_depth: int, quiet: bool) -> str | None:
     exe = ref_encoder_path(bit_depth)
     if os.path.exists(exe):
         return exe
     if not os.path.isdir(REF_SRC) or shutil.which("cmake") is None:
         return None
     build = os.path.dirname(os.path.dirname(exe))
+    sentinel = os.path.join(build, ".build_failed")
+    if os.path.exists(sentinel):
+        return None
+    os.makedirs(build, exist_ok=True)
+    # serialize concurrent builders (bench.py + pytest) on the shared tree
+    import fcntl
+    lockf = open(os.path.join(build, ".lock"), "w")
+    try:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        if os.path.exists(exe):
+            return exe
+        if os.path.exists(sentinel):
+            return None
+        out = _build(exe, build, bit_depth, quiet)
+        if out is None:
+            with open(sentinel, "w") as f:
+                f.write("build failed; delete this file to retry\n")
+        return out
+    finally:
+        fcntl.flock(lockf, fcntl.LOCK_UN)
+        lockf.close()
+
+
+def _build(exe: str, build: str, bit_depth: int, quiet: bool) -> str | None:
     gen = ["-G", "Ninja"] if shutil.which("ninja") else []
     flags = ["-DCMAKE_BUILD_TYPE=Release",
              # the kvazaar-bin target hardcodes RUNTIME_OUTPUT_DIRECTORY
