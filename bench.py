@@ -112,6 +112,18 @@ def bench_reference(frames, preset="medium", extra=("-p", "1")):
     return len(frames) / dt, nbytes
 
 
+# wall-clock budget for the optional scenarios: the core all-intra
+# metric always runs; later stages (low-delay, GOP8, BD-rate modes) are
+# skipped once the budget is spent so the bench always emits its JSON
+# line instead of overrunning the driver
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+_T_START = time.time()
+
+
+def _over_budget():
+    return time.time() - _T_START > BUDGET_S
+
+
 def main():
     fast = "--fast" in sys.argv
     frames = synth_frames(N_FRAMES, W, H)
@@ -132,6 +144,8 @@ def main():
 
     # low-delay P on the quadtree inter path (driver config 2)
     try:
+        if _over_budget():
+            raise TimeoutError("bench budget spent")
         ld_cfg = dict(intra_period=0, gop_len=4, gop_lowdelay=True,
                       gop_lp=(3, 1), ref_frames=1)
         ld_fps, ld_bytes, _ = bench_ours(frames, ld_cfg)
@@ -147,7 +161,11 @@ def main():
 
     # GOP8 B pyramid (driver config 3)
     try:
-        # ctu 16 until the B pyramid rides the quadtree path
+        if _over_budget():
+            raise TimeoutError("bench budget spent")
+        # B pyramids now ride the quadtree (CTB 64) path too, but the
+        # 1080p B-pipeline compile is large; bench GOP8 on the 16-grid
+        # until its compile cost is measured on-device
         g8_cfg = dict(intra_period=24, gop_len=8, ctu_size=16)
         g8_fps, g8_bytes, _ = bench_ours(frames, g8_cfg)
         g8_ref_fps, g8_ref_bytes = bench_reference(
@@ -166,6 +184,8 @@ def main():
                           ("lowdelay", "bd_rate_lowdelay_pct"),
                           ("gop8", "bd_rate_gop8_pct")):
             try:
+                if _over_budget():
+                    raise TimeoutError("bench budget spent")
                 res[key] = measure("medium", 8, mode=mode)["bd_rate_pct"]
             except Exception as e:
                 res[key] = None
