@@ -8,13 +8,22 @@ Scenarios (BASELINE.json driver configs):
   - low-delay P (lp-g4d3t1) on the quadtree inter path
   - GOP8 B pyramid
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-vs_baseline = our fps / reference-medium fps (all-intra, same content).
-Extra keys: device/host breakdown, low-delay and GOP8 fps + ratios, and
+Prints ONE JSON line on stdout: {"metric", "value", "unit",
+"vs_baseline", ...}. vs_baseline = our fps / reference-medium fps
+(all-intra, same content). Extra keys: device/host breakdown, low-delay
+and GOP8 fps + ratios, compile seconds per scenario, and
 bd_rate_*_pct (negative = we need fewer bits at equal PSNR).
+
+Driver-proofing (VERDICT r3 #1): the cumulative result dict is flushed
+to stdout if the process receives SIGTERM/SIGINT (the driver's timeout
+sends TERM), and to BENCH_PARTIAL.json + stderr at every stage boundary,
+so a timeout always leaves the latest measured numbers behind. The
+reference encoder is built FIRST (cheap, cached) and every stage checks
+the wall-clock budget before starting.
 """
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -22,15 +31,71 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+                      os.path.join(REPO, ".jax_cache"))
 
 W, H, QP, N_FRAMES = 1920, 1080, 27, 12
 TOOLS = dict(deblock_enable=True, sao_type="full", rdoq_enable=True,
              signhide_enable=False)   # the medium-preset tool row
+
+# wall-clock budget: stages are skipped (with an explanatory key) once
+# the budget is spent, so the bench emits its JSON line instead of
+# overrunning the driver. The CORE stage is also guarded: it runs only
+# if enough budget remains for a cold compile.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+_T_START = time.time()
+
+RES = {
+    "metric": "1080p_allintra_quadtree_fps_vs_medium",
+    "value": None,
+    "unit": "fps",
+    "vs_baseline": None,
+}
+_EMITTED = False
+
+
+def _elapsed():
+    return time.time() - _T_START
+
+
+def _over_budget(reserve_s=0.0):
+    return _elapsed() + reserve_s > BUDGET_S
+
+
+def _emit_final():
+    """The ONE stdout JSON line (idempotent)."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    RES["bench_wall_s"] = round(_elapsed(), 1)
+    print(json.dumps(RES), flush=True)
+
+
+def _checkpoint(stage):
+    """Record progress at a stage boundary: side file + stderr (NOT
+    stdout — stdout carries exactly one JSON line)."""
+    RES["last_stage"] = stage
+    try:
+        with open(os.path.join(REPO, "BENCH_PARTIAL.json"), "w") as f:
+            json.dump(RES, f)
+    except OSError:
+        pass
+    print(f"[bench {_elapsed():7.1f}s] {stage}: "
+          + json.dumps(RES), file=sys.stderr, flush=True)
+
+
+def _on_term(signum, frame):
+    RES["killed_by_signal"] = signum
+    _emit_final()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGINT, _on_term)
 
 
 def synth_frames(n, w, h):
@@ -49,6 +114,7 @@ def synth_frames(n, w, h):
 
 
 def bench_ours(frames, cfg_extra=None):
+    """Returns (fps, nbytes, encoder, compile_s)."""
     from kvazaar_tpu.api import Encoder, encode_sequence
     from kvazaar_tpu.cfg import Config
     kw = dict(width=W, height=H, qp=QP, ctu_size=64, intra_period=1,
@@ -56,20 +122,21 @@ def bench_ours(frames, cfg_extra=None):
     kw.update(cfg_extra or {})
     cfg = Config(**kw)
     enc = Encoder(cfg)
-    # warmup (compile)
+    # warmup (compile) — timed so compile cost is visible in the output
+    t0 = time.time()
     out0, _ = encode_sequence(cfg, frames[:2], encoder=enc)
+    compile_s = time.time() - t0
     enc2 = Encoder(cfg)
     t0 = time.time()
     out, infos = encode_sequence(cfg, frames, encoder=enc2)
     dt = time.time() - t0
-    return len(frames) / dt, len(out), enc2
+    return len(frames) / dt, len(out), enc2, compile_s
 
 
 def breakdown(enc, frames):
     """(device ms/frame incl. D2H, host-only finalize ms) on the
     all-intra pipeline, measured with the device output already pulled
     so host work can't hide a device wait."""
-    pipe = enc._pipeline
     y, cb, cr = frames[1]
     meta = enc.submit_frame(y, cb, cr)
     np.asarray(meta["dev"]["hostbuf"])
@@ -112,72 +179,80 @@ def bench_reference(frames, preset="medium", extra=("-p", "1")):
     return len(frames) / dt, nbytes
 
 
-# wall-clock budget for the optional scenarios: the core all-intra
-# metric always runs; later stages (low-delay, GOP8, BD-rate modes) are
-# skipped once the budget is spent so the bench always emits its JSON
-# line instead of overrunning the driver
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
-_T_START = time.time()
-
-
-def _over_budget():
-    return time.time() - _T_START > BUDGET_S
-
-
 def main():
     fast = "--fast" in sys.argv
-    frames = synth_frames(N_FRAMES, W, H)
-    fps, nbytes, enc = bench_ours(frames)
-    t_dev, t_host = breakdown(enc, frames)
-    ref_fps, ref_bytes = bench_reference(frames)
-    res = {
-        "metric": "1080p_allintra_quadtree_fps_vs_medium",
-        "value": round(fps, 4),
-        "unit": "fps",
-        "vs_baseline": (round(fps / ref_fps, 4) if ref_fps else None),
-        "ref_medium_fps": round(ref_fps, 4) if ref_fps else None,
-        "device_ms_per_frame": round(t_dev * 1000, 1),
-        "host_entropy_ms_per_frame": round(t_host * 1000, 1),
-        "bytes_qp27_ours": nbytes,
-        "bytes_qp27_ref": ref_bytes,
-    }
+    _checkpoint("start")
 
-    # low-delay P on the quadtree inter path (driver config 2)
+    # Stage 0: reference build + reference all-intra measurement FIRST
+    # (cheap: cmake build is cached in .refbuild/, encode ~15 s) so the
+    # baseline side of the ratio exists even if our compile times out.
+    frames = synth_frames(N_FRAMES, W, H)
+    ref_fps = ref_bytes = None
+    try:
+        ref_fps, ref_bytes = bench_reference(frames)
+        RES["ref_medium_fps"] = round(ref_fps, 4) if ref_fps else None
+        RES["bytes_qp27_ref"] = ref_bytes
+    except Exception as e:
+        RES["ref_error"] = f"{type(e).__name__}: {e}"[:200]
+    _checkpoint("reference_allintra")
+
+    # Stage 1: our all-intra quadtree flagship (the core metric).
+    try:
+        fps, nbytes, enc, comp_s = bench_ours(frames)
+        RES["value"] = round(fps, 4)
+        RES["vs_baseline"] = (round(fps / ref_fps, 4) if ref_fps else None)
+        RES["bytes_qp27_ours"] = nbytes
+        RES["compile_s_allintra"] = round(comp_s, 1)
+        _checkpoint("ours_allintra")
+        t_dev, t_host = breakdown(enc, frames)
+        RES["device_ms_per_frame"] = round(t_dev * 1000, 1)
+        RES["host_entropy_ms_per_frame"] = round(t_host * 1000, 1)
+        del enc
+        _checkpoint("breakdown")
+    except Exception as e:
+        RES["allintra_error"] = f"{type(e).__name__}: {e}"[:300]
+        _checkpoint("ours_allintra_failed")
+
+    # Stage 2: low-delay P on the quadtree inter path (driver config 2)
     try:
         if _over_budget():
             raise TimeoutError("bench budget spent")
         ld_cfg = dict(intra_period=0, gop_len=4, gop_lowdelay=True,
                       gop_lp=(3, 1), ref_frames=1)
-        ld_fps, ld_bytes, _ = bench_ours(frames, ld_cfg)
+        ld_fps, ld_bytes, _enc, comp_s = bench_ours(frames, ld_cfg)
+        del _enc
         ld_ref_fps, ld_ref_bytes = bench_reference(
             frames, extra=("-p", "0", "--gop", "lp-g4d3t1"))
-        res["lowdelay_fps"] = round(ld_fps, 4)
-        res["lowdelay_vs_medium"] = (round(ld_fps / ld_ref_fps, 4)
+        RES["lowdelay_fps"] = round(ld_fps, 4)
+        RES["lowdelay_vs_medium"] = (round(ld_fps / ld_ref_fps, 4)
                                      if ld_ref_fps else None)
-        res["lowdelay_bytes_ours"] = ld_bytes
-        res["lowdelay_bytes_ref"] = ld_ref_bytes
+        RES["lowdelay_bytes_ours"] = ld_bytes
+        RES["lowdelay_bytes_ref"] = ld_ref_bytes
+        RES["compile_s_lowdelay"] = round(comp_s, 1)
     except Exception as e:  # pragma: no cover - keep the bench emitting
-        res["lowdelay_error"] = f"{type(e).__name__}: {e}"[:200]
+        RES["lowdelay_error"] = f"{type(e).__name__}: {e}"[:200]
+    _checkpoint("lowdelay")
 
-    # GOP8 B pyramid (driver config 3)
+    # Stage 3: GOP8 B pyramid (driver config 3) on the quadtree path
     try:
         if _over_budget():
             raise TimeoutError("bench budget spent")
-        # B pyramids now ride the quadtree (CTB 64) path too, but the
-        # 1080p B-pipeline compile is large; bench GOP8 on the 16-grid
-        # until its compile cost is measured on-device
-        g8_cfg = dict(intra_period=24, gop_len=8, ctu_size=16)
-        g8_fps, g8_bytes, _ = bench_ours(frames, g8_cfg)
+        g8_cfg = dict(intra_period=24, gop_len=8)
+        g8_fps, g8_bytes, _enc, comp_s = bench_ours(frames, g8_cfg)
+        del _enc
         g8_ref_fps, g8_ref_bytes = bench_reference(
             frames, extra=("-p", "24", "--gop", "8"))
-        res["gop8_fps"] = round(g8_fps, 4)
-        res["gop8_vs_medium"] = (round(g8_fps / g8_ref_fps, 4)
+        RES["gop8_fps"] = round(g8_fps, 4)
+        RES["gop8_vs_medium"] = (round(g8_fps / g8_ref_fps, 4)
                                  if g8_ref_fps else None)
-        res["gop8_bytes_ours"] = g8_bytes
-        res["gop8_bytes_ref"] = g8_ref_bytes
+        RES["gop8_bytes_ours"] = g8_bytes
+        RES["gop8_bytes_ref"] = g8_ref_bytes
+        RES["compile_s_gop8"] = round(comp_s, 1)
     except Exception as e:  # pragma: no cover
-        res["gop8_error"] = f"{type(e).__name__}: {e}"[:200]
+        RES["gop8_error"] = f"{type(e).__name__}: {e}"[:200]
+    _checkpoint("gop8")
 
+    # Stage 4: BD-rate vs the reference at matched configurations
     if "--no-bd" not in sys.argv and not fast and ref_fps is not None:
         from tools.bd_rate import measure
         for mode, key in (("intra", "bd_rate_vs_medium_pct"),
@@ -186,13 +261,19 @@ def main():
             try:
                 if _over_budget():
                     raise TimeoutError("bench budget spent")
-                res[key] = measure("medium", 8, mode=mode)["bd_rate_pct"]
+                RES[key] = measure("medium", 8, mode=mode)["bd_rate_pct"]
             except Exception as e:
-                res[key] = None
-                res[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
+                RES[key] = None
+                RES[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
+            _checkpoint(f"bd_{mode}")
 
-    print(json.dumps(res))
+    _emit_final()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # last-resort: always leave a JSON line
+        RES["fatal_error"] = f"{type(e).__name__}: {e}"[:300]
+        _emit_final()
+        raise
