@@ -91,6 +91,31 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--stats-file-prefix", dest="stats_file_prefix",
                    default="", help="write per-frame poc/qp/lambda/bits/"
                    "PSNR lines to <prefix>frames.txt")
+    p.add_argument("--me", choices=["hexbs", "tz", "full", "dia",
+                                    "full8", "full16", "full32",
+                                    "full64"], default="hexbs",
+                   help="integer ME pattern (accepted for parity; the "
+                        "TPU engine always runs one exhaustive batched "
+                        "hierarchical sweep)")
+    p.add_argument("--subme", type=int, default=4, choices=range(5),
+                   help="fractional-pel depth: 0 int, 1-2 half, 3-4 qpel")
+    p.add_argument("--bipred", dest="bipred", action="store_true",
+                   default=True)
+    p.add_argument("--no-bipred", dest="bipred", action="store_false")
+    p.add_argument("--mv-constraint", dest="mv_constraint",
+                   choices=["none", "frametile", "frametilemargin"],
+                   default="none")
+    p.add_argument("--cqmfile", default="",
+                   help="custom quantization matrices (HM format)")
+    p.add_argument("--fast-coeff-table", dest="fast_coeff_table",
+                   default="", help="learned coefficient-rate table "
+                   "(JSON, see tools/rdcost_weights.py)")
+    p.add_argument("--debug", default="",
+                   help="write reconstructed YUV to this file "
+                        "(kvazaar --debug, encmain.c:294)")
+    p.add_argument("--slices", choices=["none", "tiles", "wpp"],
+                   default="none",
+                   help="one slice segment per tile / WPP row")
     return p
 
 
@@ -114,7 +139,11 @@ def main(argv=None) -> int:
                  source_scan_type=args.source_scan_type,
                  aud_enable=args.aud, vps_period=args.vps_period,
                  level=args.level,
-                 stats_file_prefix=args.stats_file_prefix)
+                 stats_file_prefix=args.stats_file_prefix,
+                 me=args.me, subme=args.subme, bipred=args.bipred,
+                 mv_constraint=args.mv_constraint, cqmfile=args.cqmfile,
+                 fast_coeff_table=args.fast_coeff_table,
+                 slices=args.slices)
     cfg.parse("gop", args.gop)
     if args.pu_depth_intra:
         cfg.parse("pu-depth-intra", args.pu_depth_intra)
@@ -136,6 +165,17 @@ def main(argv=None) -> int:
         reader.seek(args.seek)
 
     out = open(args.output, "wb")
+    dbg = open(args.debug, "wb") if args.debug else None
+
+    def _write_dbg(info):
+        # reconstructed YUV dump (kvazaar --debug, encmain.c:294-326)
+        if dbg is None:
+            return
+        for pl in info["recon_out"]:
+            a = np.asarray(pl)
+            dt = np.uint16 if reader.bit_depth > 8 else np.uint8
+            dbg.write(np.ascontiguousarray(a, dt).tobytes())
+
     n = 0
     psnr_acc = np.zeros(3)
     bits = 0
@@ -145,10 +185,11 @@ def main(argv=None) -> int:
     overlap = enc.use_device
     pending = None
 
-    def _emit(meta):
+    def _emit_done(pair):
         nonlocal n, bits, psnr_acc
-        chunk, info = enc.finalize_frame(meta)
+        chunk, info = pair
         out.write(chunk)
+        _write_dbg(info)
         bits += len(chunk) * 8
         psnr_acc += info["psnr"]
         n += 1
@@ -156,16 +197,8 @@ def main(argv=None) -> int:
               f"PSNR Y {info['psnr'][0]:.4f} U {info['psnr'][1]:.4f} "
               f"V {info['psnr'][2]:.4f}", file=sys.stderr)
 
-    def _emit_done(pair):
-        nonlocal n, bits, psnr_acc
-        chunk, info = pair
-        out.write(chunk)
-        bits += len(chunk) * 8
-        psnr_acc += info["psnr"]
-        n += 1
-        print(f"POC {info['poc']:4d} ({len(chunk):6d} bytes) "
-              f"PSNR Y {info['psnr'][0]:.4f} U {info['psnr'][1]:.4f} "
-              f"V {info['psnr'][2]:.4f}", file=sys.stderr)
+    def _emit(meta):
+        _emit_done(enc.finalize_frame(meta))
 
     submitted = 0
     while True:
@@ -193,6 +226,8 @@ def main(argv=None) -> int:
         _emit(pending)
     dt = time.time() - t0
     out.close()
+    if dbg is not None:
+        dbg.close()
     reader.close()
     if n:
         print(f" Processed {n} frames, {bits} bits", file=sys.stderr)

@@ -38,7 +38,7 @@ def build_sps(cfg: Config) -> SPS:
     sps.max_transform_hierarchy_depth_inter = 0
     sps.sao_enabled = 0 if cfg.sao_type == "off" else 1
     sps.scaling_list_enabled = 0 if cfg.scaling_list == "off" else 1
-    sps.amp_enabled = 0      # no AMP partitions emitted yet (cfg rejects)
+    sps.amp_enabled = 1 if cfg.amp_enable else 0
     sps.strong_intra_smoothing = 1 if cfg.strong_intra_smoothing else 0
     # TMVP on for inter coding (ref src/encoder.c enables it except
     # with tiles, src/cfg.c:922 — cross-tile collocated reads)
@@ -76,6 +76,10 @@ def build_pps(cfg: Config) -> PPS:
     pps.beta_offset_div2 = cfg.deblock_beta
     pps.tc_offset_div2 = cfg.deblock_tc
     pps.loop_filter_across_slices = 1
+    if cfg.slices != "none":
+        # one slice segment per tile / WPP row; segments after the first
+        # are dependent (spec 7.4.7.1; ref encoder_state-bitstream.c:915)
+        pps.dependent_slice_segments_enabled = 1
     return pps
 
 
@@ -87,11 +91,12 @@ class Encoder:
         # options that would change the bitstream but aren't implemented
         # raise here (the cfg.py module contract); performance-only hints
         # (threads/owf) are accepted no-ops like any host scheduler knob
-        if cfg.smp_enable or cfg.amp_enable:
-            raise NotImplementedError(
-                "SMP/AMP partitions are not emitted yet")
-        if cfg.slices != "none":
-            raise NotImplementedError("--slices is not implemented yet")
+        if cfg.slices not in ("none", "tiles", "wpp"):
+            raise ValueError("--slices must be tiles or wpp")
+        if cfg.slices == "wpp" and not cfg.wpp:
+            raise ValueError("--slices wpp requires --wpp")
+        if cfg.slices == "tiles" and tuple(cfg.tiles) == (1, 1):
+            raise ValueError("--slices tiles requires a tile grid")
         if cfg.lossless:
             # transquant bypass: loop filters never touch bypass samples
             # and SDH/RDOQ have nothing to optimize
@@ -199,6 +204,10 @@ class Encoder:
             self.lcu_rc = False
             self.dqp_enabled = False
             self.pps.cu_qp_delta_enabled = 0
+        if (cfg.smp_enable or cfg.amp_enable) and not self.inter_md \
+                and cfg.intra_period != 1:
+            raise NotImplementedError(
+                "SMP/AMP requires the quadtree inter path (ctu-size 64)")
         self.inter_enabled = ((self.use_device and not self.use_md
                                and cfg.intra_period != 1)
                               or self.inter_md)
@@ -223,7 +232,10 @@ class Encoder:
                     sign_hiding=cfg.signhide_enable,
                     rdoq=cfg.rdoq_enable,
                     pu_depth=tuple(cfg.pu_depth_intra),
-                    rd=cfg.rd)
+                    rd=cfg.rd, subme=cfg.subme, bipred=cfg.bipred,
+                    smp=cfg.smp_enable or cfg.amp_enable,
+                    amp=cfg.amp_enable,
+                    fast_coeff_table=cfg.fast_coeff_table)
                 self._pipeline = self._inter_pipeline
             elif self.inter_enabled:
                 from .models.inter_pipeline import InterPipeline
@@ -251,10 +263,17 @@ class Encoder:
                                    wpp=bool(cfg.wpp),
                                    bit_depth=cfg.input_bitdepth,
                                    pu_depth=tuple(cfg.pu_depth_intra),
-                                   rd=cfg.rd)
+                                   rd=cfg.rd,
+                                   fast_coeff_table=cfg.fast_coeff_table)
                     if cfg.scaling_list != "off":
-                        from .hevc.scaling import ScalingLists
-                        pipe_kw.update(scaling=ScalingLists())
+                        from .hevc.scaling import (ScalingLists,
+                                                   load_cqmfile)
+                        if cfg.cqmfile:
+                            sl = load_cqmfile(cfg.cqmfile)
+                            self.sps.scaling_lists = sl
+                        else:
+                            sl = ScalingLists()
+                        pipe_kw.update(scaling=sl)
                     if cfg.lossless:
                         pipe_kw.update(lossless=True, deblock=False,
                                        sao="off", sign_hiding=False,
@@ -276,11 +295,13 @@ class Encoder:
                     if not self.dqp_enabled and cfg.mesh_tiles != "off":
                         import jax
                         from .parallel.mesh import (MeshTiledIntraPipeline,
-                                                    grid_is_uniform)
+                                                    grid_is_uniform,
+                                                    mesh_shape_for)
                         devs = jax.devices()
                         g = self.tile_grid
                         if (grid_is_uniform(g) and g.n_tiles > 1
-                                and len(devs) >= g.n_tiles):
+                                and mesh_shape_for(g, len(devs))
+                                is not None):
                             self._pipeline = MeshTiledIntraPipeline(
                                 devs, self.sps.height, self.sps.width,
                                 cfg.qp, g, ctb=64, **pipe_kw)
@@ -772,9 +793,41 @@ class Encoder:
         # native (C++) quadtree slice writer: the flagship hot path.
         # Falls back to the Python writer for tiles / delta-QP / lossless
         # (and when the toolchain is unavailable).
+        native_motion = None
+        seg_mode = cfg.slices != "none"   # one slice segment/substream
+        if (writer is not None and self.use_md and slice_type != 2
+                and decisions is not None and "size_map8" in decisions
+                and "part8" not in decisions
+                and self.tile_grid is None and not self.dqp_enabled
+                and not cfg.lossless and lcu_bits is None and not seg_mode
+                and (sao_w is not None or not self.sps.sao_enabled)):
+            # P/B quadtree slices in C++ (VERDICT r3 #2: the inter host
+            # entropy bottleneck) — bit-identical to MdPSliceWriter,
+            # validated by tests/test_native_pb.py
+            from . import native
+            if native.available():
+                re0 = writer.helper.ref_list
+                re1 = writer.helper.ref_list1
+                data, sizes, mv4, refpoc4 = native.encode_md_slice_pb(
+                    decisions, sh, re0, meta["poc"], wpp,
+                    sdh=bool(self.pps.sign_data_hiding_enabled),
+                    ref_entries_l1=re1,
+                    union_pocs=meta.get("union", l0),
+                    sao_packed=(native.pack_sao(decisions)
+                                if self.sps.sao_enabled else None),
+                    sao_cmax=(1 << (min(self.sps.bit_depth_luma, 10)
+                                    - 5)) - 1,
+                    max_merge=5 - sh.five_minus_max_num_merge_cand)
+                off = 0
+                for s in sizes:
+                    substreams.append(data[off:off + s])
+                    off += s
+                native_done = True
+                native_motion = (mv4, refpoc4)
+                writer = None
         if (writer is not None and self.use_md and slice_type == 2
                 and self.tile_grid is None and not self.dqp_enabled
-                and not cfg.lossless and lcu_bits is None
+                and not cfg.lossless and lcu_bits is None and not seg_mode
                 and (sao_w is not None or not self.sps.sao_enabled)):
             from . import native
             if native.available():
@@ -812,9 +865,12 @@ class Encoder:
                             writer.reset_qp_chain()
                     timed_write(cab, ctu_y, ctu_x)
                     last = last_in_tile and (ctu_x, ctu_y) == last_xy
-                    cab.encode_bin_trm(1 if last else 0)
+                    # --slices tiles: end_of_slice_segment_flag = 1 at
+                    # every tile end instead of the end_of_subset bit
+                    cab.encode_bin_trm(
+                        1 if last or (seg_mode and last_in_tile) else 0)
                     if last_in_tile:
-                        if not last:
+                        if not last and not seg_mode:
                             cab.encode_bin_trm(1)  # end_of_subset
                         cab.finish()
                         bw.byte_align_one()
@@ -847,8 +903,10 @@ class Encoder:
                             saved_ctx = ctx.copy()
                         last = (ctu_y == n_ctu_y - 1
                                 and ctu_x == n_ctu_x - 1)
-                        cab.encode_bin_trm(1 if last else 0)
-                        if ctu_x == n_ctu_x - 1 and not last:
+                        row_end = ctu_x == n_ctu_x - 1
+                        cab.encode_bin_trm(
+                            1 if last or (seg_mode and row_end) else 0)
+                        if row_end and not last and not seg_mode:
                             cab.encode_bin_trm(1)
                     cab.finish()
                     bw.byte_align_one()
@@ -856,7 +914,7 @@ class Encoder:
             native_done = True  # slice data done
         elif decisions is not None and not native_done:
             from . import native
-            if native.available() and sao_w is None:
+            if native.available() and sao_w is None and not seg_mode:
                 data, sizes = native.encode_intra_grid(
                     decisions["modes"], decisions["levels_y"],
                     decisions["levels_cb"], decisions["levels_cr"],
@@ -898,8 +956,10 @@ class Encoder:
                     if ctu_x == 1 and n_ctu_x > 1:
                         saved_ctx = ctx.copy()
                     last = (ctu_y == n_ctu_y - 1 and ctu_x == n_ctu_x - 1)
-                    cab.encode_bin_trm(1 if last else 0)
-                    if ctu_x == n_ctu_x - 1 and not last:
+                    row_end = ctu_x == n_ctu_x - 1
+                    cab.encode_bin_trm(
+                        1 if last or (seg_mode and row_end) else 0)
+                    if row_end and not last and not seg_mode:
                         cab.encode_bin_trm(1)  # end_of_subset_one_bit
                 cab.finish()
                 bw.byte_align_one()
@@ -912,7 +972,11 @@ class Encoder:
                 and self.sps.temporal_mvp_enabled:
             if meta["is_idr"]:
                 self._motion_fields.clear()
-            if writer is not None and hasattr(writer, "fs"):
+            if native_motion is not None:
+                self._motion_fields[meta["poc"]] = {
+                    "poc": meta["poc"], "mv": native_motion[0],
+                    "ref_poc": native_motion[1]}
+            elif writer is not None and hasattr(writer, "fs"):
                 self._motion_fields[meta["poc"]] = {
                     "poc": meta["poc"], "mv": writer.fs.mv,
                     "ref_poc": writer.fs.ref_poc}
@@ -934,11 +998,37 @@ class Encoder:
         # end with a non-zero byte, so per-substream emulation equals
         # whole-slice emulation
         from .bitstream import rbsp_to_ebsp
-        sh.entry_point_offsets = [len(rbsp_to_ebsp(s))
-                                  for s in substreams[:-1]]
-        shw = BitWriter()
-        write_slice_header(sh, self.sps, self.pps, nal_type, shw)
-        slice_rbsp = shw.get_bytes() + b"".join(substreams)
+        slice_nals = None
+        if cfg.slices != "none" and len(substreams) > 1:
+            # --slices tiles|wpp: one slice segment NAL per substream,
+            # the first independent and the rest dependent
+            # (spec 7.4.7.1; ref encoder_state-bitstream.c:915-960)
+            import copy as _copy
+            if cfg.slices == "tiles" and self.tile_grid is not None:
+                g = self.tile_grid
+                addrs = [g.row_bd[t // (len(g.col_bd) - 1)]
+                         * self.sps.width_in_ctbs
+                         + g.col_bd[t % (len(g.col_bd) - 1)]
+                         for t in range(len(substreams))]
+            else:
+                addrs = [r * self.sps.width_in_ctbs
+                         for r in range(len(substreams))]
+            slice_nals = []
+            for i, sdata in enumerate(substreams):
+                shi = _copy.copy(sh)
+                shi.first_slice_in_pic = 1 if i == 0 else 0
+                shi.dependent_slice_segment = 0 if i == 0 else 1
+                shi.segment_address = addrs[i]
+                shi.entry_point_offsets = []
+                w = BitWriter()
+                write_slice_header(shi, self.sps, self.pps, nal_type, w)
+                slice_nals.append(w.get_bytes() + sdata)
+        else:
+            sh.entry_point_offsets = [len(rbsp_to_ebsp(s))
+                                      for s in substreams[:-1]]
+            shw = BitWriter()
+            write_slice_header(sh, self.sps, self.pps, nal_type, shw)
+            slice_rbsp = shw.get_bytes() + b"".join(substreams)
 
         out = b""
         if cfg.aud_enable:
@@ -961,7 +1051,11 @@ class Encoder:
             is_top = (meta["frame_num"] % 2 == 0) == top_first
             out += nal_unit(write_pic_timing_sei(1 if is_top else 2),
                             NAL_PREFIX_SEI)
-        out += nal_unit(slice_rbsp, nal_type)
+        if slice_nals is not None:
+            for s in slice_nals:
+                out += nal_unit(s, nal_type)
+        else:
+            out += nal_unit(slice_rbsp, nal_type)
 
         # decoded picture hash SEI covers the full (pre-crop) picture
         w, h = self.sps.width, self.sps.height

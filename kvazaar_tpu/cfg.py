@@ -64,6 +64,25 @@ class Config:
     rd: int = 0
     intra_rdo_et: bool = False
     full_intra_search: bool = False
+    # integer ME algorithm (kvazaar --me hexbs|tz|full|dia|full8..64).
+    # The TPU engine always runs one exhaustive batched hierarchical
+    # sweep (a superset of every listed pattern), so the option selects
+    # nothing but is accepted for CLI/API parity (ref src/cfg.c me opts)
+    me: str = "hexbs"
+    # fractional-pel refinement depth (kvazaar --subme 0..4):
+    # 0 = integer only, 1-2 = half-pel, 3-4 = quarter-pel
+    subme: int = 4
+    # bi-prediction search in B slices (kvazaar --bipred; the engine
+    # evaluates the exact bi average of the per-list best candidates)
+    bipred: bool = True
+    # ME range clamp (kvazaar --mv-constraint none|frametile|
+    # frametilemargin); tiles force frametilemargin like the reference
+    mv_constraint: str = "none"
+    # custom quantization matrices file (kvazaar --cqmfile, HM format)
+    cqmfile: str = ""
+    # learned coefficient-rate table file (kvazaar --fast-coeff-table:
+    # binary/text weight table; here a JSON {log2size: {qp: [8 floats]}})
+    fast_coeff_table: str = ""
 
     # parallelism
     wpp: bool = False
@@ -110,6 +129,8 @@ class Config:
         if self.rc_algorithm == "auto":
             self.rc_algorithm = ("lambda" if self.target_bitrate > 0
                                  else "no-rc")
+        if self.cqmfile and self.scaling_list == "off":
+            self.scaling_list = "custom"
 
     def validate(self) -> None:
         if self.width <= 0 or self.height <= 0:
@@ -167,6 +188,15 @@ class Config:
         "owf": ("owf", int),
         "threads": ("threads", int),
         "rd": ("rd", int),
+        "me": ("me", str),
+        "subme": ("subme", int),
+        "bipred": ("bipred", bool),
+        "mv-constraint": ("mv_constraint", str),
+        "cqmfile": ("cqmfile", str),
+        "fast-coeff-table": ("fast_coeff_table", str),
+        "smp": ("smp_enable", bool),
+        "amp": ("amp_enable", bool),
+        "slices": ("slices", str),
         "bitrate": ("target_bitrate", int),
         "hash": ("hash", str),
         "aud": ("aud_enable", bool),
@@ -219,19 +249,19 @@ PRESETS = {
     # rows (cfg.c:628 "pu-depth-intra 1-4").
     "ultrafast": dict(rd=0, pu_depth_intra=(2, 3),
                       pu_depth_inter=(1, 2), gop_len=8,
-                      ref_frames=1, sao_type="off",
+                      ref_frames=1, sao_type="off", subme=0, me="hexbs",
                       signhide_enable=False, rdoq_enable=False),
     "superfast": dict(rd=0, pu_depth_intra=(2, 3),
                       pu_depth_inter=(1, 2), gop_len=8,
-                      ref_frames=1, sao_type="full",
+                      ref_frames=1, sao_type="full", subme=2, me="hexbs",
                       signhide_enable=False, rdoq_enable=False),
     "veryfast": dict(rd=0, pu_depth_intra=(2, 3),
                      pu_depth_inter=(1, 3), gop_len=8,
-                     ref_frames=1, sao_type="full",
+                     ref_frames=1, sao_type="full", subme=2, me="hexbs",
                      signhide_enable=False, rdoq_enable=False),
     "faster": dict(rd=0, pu_depth_intra=(2, 3),
                    pu_depth_inter=(1, 3), gop_len=8,
-                   ref_frames=1, sao_type="full",
+                   ref_frames=1, sao_type="full", subme=4, me="hexbs",
                    signhide_enable=False, rdoq_enable=False),
     "fast": dict(rd=0, pu_depth_intra=(1, 3), pu_depth_inter=(1, 3),
                  gop_len=8, ref_frames=2,

@@ -1142,7 +1142,23 @@ class HEVCDecoder:
         self.prev_poc = 0
 
     def decode(self, stream: bytes) -> list[DecodedFrame]:
+        # a picture may span several slice-segment NALs (dependent slice
+        # segments, spec 7.4.7.1 — kvazaar --slices tiles|wpp); buffer
+        # segments until the picture is complete, then decode it whole
+        pending: list[tuple[int, bytes]] = []
+
+        def flush():
+            if pending:
+                self._decode_slice(pending)
+                pending.clear()
+
         for nal_type, _tid, ebsp in split_annexb(stream):
+            if nal_type < 32:
+                if ebsp[0] >> 7:        # first_slice_segment_in_pic_flag
+                    flush()
+                pending.append((nal_type, ebsp))
+                continue
+            flush()
             rbsp = ebsp_to_rbsp(ebsp)
             if nal_type == NAL_VPS:
                 continue
@@ -1155,12 +1171,12 @@ class HEVCDecoder:
                 continue
             elif nal_type == NAL_SUFFIX_SEI:
                 self._check_hash(rbsp)
-            elif nal_type < 32:
-                self._decode_slice(ebsp, nal_type)
+        flush()
         return self.frames
 
-    def _decode_slice(self, ebsp: bytes, nal_type: int) -> None:
+    def _decode_slice(self, segments) -> None:
         from ..bitstream import ebsp_to_rbsp_ex
+        nal_type, ebsp = segments[0]
         rbsp, rbsp_pos = ebsp_to_rbsp_ex(ebsp)
         br = BitReader(rbsp)
         sh, pps = parse_slice_header(br, self.sps, self.pps_map, nal_type)
@@ -1223,20 +1239,32 @@ class HEVCDecoder:
             fs.tile_grid = grid
             fs.tile4 = grid.tile4_map(sps.ctb_size)
         init_type = 0 if sh.is_intra else (2 - sh.slice_type)
-        data = rbsp[br.byte_pos:]
-        if wpp or tiles:
-            # entry point offsets are in EBSP bytes (incl. emulation
-            # prevention); convert boundaries to RBSP positions
-            start_e = rbsp_pos.index(br.byte_pos)
+        def seg_substreams(sh_seg, rbsp_seg, pos_seg, br_seg, ebsp_seg):
+            """Split one slice segment's payload at its entry points
+            (EBSP offsets -> RBSP positions)."""
+            if not (wpp or tiles):
+                return [rbsp_seg[br_seg.byte_pos:]]
+            start_e = pos_seg.index(br_seg.byte_pos)
             bounds_e = [start_e]
-            for off in sh.entry_point_offsets:
+            for off in sh_seg.entry_point_offsets:
                 bounds_e.append(bounds_e[-1] + off)
-            bounds_r = [rbsp_pos[min(b, len(ebsp))] for b in bounds_e]
-            bounds_r.append(len(rbsp))
-            sub_data = [rbsp[bounds_r[i]:bounds_r[i + 1]]
-                        for i in range(len(bounds_r) - 1)]
-        else:
-            sub_data = [data]
+            bounds_r = [pos_seg[min(b, len(ebsp_seg))] for b in bounds_e]
+            bounds_r.append(len(rbsp_seg))
+            return [rbsp_seg[bounds_r[i]:bounds_r[i + 1]]
+                    for i in range(len(bounds_r) - 1)]
+
+        sub_data = seg_substreams(sh, rbsp, rbsp_pos, br, ebsp)
+        for _nt2, ebsp2 in segments[1:]:
+            # dependent slice segments: short header, payload continues
+            # the same picture as the next substream(s)
+            rbsp2, pos2 = ebsp_to_rbsp_ex(ebsp2)
+            br2 = BitReader(rbsp2)
+            sh2, _pps2 = parse_slice_header(br2, self.sps, self.pps_map,
+                                            _nt2)
+            if not sh2.dependent_slice_segment:
+                raise ValueError(
+                    "independent mid-picture slices not supported")
+            sub_data += seg_substreams(sh2, rbsp2, pos2, br2, ebsp2)
 
         def make_sd(cab: CabacDecoder, tile_id: int = 0) -> SliceDecoder:
             sd = SliceDecoder(fs, cab)
@@ -1271,7 +1299,9 @@ class HEVCDecoder:
                 sd.decode_ctu(ctu_x, ctu_y)
                 last = (ctu_x, ctu_y) == last_xy and last_in_tile
                 end = cab.decode_bin_trm()
-                if end and not last:
+                # with --slices tiles, every tile's last CTU legitimately
+                # codes end_of_slice_segment_flag = 1
+                if end and not last and not last_in_tile:
                     raise ValueError("unexpected end_of_slice")
         else:
             ctx = ContextSet(init_type, sh.qp)

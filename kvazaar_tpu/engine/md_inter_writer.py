@@ -34,6 +34,10 @@ class MdPSliceWriter(PSliceWriter):
         self.inter8 = np.asarray(decisions["inter8"], bool)
         self.mv8 = np.asarray(decisions["mv8"], np.int32)
         self.ref8 = np.asarray(decisions["ref8"], np.int32)
+        # SMP/AMP part ids per 8-cell (0 = 2Nx2N); per-PU motion rides
+        # the per-cell mv8/ref8 maps (models/inter_md.py merges it)
+        self.part8 = (np.asarray(decisions["part8"], np.int32)
+                      if "part8" in decisions else None)
         # B slices: per-list slots + inter_dir (models/inter_md.py
         # _inter_full_b_impl); absent on the P path
         self.dir8 = (np.asarray(decisions["dir8"], np.int32)
@@ -132,8 +136,127 @@ class MdPSliceWriter(PSliceWriter):
 
     # -- CUs -------------------------------------------------------------------
 
+    PART_NAMES = {1: "2NxN", 2: "Nx2N", 3: "2NxnU", 4: "2NxnD",
+                  5: "nLx2N", 6: "nRx2N"}
+
+    def _write_part_mode(self, part: str, log2_size: int) -> None:
+        """part_mode binarization for inter CUs above min CB size
+        (mirror of decoder _parse_part_mode_inter)."""
+        cab = self.cab
+        cab.encode_bin(ContextSet.idx("part_mode", 0),
+                       1 if part == "2Nx2N" else 0)
+        if part == "2Nx2N":
+            return
+        ver = part in ("2NxN", "2NxnU", "2NxnD")
+        cab.encode_bin(ContextSet.idx("part_mode", 1), 1 if ver else 0)
+        if self.sps.amp_enabled:
+            smp = part in ("2NxN", "Nx2N")
+            cab.encode_bin(ContextSet.idx("part_mode", 3),
+                           1 if smp else 0)
+            if not smp:
+                cab.encode_bin_ep(
+                    1 if part in ("2NxnD", "nRx2N") else 0)
+
+    def _inter_cu_smp(self, x0: int, y0: int, size: int,
+                      log2_size: int, part_id: int) -> None:
+        """Inter CU with a rectangular PU partition: per-PU merge/AMVP
+        resolution + the forced transform split (interSplitFlag).
+        Mirrors the decoder's _coding_unit_p SMP branch exactly."""
+        from ..decoder.decoder import SliceDecoder
+        cab = self.cab
+        h = self.helper
+        part = self.PART_NAMES[part_id]
+        cab.encode_bin(ContextSet.idx("cu_skip_flag",
+                                      self._skip_ctx(x0, y0)), 0)
+        cab.encode_bin(ContextSet.idx("pred_mode_flag", 0), 0)
+        self._write_part_mode(part, log2_size)
+        max_merge = 5 - self.sh.five_minus_max_num_merge_cand
+        pus = SliceDecoder._pu_geometry(part, x0, y0, size)
+        for i, (px, py, pw, ph) in enumerate(pus):
+            # per-PU motion from the first cell of the PU
+            r8, c8 = py >> 3, px >> 3
+            k = min(int(self.ref8[r8, c8]), len(self.union_pocs) - 1)
+            poc = self.union_pocs[k]
+            mv = np.zeros((2, 2), np.int32)
+            if poc in self.ref_pocs:
+                lx, ridx = 0, self.ref_pocs.index(poc)
+            else:
+                lx, ridx = 1, self.ref_pocs_l1.index(poc)
+            mv[lx] = self.mv8[r8, c8]
+            pocs = (poc, NO_REF) if lx == 0 else (NO_REF, poc)
+            motion = ((lx == 0, lx == 1), mv, pocs)
+            excl_a1 = i == 1 and part in ("Nx2N", "nLx2N", "nRx2N")
+            excl_b1 = i == 1 and part in ("2NxN", "2NxnU", "2NxnD")
+            cands = h.merge_candidates(px, py, pw, ph, max_merge,
+                                       excl_a1, excl_b1)
+            merge_idx = None
+            for kk, cand in enumerate(cands):
+                if SliceDecoder._same_motion(cand, motion):
+                    merge_idx = kk
+                    break
+            if merge_idx is not None:
+                cab.encode_bin(ContextSet.idx("merge_flag", 0), 1)
+                self._write_merge_idx(merge_idx, max_merge)
+            else:
+                cab.encode_bin(ContextSet.idx("merge_flag", 0), 0)
+                if self.is_b:
+                    cab.encode_bin(
+                        ContextSet.idx("inter_pred_idc",
+                                       int(self.fs.depth[py >> 2,
+                                                         px >> 2])), 0)
+                    cab.encode_bin(ContextSet.idx("inter_pred_idc", 4),
+                                   1 if lx == 1 else 0)
+                n_act = (self.sh.num_ref_idx_l0_active_minus1 + 1
+                         if lx == 0
+                         else self.sh.num_ref_idx_l1_active_minus1 + 1)
+                self._write_ref_idx(ridx, n_act)
+                mvps = h.amvp_candidates(px, py, pw, ph, lx, poc)
+                mvv = motion[1][lx]
+                costs = [abs(int(mvv[0] - m[0])) + abs(int(mvv[1] - m[1]))
+                         for m in mvps]
+                flag = 1 if costs[1] < costs[0] else 0
+                mvd = (mvv - mvps[flag]).astype(np.int32)
+                self._write_mvd(mvd)
+                cab.encode_bin(ContextSet.idx("mvp_flag", 0), flag)
+            h._mark_inter(px, py, pw, ph, motion, False)
+        ly, lcb, lcr = self._levels_at(x0, y0, size)
+        has_resi = 1 if (ly.any() or lcb.any() or lcr.any()) else 0
+        cab.encode_bin(ContextSet.idx("rqt_root_cbf", 0), has_resi)
+        if not has_resi:
+            return
+        # forced transform split once (interSplitFlag with
+        # max_transform_hierarchy_depth_inter == 0): parent chroma cbfs
+        # at depth 0, then four half-size TUs in z order at depth 1
+        half = size >> 1
+        cbf_cb = 1 if lcb.any() else 0
+        cbf_cr = 1 if lcr.any() else 0
+        cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cb)
+        cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cr)
+        c_log2 = log2_size - 2
+        for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+            qly, qlcb, qlcr = self._levels_at(x0 + dx, y0 + dy, half)
+            q_cb = 1 if qlcb.any() else 0
+            q_cr = 1 if qlcr.any() else 0
+            q_y = 1 if qly.any() else 0
+            if cbf_cb:
+                cab.encode_bin(ContextSet.idx("cbf_chroma", 1), q_cb)
+            if cbf_cr:
+                cab.encode_bin(ContextSet.idx("cbf_chroma", 1), q_cr)
+            cab.encode_bin(ContextSet.idx("cbf_luma", 0), q_y)
+            if q_y:
+                encode_residual(cab, qly, log2_size - 1, 0, 0, self.sdh)
+            if cbf_cb and q_cb:
+                encode_residual(cab, qlcb, c_log2, 1, 0, self.sdh)
+            if cbf_cr and q_cr:
+                encode_residual(cab, qlcr, c_log2, 2, 0, self.sdh)
+
     def _inter_cu(self, x0: int, y0: int, size: int,
                   log2_size: int) -> None:
+        if self.part8 is not None and \
+                int(self.part8[y0 >> 3, x0 >> 3]) != 0:
+            self._inter_cu_smp(x0, y0, size, log2_size,
+                               int(self.part8[y0 >> 3, x0 >> 3]))
+            return
         cab = self.cab
         h = self.helper
         motion, ridx2 = self._motion_at(x0, y0)

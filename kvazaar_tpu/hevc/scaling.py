@@ -79,6 +79,69 @@ class ScalingLists:
         return ((qs << 4) // m[None]).astype(np.int32)
 
 
+def load_cqmfile(path: str) -> ScalingLists:
+    """HM-format custom quantization matrix file (kvazaar --cqmfile;
+    ref src/scalinglist.c kvz_scalinglist_parse:142): per-matrix blocks
+    headed by INTRA4X4_LUMA / ... / INTER32X32_LUMA(_DC) with
+    comma-separated coefficients in up-right diagonal scan order."""
+    names = [
+        ["INTRA4X4_LUMA", "INTRA4X4_CHROMAU", "INTRA4X4_CHROMAV",
+         "INTER4X4_LUMA", "INTER4X4_CHROMAU", "INTER4X4_CHROMAV"],
+        ["INTRA8X8_LUMA", "INTRA8X8_CHROMAU", "INTRA8X8_CHROMAV",
+         "INTER8X8_LUMA", "INTER8X8_CHROMAU", "INTER8X8_CHROMAV"],
+        ["INTRA16X16_LUMA", "INTRA16X16_CHROMAU", "INTRA16X16_CHROMAV",
+         "INTER16X16_LUMA", "INTER16X16_CHROMAU", "INTER16X16_CHROMAV"],
+        ["INTRA32X32_LUMA", "INTER32X32_LUMA"],
+    ]
+    with open(path) as f:
+        lines = f.read().splitlines()
+
+    def read_block(header: str, count: int) -> list[int]:
+        for i, ln in enumerate(lines):
+            if header in ln and header + "_DC" not in ln:
+                vals: list[int] = []
+                for ln2 in lines[i + 1:]:
+                    for tok in ln2.replace(",", " ").split():
+                        try:
+                            v = int(tok)
+                        except ValueError:
+                            raise ValueError(
+                                f"bad value {tok!r} in {header}")
+                        if not 1 <= v <= 255:
+                            raise ValueError(f"{header}: {v} out of range")
+                        vals.append(v)
+                        if len(vals) == count:
+                            return vals
+                break
+        raise ValueError(f"cqmfile: matrix {header} not found")
+
+    def read_dc(header: str) -> int:
+        for i, ln in enumerate(lines):
+            if header in ln:
+                for ln2 in lines[i + 1:]:
+                    toks = ln2.split()
+                    if toks:
+                        return int(toks[0])
+        raise ValueError(f"cqmfile: {header} not found")
+
+    out = ScalingLists()
+    for size_id in range(4):
+        log2 = 2 if size_id == 0 else 3
+        n = 1 << log2
+        xy = scan_order(SCAN_DIAG, log2)
+        for k, m_id in enumerate(matrix_ids(size_id)):
+            name = names[size_id][k]
+            vals = read_block(name, n * n)
+            grid = np.zeros((n, n), np.int32)
+            for i, v in enumerate(vals):
+                x, y = xy[i]
+                grid[y, x] = v
+            out.lists[(size_id, m_id)] = grid
+            if size_id >= 2:
+                out.dc[(size_id, m_id)] = read_dc(name + "_DC")
+    return out
+
+
 def parse_scaling_list_data(br) -> ScalingLists:
     """scaling_list_data() (spec 7.3.4)."""
     out = ScalingLists()

@@ -45,16 +45,43 @@ class MdInterPipeline(MdIntraPipeline):
     COARSE = 4          # downsample factor of the wide sweep
     COARSE_RANGE = 16   # coarse integer range (=> +-64 full-res)
     REFINE = 3          # full-res integer refine window around the field
-    INTER_MODE_BITS = 6.0   # skip/merge/pred_mode + ref signalling bins
-    REF_BITS = 2.0          # extra bins per reference index step
     SUBPEL_PAD = 4 + 3      # refine window + 8-tap reach
     INIT_TYPE = 1           # P-slice context init for the DP bit costs
+    # inter signalling prices (engine/bit_cost.py inter_dp_costs — the
+    # kvz_calc_mvd_cost_cabac / skip-merge pricing analog, ref
+    # src/rdo.c:997) appended to the intra dpc consts vector:
+    DPC_SKIP = 13            # cu_skip=1 + merge_idx (merge hit, cbf 0)
+    DPC_MERGE = 14           # explicit merge with residual
+    DPC_AMVP = 15            # AMVP base (excl. ref/mvd/rqt)
+    DPC_RQT0, DPC_RQT1 = 16, 17
+    DPC_REF0, DPC_REF_STEP = 18, 19
+    DPC_MVD_G0_0, DPC_MVD_G0_1 = 20, 21
+    DPC_MVD_G1_0, DPC_MVD_G1_1 = 22, 23
+    DPC_IDC_UNI, DPC_IDC_BI = 24, 25
+    DPC_INTRA_PM = 26        # cu_skip=0 + pred_mode=intra (P/B slices)
+    DPC_PART0_0 = 27         # part_mode bin 0 = not-2Nx2N
+    DPC_PART1_0, DPC_PART1_1 = 28, 29
+    DPC_PART3_0, DPC_PART3_1 = 30, 31
+    DPC_PU_EXTRA = 32        # 2nd PU merge_flag=0 + mvp_flag
 
     def __init__(self, height: int, width: int, qp: int,
                  n_refs: int = 1, b_slices: bool = False,
-                 pu_depth_inter: tuple[int, int] = (0, 3), **kw) -> None:
+                 pu_depth_inter: tuple[int, int] = (0, 3),
+                 subme: int = 4, bipred: bool = True,
+                 smp: bool = False, amp: bool = False, **kw) -> None:
         super().__init__(height, width, qp, **kw)
         self.n_refs = max(1, n_refs)
+        # --subme 0..4: fractional refinement depth (half, then quarter;
+        # ref src/search_inter.c:974 filter steps); --bipred gates the
+        # exact bi-prediction candidate in B slices (cfg.c:1092)
+        self.subme = max(0, min(int(subme), 4))
+        self.bipred = bool(bipred)
+        # --smp/--amp: rectangular PU partitions 2NxN/Nx2N (+ the four
+        # asymmetric modes at 32) searched per CU and competed in the DP
+        # (ref kvz_search_cu_smp, src/search_inter.c:2311). Off keeps the
+        # traced graphs identical to the non-SMP build.
+        self.smp = bool(smp)
+        self.amp = bool(amp)
         # inter CU sizes from --pu-depth-inter (0=64 .. 3=8); sizes
         # outside the range fall back to the intra candidate
         lo, hi = pu_depth_inter
@@ -182,11 +209,34 @@ class MdInterPipeline(MdIntraPipeline):
             axis=2).reshape(-1, 4, 2)
         return cands
 
-    def _tq_quad(self, resi, qp, is_luma):
+    def _rd_zero_tu(self, resi, levels, r2, lam, n, is_luma,
+                    depth1=False):
+        """RD choice between coding the quantized residual and zeroing
+        the whole TU (cbf = 0). The reference makes this comparison in
+        its CU cost accounting (src/search.c:425
+        cu_rd_cost_tr_split_accurate competes the zero-cbf path; inter
+        search also early-skips, search_inter.c:436) — without it, P/B
+        frames spend bits coding the reference picture's quantization
+        noise. Returns (levels, recon_residual) with losing TUs zeroed."""
+        dist_c = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
+        dist_z = (resi.astype(jnp.float32) ** 2).sum(axis=(1, 2))
+        if is_luma:
+            rate = self._tu_rate_y(levels, n, depth1=depth1)
+            zr = self.dpc[self.DPC_CBF_Y0_D1 if depth1
+                          else self.DPC_CBF_Y0]
+        else:
+            rate = self._tu_rate_c(levels, n, depth1=depth1)
+            zr = self.dpc[self.DPC_CBF_C0_D1 if depth1
+                          else self.DPC_CBF_C0]
+        drop = (dist_z + lam * zr <= dist_c + lam * rate)[:, None, None]
+        return jnp.where(drop, 0, levels), jnp.where(drop, 0, r2)
+
+    def _tq_quad(self, resi, qp, is_luma, lam=None):
         """T/Q a [B, n, n] residual as four n/2 TUs: the forced
         transform split of 64-luma / 32-chroma CBs (spec 7.4.9.8:
         log2 > MaxTbLog2) and of SMP CUs (spec 7.3.8.8 interSplitFlag
-        with max_transform_hierarchy_depth_inter == 0).
+        with max_transform_hierarchy_depth_inter == 0). With lam set,
+        each sub-TU gets the RD zero-cbf competition (_rd_zero_tu).
         Returns (levels [B, n, n], recon residual [B, n, n])."""
         B, n, _ = resi.shape
         hn = n // 2
@@ -194,7 +244,12 @@ class MdInterPipeline(MdIntraPipeline):
         q = resi.reshape(B, 2, hn, 2, hn)
         q = jnp.moveaxis(q, 2, 3).reshape(B * 4, hn, hn)
         lev, r2 = self._transform_quant(
-            q, t, qp, hn, mats=self._mats_for(hn, is_luma))
+            q, t, qp, hn, mats=self._mats_for(hn, is_luma),
+            is_luma=is_luma)
+        if lam is not None:
+            lam4 = (jnp.repeat(lam, 4) if jnp.ndim(lam) else lam)
+            lev, r2 = self._rd_zero_tu(q, lev, r2, lam4, hn, is_luma,
+                                       depth1=True)
         cbf = jnp.any(lev != 0, axis=(1, 2))
         r2 = jnp.where(cbf[:, None, None], r2, 0)
         lev = jnp.where(cbf[:, None, None], lev, 0)
@@ -240,12 +295,15 @@ class MdInterPipeline(MdIntraPipeline):
         return best_mv, best_sad
 
     def _refine_subpel(self, blocks, ypad, y0, x0, mv_int, pad):
-        """Half then quarter pel refinement by SATD around mv_int."""
+        """Half then quarter pel refinement by SATD around mv_int
+        (--subme gates the steps: 0 = none, 1-2 = half, 3-4 = quarter)."""
         nh, nw = blocks.shape[-2], blocks.shape[-1]
         mv = jnp.clip(mv_int, -64, 64) * 4
         best = self._satd_tiles(blocks - self._mc_luma(
             ypad, mv, y0, x0, nw, pad, nh=nh))
-        for step in (2, 1):
+        steps = ((2, 1) if self.subme >= 3
+                 else (2,) if self.subme >= 1 else ())
+        for step in steps:
             for (dx, dy) in ((-1, 0), (1, 0), (0, -1), (0, 1),
                              (-1, -1), (1, -1), (-1, 1), (1, 1)):
                 cand = mv + jnp.asarray([dx * step, dy * step], jnp.int32)
@@ -256,11 +314,74 @@ class MdInterPipeline(MdIntraPipeline):
                 best = jnp.where(better, cost, best)
         return mv, best
 
-    @staticmethod
-    def _mv_bins(mvd):
-        """CABAC-bin estimate of an MVD (exp-golomb-ish length)."""
+    def _dpc_vec(self, qp: int) -> list[float]:
+        from ..engine.bit_cost import inter_dp_costs
+        c = inter_dp_costs(qp, self.INIT_TYPE)
+        return super()._dpc_vec(qp) + [
+            c["skip"], c["merge"], c["amvp"], c["rqt0"], c["rqt1"],
+            c["ref0"], c["ref_step"], c["mvd_g0_0"], c["mvd_g0_1"],
+            c["mvd_g1_0"], c["mvd_g1_1"], c["idc_uni"], c["idc_bi"],
+            c["intra_pm"], c["part0_0"], c["part1_0"], c["part1_1"],
+            c["part3_0"], c["part3_1"], c["pu_extra"]]
+
+    def _mv_bins(self, mvd):
+        """Fractional-bit cost of an MVD at context init states: per
+        component abs_mvd_greater0/1 ctx bins + 1st-order exp-golomb
+        remainder + EP sign (the kvz_calc_mvd_cost_cabac analog,
+        ref src/rdo.c:997 + encode_coding_tree.c:1062)."""
         a = jnp.abs(mvd).astype(jnp.float32)
-        return (2.0 + 2.0 * jnp.ceil(jnp.log2(a + 1.0))).sum(axis=-1)
+        g0_0 = self.dpc[self.DPC_MVD_G0_0]
+        g0_1 = self.dpc[self.DPC_MVD_G0_1]
+        g1_0 = self.dpc[self.DPC_MVD_G1_0]
+        g1_1 = self.dpc[self.DPC_MVD_G1_1]
+        # EG1 length of (a-2): 2*floor(log2((a-2)/2+1)) + 2
+        eg1 = 2.0 * jnp.floor(jnp.log2(jnp.maximum(a, 2.0) / 2.0)) + 2.0
+        per = jnp.where(
+            a == 0, g0_0,
+            g0_1 + 1.0 + jnp.where(a == 1, g1_0, g1_1 + eg1))
+        return per.sum(axis=-1)
+
+    def _ref_cost(self, k, n_list=None):
+        """ref_idx signalling bits for static index k (one per ref in
+        the stack; 0 when the list has a single entry)."""
+        n_list = self.n_refs if n_list is None else n_list
+        if n_list <= 1:
+            return jnp.float32(0.0)
+        if k == 0:
+            return self.dpc[self.DPC_REF0]
+        return self.dpc[self.DPC_REF_STEP] + jnp.float32(max(0, k - 1))
+
+    def _merge_proxy(self, mv_q, ref, rows, cols, extra=None):
+        """Write-time merge availability proxy: a block merges when its
+        motion equals its left or top same-size neighbour's choice (the
+        writer resolves real spatial/TMVP candidates at encode time —
+        engine/md_inter_writer.py; this batched proxy prices the common
+        case). extra: additional per-block fields that must also match
+        (B: second list's mv/ref + direction)."""
+        fields = [mv_q.reshape(rows, cols, 2), ref.reshape(rows, cols)]
+        for e in extra or ():
+            fields.append(e.reshape(rows, cols, *e.shape[1:]))
+
+        def eq_shift(f, axis):
+            if axis == 1:
+                a, b = f[:, 1:], f[:, :-1]
+                pad = ((0, 0), (1, 0)) + ((0, 0),) * (f.ndim - 2)
+            else:
+                a, b = f[1:, :], f[:-1, :]
+                pad = ((1, 0), (0, 0)) + ((0, 0),) * (f.ndim - 2)
+            eq = a == b
+            while eq.ndim > 2:
+                eq = eq.all(axis=-1)
+            return jnp.pad(eq, pad[:2], constant_values=False)
+
+        left_eq = jnp.ones((rows, cols), bool)
+        top_eq = jnp.ones((rows, cols), bool)
+        for f in fields:
+            le = eq_shift(f, 1)
+            te = eq_shift(f, 0)
+            left_eq = left_eq & le
+            top_eq = top_eq & te
+        return (left_eq | top_eq).reshape(-1)
 
     # ------------------------------------------------------------------
     # per-size inter candidate + cost
@@ -299,7 +420,8 @@ class MdInterPipeline(MdIntraPipeline):
                                              mv_int, P)
             mvd = mv_q - cands[:, 0] * 4  # field MV as AMVP proxy
             cost = satd.astype(jnp.float32) + lam_satd * (
-                self._mv_bins(mvd) + self.REF_BITS * k)
+                self._mv_bins(mvd)
+                + self._ref_cost(k, n_list=refs_y.shape[0]))
             if best is None:
                 best = (cost, mv_q, jnp.full((nb,), k, jnp.int32),
                         self._mv_bins(mvd), satd)
@@ -339,13 +461,16 @@ class MdInterPipeline(MdIntraPipeline):
         self.rdoq = self.sign_hiding = False
         try:
             if n == 64:
-                levels, r2 = self._tq_quad(resi, qp_y, True)
+                levels, r2 = self._tq_quad(resi, qp_y, True, lam=lam)
             else:
                 levels, r2 = self._transform_quant(
                     resi, t, qp_y, n, mats=self._mats_for(n, True))
+                levels, r2 = self._rd_zero_tu(resi, levels, r2, lam, n,
+                                              True)
         finally:
             self.rdoq, self.sign_hiding = saved
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
+        cbf_any = jnp.any(levels != 0, axis=(1, 2))
         if n == 64:
             # 64 CU -> four 32x32 TUs at trafo depth 1
             L = levels.shape[0]
@@ -373,15 +498,19 @@ class MdInterPipeline(MdIntraPipeline):
             self.rdoq = self.sign_hiding = False
             try:
                 if nc == 32:
-                    clev, cr2 = self._tq_quad(cresi, qp_c, False)
+                    clev, cr2 = self._tq_quad(cresi, qp_c, False,
+                                              lam=lam)
                 else:
                     clev, cr2 = self._transform_quant(
                         cresi, tc, qp_c, nc,
                         mats=self._mats_for(nc, False))
+                    clev, cr2 = self._rd_zero_tu(cresi, clev, cr2, lam,
+                                                 nc, False)
             finally:
                 self.rdoq, self.sign_hiding = saved
             cdist = ((cresi - cr2).astype(jnp.float32) ** 2) \
                 .sum(axis=(1, 2))
+            cbf_any = cbf_any | jnp.any(clev != 0, axis=(1, 2))
             if nc == 32:
                 L = clev.shape[0]
                 cl4 = jnp.moveaxis(clev.reshape(L, 2, 16, 2, 16), 2, 3) \
@@ -391,9 +520,186 @@ class MdInterPipeline(MdIntraPipeline):
             else:
                 crate = self._tu_rate_c(clev, nc)
             ccost = ccost + cdist + lam * crate
-        cost = dist + lam * (rate + self.INTER_MODE_BITS + mv_bits
-                             + self.REF_BITS * ref) + ccost
+        # three-tier mode pricing matching the write-time resolution
+        # (engine/md_inter_writer.py): skip / merge+resi / AMVP
+        merge_ok = self._merge_proxy(mv_q, ref, rows, cols)
+        ref_b = sum(jnp.where(ref == k, self._ref_cost(k), 0.0)
+                    for k in range(self.n_refs)) if self.n_refs > 1 \
+            else jnp.float32(0.0)
+        amvp_bits = (self.dpc[self.DPC_AMVP] + mv_bits + ref_b
+                     + jnp.where(cbf_any, self.dpc[self.DPC_RQT1],
+                                 self.dpc[self.DPC_RQT0]))
+        mode_bits = jnp.where(
+            merge_ok,
+            jnp.where(cbf_any,
+                      jnp.minimum(self.dpc[self.DPC_MERGE]
+                                  + self.dpc[self.DPC_RQT1], amvp_bits),
+                      self.dpc[self.DPC_SKIP]),
+            amvp_bits)
+        cost = dist + lam * (rate + mode_bits) + ccost
+        # with no residual anywhere the writer codes no cbf flags at all
+        # (skip, or AMVP with rqt_root_cbf=0): refund the cbf-0 prices
+        # _tu_rate_y/_tu_rate_c charged
+        if n == 64:
+            refund = (4.0 * self.dpc[self.DPC_CBF_Y0_D1]
+                      + 8.0 * self.dpc[self.DPC_CBF_C0_D1])
+        else:
+            refund = (self.dpc[self.DPC_CBF_Y0]
+                      + 2.0 * self.dpc[self.DPC_CBF_C0])
+        cost = cost - lam * jnp.where(cbf_any, 0.0, refund)
         return mv_q, ref, cost, pred_y, pred_cb, pred_cr
+
+    # ------------------------------------------------------------------
+    # SMP/AMP: rectangular PU partitions (ref src/search_inter.c:2311)
+    # ------------------------------------------------------------------
+
+    # part ids (match decoder _parse_part_mode_inter strings)
+    PART_GEOM = {
+        1: lambda n: ((0, 0, n // 2, n), (n // 2, 0, n // 2, n)),  # 2NxN
+        2: lambda n: ((0, 0, n, n // 2), (0, n // 2, n, n // 2)),  # Nx2N
+        3: lambda n: ((0, 0, n // 4, n),
+                      (n // 4, 0, 3 * n // 4, n)),                 # 2NxnU
+        4: lambda n: ((0, 0, 3 * n // 4, n),
+                      (3 * n // 4, 0, n // 4, n)),                 # 2NxnD
+        5: lambda n: ((0, 0, n, n // 4), (0, n // 4, n, 3 * n // 4)),
+        6: lambda n: ((0, 0, n, 3 * n // 4), (0, 3 * n // 4, n, n // 4)),
+    }
+
+    def _part_mode_bits(self, part_id: int) -> float:
+        """part_mode fractional bits for an inter CU above min CB size
+        (decoder _parse_part_mode_inter binarization)."""
+        d = self.dpc
+        bits = d[self.DPC_PART0_0]
+        bits = bits + (d[self.DPC_PART1_1] if part_id in (1, 3, 4)
+                       else d[self.DPC_PART1_0])
+        if self.amp:
+            bits = bits + (d[self.DPC_PART3_1] if part_id in (1, 2)
+                           else d[self.DPC_PART3_0] + 1.0)
+        return bits
+
+    def _smp_leaf(self, src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr,
+                  fields, n, lam):
+        """Best rectangular-PU candidate per aligned n-block: for each
+        enabled part mode, per-PU ME (coarse-field candidates + integer
+        + subpel refine on the PU rectangle) -> exact CU prediction ->
+        forced-split T/Q (interSplitFlag, spec 7.3.8.8) -> RD cost.
+        Returns (part [B], mv_a, ref_a, mv_b, ref_b, cost [B])."""
+        qp_y, qp_c, lam_n = self._qp_lam_for(n)
+        if self.delta_qp:
+            lam = lam_n
+        blocks, rows, cols = self._blocks_of(src_y, n)
+        nb = rows * cols
+        bid = jnp.arange(nb)
+        y0 = (bid // cols) * n
+        x0 = (bid % cols) * n
+        P = self.SUBPEL_PAD
+        lam_satd = jnp.sqrt(lam).astype(jnp.float32)
+        # CU-level integer candidates shared by both PUs
+        cands_list = []
+        for k in range(refs_y.shape[0]):
+            mv16 = fields[k]
+            if n >= 32:
+                c = jnp.concatenate(
+                    [self._field_for(mv16, n),
+                     jnp.zeros((nb, 1, 2), jnp.int32)], axis=1)
+            else:
+                c = jnp.stack([self._field_for(mv16, n),
+                               jnp.zeros((nb, 2), jnp.int32)], axis=1)
+            cands_list.append(c)
+        ypad = jnp.pad(refs_y, ((0, 0), (P, P), (P, P)), mode="edge")
+        CPW = (P >> 1) + 2
+        cbpad = jnp.pad(refs_cb, ((0, 0), (CPW, CPW), (CPW, CPW)),
+                        mode="edge")
+        crpad = jnp.pad(refs_cr, ((0, 0), (CPW, CPW), (CPW, CPW)),
+                        mode="edge")
+        cb_blocks, _, _ = self._blocks_of(src_cb, n // 2)
+        cr_blocks, _, _ = self._blocks_of(src_cr, n // 2)
+        modes = [1, 2] + ([3, 4, 5, 6] if self.amp and n == 32 else [])
+        best = None
+        for pid in modes:
+            pus = self.PART_GEOM[pid](n)
+            pred_y = jnp.zeros_like(blocks)
+            pred_cb = jnp.zeros_like(cb_blocks)
+            pred_cr = jnp.zeros_like(cr_blocks)
+            pu_bits = jnp.zeros((nb,), jnp.float32)
+            mvs, refs_sel = [], []
+            for (dy, dx, ph, pw) in pus:
+                pu_blocks = blocks[:, dy:dy + ph, dx:dx + pw]
+                mv_q, ref, _, mv_bits = self._best_uni_leaf(
+                    pu_blocks, refs_y, fields, y0 + dy, x0 + dx, pw,
+                    lam, cands_list=cands_list)
+                mvs.append(mv_q)
+                refs_sel.append(ref)
+                ref_b = (sum(jnp.where(ref == k, self._ref_cost(k), 0.0)
+                             for k in range(self.n_refs))
+                         if self.n_refs > 1 else 0.0)
+                pu_bits = pu_bits + mv_bits + ref_b
+                py = self._mc_luma_sel(ypad, ref, mv_q, y0 + dy, x0 + dx,
+                                       pw, P, nh=ph)
+                pred_y = jax.lax.dynamic_update_slice(
+                    pred_y, py, (0, dy, dx))
+                pcb = self._mc_chroma_sel(
+                    cbpad, ref, mv_q, (y0 + dy) // 2, (x0 + dx) // 2,
+                    pw // 2, CPW, nch=ph // 2)
+                pcr = self._mc_chroma_sel(
+                    crpad, ref, mv_q, (y0 + dy) // 2, (x0 + dx) // 2,
+                    pw // 2, CPW, nch=ph // 2)
+                pred_cb = jax.lax.dynamic_update_slice(
+                    pred_cb, pcb, (0, dy // 2, dx // 2))
+                pred_cr = jax.lax.dynamic_update_slice(
+                    pred_cr, pcr, (0, dy // 2, dx // 2))
+            # exact RD with the forced TU split (4 sub-TUs at depth 1)
+            resi = blocks - pred_y
+            saved = (self.rdoq, self.sign_hiding)
+            self.rdoq = self.sign_hiding = False
+            try:
+                levels, r2 = self._tq_quad(resi, qp_y, True, lam=lam)
+            finally:
+                self.rdoq, self.sign_hiding = saved
+            dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
+            L = levels.shape[0]
+            hn = n // 2
+            lv4 = jnp.moveaxis(levels.reshape(L, 2, hn, 2, hn), 2, 3) \
+                .reshape(L * 4, hn, hn)
+            rate = self._tu_rate_y(lv4, hn, depth1=True) \
+                .reshape(L, 4).sum(axis=1)
+            cost = dist + lam * rate
+            for cblocks, cpred in ((cb_blocks, pred_cb),
+                                   (cr_blocks, pred_cr)):
+                cresi = cblocks - cpred
+                saved = (self.rdoq, self.sign_hiding)
+                self.rdoq = self.sign_hiding = False
+                try:
+                    clev, cr2 = self._tq_quad(cresi, qp_c, False, lam=lam)
+                finally:
+                    self.rdoq, self.sign_hiding = saved
+                cdist = ((cresi - cr2).astype(jnp.float32) ** 2) \
+                    .sum(axis=(1, 2))
+                hc = hn // 2
+                cl4 = jnp.moveaxis(clev.reshape(L, 2, hc, 2, hc), 2, 3) \
+                    .reshape(L * 4, hc, hc)
+                crate = self._tu_rate_c(cl4, hc, depth1=True) \
+                    .reshape(L, 4).sum(axis=1)
+                cost = cost + cdist + lam * crate
+            mode_bits = (self.dpc[self.DPC_AMVP]
+                         - self.dpc[self.DPC_PART_2NX2N]
+                         + self._part_mode_bits(pid)
+                         + self.dpc[self.DPC_PU_EXTRA]
+                         + pu_bits + self.dpc[self.DPC_RQT1])
+            cost = cost + lam * mode_bits
+            cand = (jnp.full((nb,), pid, jnp.int32), mvs[0], refs_sel[0],
+                    mvs[1], refs_sel[1], cost)
+            if best is None:
+                best = cand
+            else:
+                better = cost < best[5]
+                best = (jnp.where(better, cand[0], best[0]),
+                        jnp.where(better[:, None], cand[1], best[1]),
+                        jnp.where(better, cand[2], best[2]),
+                        jnp.where(better[:, None], cand[3], best[3]),
+                        jnp.where(better, cand[4], best[4]),
+                        jnp.where(better, cost, best[5]))
+        return best
 
     def _mc_luma_sel(self, ypad_all, ref, mv, y0, x0, n, pad, hi=False,
                      nh=None):
@@ -490,14 +796,28 @@ class MdInterPipeline(MdIntraPipeline):
         pred_bi = self._bi_avg(v0, v1, self.maxv)
         satd_bi = self._satd_tiles(blocks - pred_bi)
         lam_satd = jnp.sqrt(lam).astype(jnp.float32)
+        nl0, nl1 = l0_y.shape[0], l1_y.shape[0]
+
+        def refb(r, nl):
+            if nl <= 1:
+                return jnp.float32(0.0)
+            return sum(jnp.where(r == k, self._ref_cost(k, n_list=nl),
+                                 0.0) for k in range(nl))
+
+        idc_u = self.dpc[self.DPC_IDC_UNI]
+        idc_b = self.dpc[self.DPC_IDC_BI]
         c0 = satd0.astype(jnp.float32) + lam_satd * (
-            bits0 + self.REF_BITS * r0)
+            bits0 + refb(r0, nl0) + idc_u)
         c1 = satd1.astype(jnp.float32) + lam_satd * (
-            bits1 + self.REF_BITS * r1)
+            bits1 + refb(r1, nl1) + idc_u)
         cbi = satd_bi.astype(jnp.float32) + lam_satd * (
-            bits0 + bits1 + self.REF_BITS * (r0 + r1) + 2.0)
-        dirn = jnp.where((cbi <= c0) & (cbi <= c1), 3,
-                         jnp.where(c0 <= c1, 1, 2)).astype(jnp.int32)
+            bits0 + bits1 + refb(r0, nl0) + refb(r1, nl1) + idc_b)
+        uni = jnp.where(c0 <= c1, 1, 2)
+        if self.bipred:
+            dirn = jnp.where((cbi <= c0) & (cbi <= c1), 3,
+                             uni).astype(jnp.int32)
+        else:   # --no-bipred: per-list uni candidates only
+            dirn = uni.astype(jnp.int32)
         sel = dirn[:, None, None]
         pred_y = jnp.where(sel == 3, pred_bi,
                            jnp.where(sel == 1,
@@ -509,13 +829,16 @@ class MdInterPipeline(MdIntraPipeline):
         self.rdoq = self.sign_hiding = False
         try:
             if n == 64:
-                levels, r2 = self._tq_quad(resi, qp_y, True)
+                levels, r2 = self._tq_quad(resi, qp_y, True, lam=lam)
             else:
                 levels, r2 = self._transform_quant(
                     resi, t, qp_y, n, mats=self._mats_for(n, True))
+                levels, r2 = self._rd_zero_tu(resi, levels, r2, lam, n,
+                                              True)
         finally:
             self.rdoq, self.sign_hiding = saved
         dist = ((resi - r2).astype(jnp.float32) ** 2).sum(axis=(1, 2))
+        cbf_any = jnp.any(levels != 0, axis=(1, 2))
         if n == 64:
             L = levels.shape[0]
             lv4 = jnp.moveaxis(levels.reshape(L, 2, 32, 2, 32), 2, 3) \
@@ -548,15 +871,19 @@ class MdInterPipeline(MdIntraPipeline):
             self.rdoq = self.sign_hiding = False
             try:
                 if nc == 32:
-                    clev, cr2 = self._tq_quad(cresi, qp_c, False)
+                    clev, cr2 = self._tq_quad(cresi, qp_c, False,
+                                              lam=lam)
                 else:
                     clev, cr2 = self._transform_quant(
                         cresi, tc, qp_c, nc,
                         mats=self._mats_for(nc, False))
+                    clev, cr2 = self._rd_zero_tu(cresi, clev, cr2, lam,
+                                                 nc, False)
             finally:
                 self.rdoq, self.sign_hiding = saved
             cdist = ((cresi - cr2).astype(jnp.float32) ** 2) \
                 .sum(axis=(1, 2))
+            cbf_any = cbf_any | jnp.any(clev != 0, axis=(1, 2))
             if nc == 32:
                 L = clev.shape[0]
                 cl4 = jnp.moveaxis(clev.reshape(L, 2, 16, 2, 16), 2, 3) \
@@ -569,11 +896,32 @@ class MdInterPipeline(MdIntraPipeline):
         mv_bits = jnp.where(dirn == 3, bits0 + bits1,
                             jnp.where(dirn == 1, bits0, bits1))
         ref_bits = jnp.where(
-            dirn == 3, self.REF_BITS * (r0 + r1),
-            jnp.where(dirn == 1, self.REF_BITS * r0,
-                      self.REF_BITS * r1)).astype(jnp.float32)
-        cost = dist + lam * (rate + self.INTER_MODE_BITS + mv_bits
-                             + ref_bits) + ccost
+            dirn == 3, refb(r0, nl0) + refb(r1, nl1) + idc_b,
+            jnp.where(dirn == 1, refb(r0, nl0) + idc_u,
+                      refb(r1, nl1) + idc_u)).astype(jnp.float32)
+        # three-tier mode pricing (skip / merge+resi / AMVP) with the
+        # same neighbour-equality merge proxy as the P path, extended to
+        # both lists + the direction
+        merge_ok = self._merge_proxy(mv0, r0, rows, cols,
+                                     extra=(mv1, r1, dirn))
+        amvp_bits = (self.dpc[self.DPC_AMVP] + mv_bits + ref_bits
+                     + jnp.where(cbf_any, self.dpc[self.DPC_RQT1],
+                                 self.dpc[self.DPC_RQT0]))
+        mode_bits = jnp.where(
+            merge_ok,
+            jnp.where(cbf_any,
+                      jnp.minimum(self.dpc[self.DPC_MERGE]
+                                  + self.dpc[self.DPC_RQT1], amvp_bits),
+                      self.dpc[self.DPC_SKIP]),
+            amvp_bits)
+        cost = dist + lam * (rate + mode_bits) + ccost
+        if n == 64:
+            refund = (4.0 * self.dpc[self.DPC_CBF_Y0_D1]
+                      + 8.0 * self.dpc[self.DPC_CBF_C0_D1])
+        else:
+            refund = (self.dpc[self.DPC_CBF_Y0]
+                      + 2.0 * self.dpc[self.DPC_CBF_C0])
+        cost = cost - lam * jnp.where(cbf_any, 0.0, refund)
         return mv0, r0, mv1, r1, dirn, cost
 
     def _partition_inter_b(self, src_y, src_cb, src_cr, l0, l1, lam):
@@ -592,6 +940,12 @@ class MdInterPipeline(MdIntraPipeline):
                 (32, self.g32l, self.f32, self.g16c, self.t32, self.t16)):
             imodes, icost = self._leaf_rd(src_y, src_cb, src_cr, n, g, f,
                                           gc, t, tc, lam)
+            # intra CUs in B slices also code cu_skip=0 + pred_mode=1,
+            # and part_mode at min CB size (the inter side's part_mode
+            # is already inside the DPC_MERGE/DPC_AMVP prices)
+            icost = icost + lam * self.dpc[self.DPC_INTRA_PM]
+            if n == 8:
+                icost = icost + lam * self.dpc[self.DPC_PART_2NX2N]
             mv0, r0, mv1, r1, dirn, ecost = self._inter_leaf_b(
                 src_y, src_cb, src_cr, l0, l1, fields0, fields1, n, t,
                 tc, lam)
@@ -599,8 +953,6 @@ class MdInterPipeline(MdIntraPipeline):
                 ecost = ecost + big
             use_inter = ecost < icost
             cost = jnp.where(use_inter, ecost, icost)
-            if n == 8:
-                cost = cost + lam * self.dpc[self.DPC_PART_2NX2N]
             per_size[n] = dict(modes=imodes, mv=mv0, ref=r0, mvb=mv1,
                                refb=r1, dir=dirn, inter=use_inter,
                                cost=cost)
@@ -641,6 +993,12 @@ class MdInterPipeline(MdIntraPipeline):
                 (32, self.g32l, self.f32, self.g16c, self.t32, self.t16)):
             imodes, icost = self._leaf_rd(src_y, src_cb, src_cr, n, g, f,
                                           gc, t, tc, lam)
+            # intra CUs in P slices also code cu_skip=0 + pred_mode=1,
+            # and part_mode at min CB size (the inter side's part_mode
+            # is already inside the DPC_MERGE/DPC_AMVP prices)
+            icost = icost + lam * self.dpc[self.DPC_INTRA_PM]
+            if n == 8:
+                icost = icost + lam * self.dpc[self.DPC_PART_2NX2N]
             mv_q, ref, ecost, _, _, _ = self._inter_leaf(
                 src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr, fields,
                 n, t, tc, lam)
@@ -648,11 +1006,32 @@ class MdInterPipeline(MdIntraPipeline):
                 ecost = ecost + big
             use_inter = ecost < icost
             cost = jnp.where(use_inter, ecost, icost)
-            if n == 8:
-                # part_mode 2Nx2N coded at min CB size either way
-                cost = cost + lam * self.dpc[self.DPC_PART_2NX2N]
             per_size[n] = dict(modes=imodes, mv=mv_q, ref=ref,
                                inter=use_inter, cost=cost)
+            if self.smp and n in (16, 32):
+                # rectangular PUs compete with 2Nx2N and intra
+                part, mva, refa, mvb, refb, scost = self._smp_leaf(
+                    src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr,
+                    fields, n, lam)
+                if not self.allow_inter[n]:
+                    scost = scost + big
+                better = scost < cost
+                per_size[n].update(
+                    part=jnp.where(better, part, 0),
+                    mv=jnp.where(better[:, None], mva, mv_q),
+                    ref=jnp.where(better, refa, ref),
+                    mv_pu1=jnp.where(better[:, None], mvb,
+                                     jnp.zeros_like(mvb)),
+                    ref_pu1=jnp.where(better, refb,
+                                      jnp.zeros_like(refb)),
+                    inter=use_inter | better,
+                    cost=jnp.where(better, scost, cost))
+            elif self.smp:
+                nb_ = per_size[n]["ref"].shape[0]
+                per_size[n].update(
+                    part=jnp.zeros((nb_,), jnp.int32),
+                    mv_pu1=jnp.zeros((nb_, 2), jnp.int32),
+                    ref_pu1=jnp.zeros((nb_,), jnp.int32))
         # 64x64: inter-only leaves (intra max CU is 32; the reference
         # presets likewise keep intra min-depth >= 1, cfg.c:484-766,
         # while pu-depth-inter 0-3 codes inter 64 at medium+)
@@ -665,6 +1044,11 @@ class MdInterPipeline(MdIntraPipeline):
             mv=mv64, ref=ref64,
             inter=jnp.ones((r64 * c64n,), bool),
             cost=ecost64 if self.allow_inter[64] else ecost64 + big)
+        if self.smp:
+            per_size[64].update(
+                part=jnp.zeros((r64 * c64n,), jnp.int32),
+                mv_pu1=jnp.zeros((r64 * c64n, 2), jnp.int32),
+                ref_pu1=jnp.zeros((r64 * c64n,), jnp.int32))
 
         size_map8 = self._dp_merge(per_size, lam)
         sel8 = self._sel8_fn(per_size, size_map8)
@@ -672,7 +1056,32 @@ class MdInterPipeline(MdIntraPipeline):
         inter8 = sel8("inter")
         mv8 = sel8("mv", 2).astype(jnp.int32)
         ref8 = sel8("ref").astype(jnp.int32)
-        return size_map8, mode_map8, inter8, mv8, ref8
+        part8 = None
+        if self.smp:
+            part8 = jnp.where(inter8, sel8("part").astype(jnp.int32), 0)
+            mv8p1 = sel8("mv_pu1", 2).astype(jnp.int32)
+            ref8p1 = sel8("ref_pu1").astype(jnp.int32)
+            # merge per-PU motion into the 8-cell maps: cells in the
+            # second PU take (mv_pu1, ref_pu1) by part geometry
+            k8 = jnp.maximum(size_map8 >> 3, 1)
+            rr = jnp.arange(self.r8)[:, None] % k8
+            cc = jnp.arange(self.c8)[None, :] % k8
+            h2 = k8 >> 1
+            q4 = k8 >> 2
+            pu1 = jnp.where(
+                part8 == 1, rr >= h2,
+                jnp.where(part8 == 2, cc >= h2,
+                          jnp.where(part8 == 3, rr >= q4,
+                                    jnp.where(part8 == 4, rr >= k8 - q4,
+                                              jnp.where(part8 == 5,
+                                                        cc >= q4,
+                                                        jnp.where(
+                                                            part8 == 6,
+                                                            cc >= k8 - q4,
+                                                            False))))))
+            mv8 = jnp.where(pu1[..., None], mv8p1, mv8)
+            ref8 = jnp.where(pu1, ref8p1, ref8)
+        return size_map8, mode_map8, inter8, mv8, ref8, part8
 
     def _dp_merge(self, per_size, lam):
         """Bottom-up split DP over per-size leaf costs -> size_map8."""
@@ -747,7 +1156,8 @@ class MdInterPipeline(MdIntraPipeline):
 
     def _inter_recon_batch(self, src_y, src_cb, src_cr, refs_y, refs_cb,
                            refs_cr, size_map8, inter8, mv8, ref8,
-                           l1=None, dir8=None, mv8b=None, ref8b=None):
+                           l1=None, dir8=None, mv8b=None, ref8b=None,
+                           part8=None):
         """Reconstruct every inter leaf of every size in one batch.
         With l1/dir8/mv8b/ref8b set (B slices), each block predicts
         uni-L0 / uni-L1 / exact bipred per its inter_dir.
@@ -778,6 +1188,9 @@ class MdInterPipeline(MdIntraPipeline):
             rows, cols = h // n, w // n
             nb = rows * cols
             is_leaf = (size_map8[::k, ::k] == n) & inter8[::k, ::k]
+            if part8 is not None:
+                # SMP CUs reconstruct in the cell-granular branch below
+                is_leaf = is_leaf & (part8[::k, ::k] == 0)
             mask = is_leaf.reshape(-1)
             bid = jnp.arange(nb)
             y0 = (bid // cols) * n
@@ -802,14 +1215,18 @@ class MdInterPipeline(MdIntraPipeline):
                               self._uni_round(v1, self.maxv)))
             blocks, _, _ = self._blocks_of(src_y, n)
             resi = blocks - pred_y
+            _, _, lam_n = self._qp_lam_for(n)
             if n == 64:       # forced TU split: four 32x32 luma TUs
-                levels, r2 = self._tq_quad(resi, qp_y, True)
+                levels, r2 = self._tq_quad(resi, qp_y, True, lam=lam_n)
                 cbf = jnp.bool_(True)   # per-quadrant cbf inside _tq_quad
                 rec = jnp.clip(pred_y + r2, 0, self.maxv)
                 lvl = levels
             else:
                 levels, r2 = self._transform_quant(
-                    resi, t, qp_y, n, mats=self._mats_for(n, True))
+                    resi, t, qp_y, n, mats=self._mats_for(n, True),
+                    is_luma=True)
+                levels, r2 = self._rd_zero_tu(resi, levels, r2, lam_n,
+                                              n, True)
                 cbf = jnp.any(levels != 0, axis=(1, 2))
                 rec = jnp.clip(
                     pred_y + jnp.where(cbf[:, None, None], r2, 0),
@@ -839,13 +1256,16 @@ class MdInterPipeline(MdIntraPipeline):
                 cblocks, _, _ = self._blocks_of(srcp, nc)
                 cresi = cblocks - cpred
                 if nc == 32:  # four 16x16 chroma TUs
-                    clev, cr2 = self._tq_quad(cresi, qp_c, False)
+                    clev, cr2 = self._tq_quad(cresi, qp_c, False,
+                                              lam=lam_n)
                     crec = jnp.clip(cpred + cr2, 0, self.maxv)
                     clvl = clev
                 else:
                     clev, cr2 = self._transform_quant(
                         cresi, tc, qp_c, nc,
-                        mats=self._mats_for(nc, False))
+                        mats=self._mats_for(nc, False), is_luma=False)
+                    clev, cr2 = self._rd_zero_tu(cresi, clev, cr2,
+                                                 lam_n, nc, False)
                     ccbf = jnp.any(clev != 0, axis=(1, 2))
                     crec = jnp.clip(
                         cpred + jnp.where(ccbf[:, None, None], cr2, 0),
@@ -857,6 +1277,74 @@ class MdInterPipeline(MdIntraPipeline):
                                              cx0, nc, mask)
             wr = jnp.repeat(jnp.repeat(is_leaf, k, 0), k, 1)
             written = written | wr
+        if part8 is not None:
+            # SMP/AMP CUs: cell-granular MC (every 8x8 luma / 4x4 chroma
+            # cell predicts with its own PU's motion — pointwise
+            # translation makes this identical to whole-PU MC) followed
+            # by the forced-split T/Q per CU
+            for n in (16, 32):
+                k = n // 8
+                rows, cols = h // n, w // n
+                nb = rows * cols
+                is_smp = ((size_map8[::k, ::k] == n) & inter8[::k, ::k]
+                          & (part8[::k, ::k] != 0))
+                mask = is_smp.reshape(-1)
+                bid = jnp.arange(nb)
+                y0 = (bid // cols) * n
+                x0 = (bid % cols) * n
+                qp_y, qp_c, lam_n = self._qp_lam_for(n)
+
+                def cu_cells(m8, chan=None):
+                    # [r8, c8(,ch)] -> per-CU cell grids [nb, k, k(,ch)]
+                    if chan is None:
+                        v = m8.reshape(rows, k, cols, k)
+                        return jnp.moveaxis(v, 1, 2).reshape(nb, k, k)
+                    v = m8.reshape(rows, k, cols, k, chan)
+                    return jnp.moveaxis(v, 1, 2).reshape(nb, k, k, chan)
+
+                mvc = cu_cells(mv8, 2).reshape(nb * k * k, 2)
+                refc = cu_cells(ref8).reshape(nb * k * k)
+                dy = (jnp.arange(k * k) // k) * 8
+                dx = (jnp.arange(k * k) % k) * 8
+                y0c = jnp.repeat(y0, k * k) + jnp.tile(dy, nb)
+                x0c = jnp.repeat(x0, k * k) + jnp.tile(dx, nb)
+                pred_c8 = self._mc_luma_sel(ypad, refc, mvc, y0c, x0c,
+                                            8, P)
+
+                def cells_to_cu(p, cell):
+                    v = p.reshape(nb, k, k, cell, cell)
+                    v = jnp.moveaxis(v, 2, 3)
+                    return v.reshape(nb, k * cell, k * cell)
+
+                pred_y = cells_to_cu(pred_c8, 8)
+                blocks, _, _ = self._blocks_of(src_y, n)
+                resi = blocks - pred_y
+                levels, r2 = self._tq_quad(resi, qp_y, True, lam=lam_n)
+                rec = jnp.clip(pred_y + r2, 0, self.maxv)
+                luma = self._batch_scatter(luma, 0, rec, y0, x0, n, mask)
+                luma = self._batch_scatter(luma, 1, levels, y0, x0, n,
+                                           mask)
+                nc = n // 2
+                cy0 = (bid // cols) * nc
+                cx0 = (bid % cols) * nc
+                cy0c = jnp.repeat(cy0, k * k) + jnp.tile(dy // 2, nb)
+                cx0c = jnp.repeat(cx0, k * k) + jnp.tile(dx // 2, nb)
+                for ci, (cpad, srcp) in enumerate(((cbpad, src_cb),
+                                                   (crpad, src_cr))):
+                    pc4 = self._mc_chroma_sel(cpad, refc, mvc, cy0c,
+                                              cx0c, 4, CPW)
+                    cpred = cells_to_cu(pc4, 4)
+                    cblocks, _, _ = self._blocks_of(srcp, nc)
+                    cresi = cblocks - cpred
+                    clev, cr2 = self._tq_quad(cresi, qp_c, False,
+                                              lam=lam_n)
+                    crec = jnp.clip(cpred + cr2, 0, self.maxv)
+                    chroma = self._batch_scatter(chroma, ci, crec, cy0,
+                                                 cx0, nc, mask)
+                    chroma = self._batch_scatter(chroma, 2 + ci, clev,
+                                                 cy0, cx0, nc, mask)
+                wr = jnp.repeat(jnp.repeat(is_smp, k, 0), k, 1)
+                written = written | wr
         return luma, chroma, written
 
     @staticmethod
@@ -876,7 +1364,8 @@ class MdInterPipeline(MdIntraPipeline):
     # deblocking boundary strengths from decision maps (spec 8.7.2.4)
     # ------------------------------------------------------------------
 
-    def _edge_maps_inter(self, size_map8, inter8, mv8, ref_poc8, nz8):
+    def _edge_maps_inter(self, size_map8, inter8, mv8, ref_poc8, nz8,
+                         part8=None):
         h, w = self.h, self.w
         k = size_map8 >> 3
         c = jnp.arange(self.c8)[None, :]
@@ -887,6 +1376,22 @@ class MdInterPipeline(MdIntraPipeline):
         # PU both sides, so bs() reduces to the cbf rule there
         ver_edge = ver_edge | ((size_map8 == 64) & ((c & 7) == 4))
         hor_edge = hor_edge | ((size_map8 == 64) & ((r & 7) == 4))
+        if part8 is not None:
+            # SMP/AMP: forced TU-split edges at half-CU offsets plus the
+            # asymmetric PU edges at quarter offsets (8.7.2 deblocks PU
+            # and TU boundaries alike; bs() sees per-PU motion via the
+            # merged per-cell mv maps)
+            smp = part8 != 0
+            h2 = k >> 1
+            q4 = k >> 2
+            co = c % jnp.maximum(k, 1)
+            ro = r % jnp.maximum(k, 1)
+            ver_edge = ver_edge | (smp & (co == h2) & (h2 > 0))
+            hor_edge = hor_edge | (smp & (ro == h2) & (h2 > 0))
+            hor_edge = hor_edge | ((part8 == 3) & (ro == q4) & (q4 > 0))
+            hor_edge = hor_edge | ((part8 == 4) & (ro == k - q4))
+            ver_edge = ver_edge | ((part8 == 5) & (co == q4) & (q4 > 0))
+            ver_edge = ver_edge | ((part8 == 6) & (co == k - q4))
 
         def bs(cur, nb):
             """cur/nb: dicts of per-cell maps for the two sides."""
@@ -966,7 +1471,7 @@ class MdInterPipeline(MdIntraPipeline):
         bs_hor = jnp.repeat(bs_h8, 2, axis=1).astype(jnp.int32)
         return bs_ver, bs_hor
 
-    def _nz8(self, lvl_y, size_map8):
+    def _nz8(self, lvl_y, size_map8, part8=None):
         """Per-8-cell luma-TU cbf map (any nonzero level in the leaf)."""
         nz8 = jnp.zeros((self.r8, self.c8), bool)
         cell_any = (lvl_y.reshape(self.r8, 8, self.c8, 8) != 0) \
@@ -982,6 +1487,14 @@ class MdInterPipeline(MdIntraPipeline):
             .any(axis=(1, 3))
         blk8 = jnp.repeat(jnp.repeat(blk, 4, 0), 4, 1)
         nz8 = jnp.where(size_map8 == 64, blk8, nz8)
+        if part8 is not None:
+            # SMP CUs carry four half-size TUs: cbf at TU granularity
+            smp = part8 != 0
+            nz8 = jnp.where(smp & (size_map8 == 16), cell_any, nz8)
+            blk2 = cell_any.reshape(self.r8 // 2, 2, self.c8 // 2, 2) \
+                .any(axis=(1, 3))
+            blk2 = jnp.repeat(jnp.repeat(blk2, 2, 0), 2, 1)
+            nz8 = jnp.where(smp & (size_map8 == 32), blk2, nz8)
         return nz8
 
     # ------------------------------------------------------------------
@@ -997,11 +1510,12 @@ class MdInterPipeline(MdIntraPipeline):
         refs_cb = refs_cb_u8.astype(jnp.int32)
         refs_cr = refs_cr_u8.astype(jnp.int32)
         lam = self.lam2[0]
-        size_map8, mode_map8, inter8, mv8, ref8 = self._partition_inter(
+        (size_map8, mode_map8, inter8, mv8, ref8,
+         part8) = self._partition_inter(
             src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr, lam)
         init = self._inter_recon_batch(src_y, src_cb, src_cr, refs_y,
                                        refs_cb, refs_cr, size_map8,
-                                       inter8, mv8, ref8)
+                                       inter8, mv8, ref8, part8=part8)
         state = self._recon_md(src_y, src_cb, src_cr, size_map8,
                                mode_map8, init_state=init,
                                exclude8=init[2])
@@ -1016,9 +1530,9 @@ class MdInterPipeline(MdIntraPipeline):
         ref_poc8 = jnp.where(inter8, ref_pocs[ref8], NO_REF_POC)
         if self.deblock:
             from ..ops.deblock_jax import deblock_frame_jax
-            nz8 = self._nz8(lvl_y, size_map8)
+            nz8 = self._nz8(lvl_y, size_map8, part8=part8)
             bs_ver, bs_hor = self._edge_maps_inter(
-                size_map8, inter8, mv8, ref_poc8, nz8)
+                size_map8, inter8, mv8, ref_poc8, nz8, part8=part8)
             ry, rcb, rcr = deblock_frame_jax(
                 ry, rcb, rcr, bs_ver, bs_hor, self.qp2[0], self.qp2[1],
                 self.qp2[1], self.deblock_beta, self.deblock_tc,
@@ -1060,6 +1574,8 @@ class MdInterPipeline(MdIntraPipeline):
             "inter8": inter8,
             "mv8": mv8,
             "ref8": ref8.astype(jnp.int8),
+            **({"part8": part8.astype(jnp.int8)} if part8 is not None
+               else {}),
             "levels16_y": lvl_y.astype(jnp.int16),
             "levels16_cb": lvl_cb.astype(jnp.int16),
             "levels16_cr": lvl_cr.astype(jnp.int16),
@@ -1251,7 +1767,8 @@ class MdInterPipeline(MdIntraPipeline):
 
     def materialize(self, out):
         res = super().materialize(out)
-        for k in ("inter8", "mv8", "ref8", "dir8", "mv8b", "ref8b"):
+        for k in ("inter8", "mv8", "ref8", "dir8", "mv8b", "ref8b",
+                  "part8"):
             if k in res:
                 res[k] = np.asarray(res[k])
         if "inter8" in res:

@@ -105,7 +105,7 @@ class MdIntraPipeline(IntraPipeline):
                  scaling=None, lossless: bool = False,
                  bit_depth: int = 8,
                  pu_depth: tuple[int, int] = (1, 3),
-                 rd: int = 0) -> None:
+                 rd: int = 0, fast_coeff_table: str = "") -> None:
         assert height % self.CTB == 0 and width % self.CTB == 0
         self.bd = bit_depth
         self.maxv = (1 << bit_depth) - 1
@@ -144,6 +144,17 @@ class MdIntraPipeline(IntraPipeline):
             self.fast_cost = dict(FAST_COST_WEIGHTS)
         except ImportError:
             self.fast_cost = {}
+        if fast_coeff_table:
+            # --fast-coeff-table FILE: JSON {log2size: {qp: [8 floats]}}
+            # (the reference loads its binary table the same way,
+            # src/encoder.c:286-299)
+            import json
+            with open(fast_coeff_table) as f:
+                raw = json.load(f)
+            self.fast_cost = {
+                int(k): {int(q): [float(x) for x in w]
+                         for q, w in v.items()}
+                for k, v in raw.items()}
         # lossless (transquant bypass): residual passes through
         # untouched; SDH/RDOQ are meaningless and forced off
         self.lossless = lossless
@@ -242,6 +253,9 @@ class MdIntraPipeline(IntraPipeline):
             setattr(self, f"spos{n}", jnp.asarray(scanpos_map(n)))
         # learned fast-cost weights at this QP, [4 sizes, 8 features]
         self.fcw = jnp.asarray(self._fcw_matrix(qp), jnp.float32)
+        # RDOQ ctx-init price pack (sig/csbf/g1/g2 + last-pos vectors)
+        for k, v in self._rdoq_consts(qp).items():
+            setattr(self, k, v)
         if delta_qp:
             rc, cc = height // self.CTB, width // self.CTB
             self.qpmap_y = jnp.full((rc, cc), qp, jnp.int32)
@@ -263,7 +277,25 @@ class MdIntraPipeline(IntraPipeline):
                   "t16", "t32", "h8", "m8",
                   "sdh_ord", "sdh_inv", "hash_mask_y", "hash_mask_c",
                   "qp2", "lam2", "dpc", "mode_cost", "fcw",
-                  "spos4", "spos8", "spos16", "spos32")
+                  "spos4", "spos8", "spos16", "spos32",
+                  "sigp", "csbfp", "g1p", "g2p",
+                  "lastp2", "lastp3", "lastp4", "lastp5",
+                  "lastc2", "lastc3", "lastc4")
+
+    def _rdoq_consts(self, qp: int) -> dict:
+        """Per-QP ctx-init fractional-bit prices for the batched RDOQ
+        (ride the consts dict so rate control never retraces)."""
+        from ..engine.bit_cost import rdoq_prices
+        p = rdoq_prices(qp, self.INIT_TYPE)
+        out = {"sigp": jnp.asarray(p["sig"]),
+               "csbfp": jnp.asarray(p["csbf"]),
+               "g1p": jnp.asarray(p["g1"]),
+               "g2p": jnp.asarray(p["g2"])}
+        for log2s in (2, 3, 4, 5):
+            out[f"lastp{log2s}"] = jnp.asarray(p["last"][(log2s, False)])
+            if log2s <= 4:
+                out[f"lastc{log2s}"] = jnp.asarray(p["last"][(log2s, True)])
+        return out
 
     def _fcw_matrix(self, qp: int) -> list[list[float]]:
         """Learned fast-cost weights for this QP, rows indexed by
@@ -317,6 +349,7 @@ class MdIntraPipeline(IntraPipeline):
         consts["mode_cost"] = jnp.asarray(
             mode_cost_vec(qp, self.INIT_TYPE), jnp.float32)
         consts["fcw"] = jnp.asarray(self._fcw_matrix(qp), jnp.float32)
+        consts.update(self._rdoq_consts(qp))
         if self.delta_qp:
             rc, cc = self.h // self.CTB, self.w // self.CTB
             consts["qpmap_y"] = jnp.full((rc, cc), qp, jnp.int32)
@@ -768,10 +801,11 @@ class MdIntraPipeline(IntraPipeline):
                 + lam * crate
         return m4, cost
 
-    def _transform_quant(self, resi, t, qp, n, mats=None):
+    def _transform_quant(self, resi, t, qp, n, mats=None, is_luma=True):
         if self.lossless:
             return resi, resi
-        return super()._transform_quant(resi, t, qp, n, mats=mats)
+        return super()._transform_quant(resi, t, qp, n, mats=mats,
+                                        is_luma=is_luma)
 
     def _transform_quant_plain(self, resi, t, qp, n, mats=None):
         """T/Q/IT with plain deadzone quant (search-time costing — the
@@ -782,6 +816,170 @@ class MdIntraPipeline(IntraPipeline):
             return self._transform_quant(resi, t, qp, n, mats=mats)
         finally:
             self.rdoq, self.sign_hiding = saved
+
+    # ------------------------------------------------------------------
+    # RDOQ v2: ctx-priced batched rate-distortion-optimal quantization
+    # ------------------------------------------------------------------
+
+    _RDOQ_SCAN_CACHE: dict = {}
+
+    @classmethod
+    def _rdoq_scan(cls, log2n: int):
+        """(perm, inv_perm) static diagonal-scan permutations: perm[p] =
+        flat (y*n+x) index of scan position p."""
+        if log2n not in cls._RDOQ_SCAN_CACHE:
+            from ..tables import SCAN_DIAG, get_scan
+            n = 1 << log2n
+            scan = get_scan(SCAN_DIAG, log2n)
+            perm = (scan[:, 1] * n + scan[:, 0]).astype(np.int32)
+            invp = np.empty(n * n, np.int32)
+            invp[perm] = np.arange(n * n, dtype=np.int32)
+            cls._RDOQ_SCAN_CACHE[log2n] = (perm, invp)
+        return cls._RDOQ_SCAN_CACHE[log2n]
+
+    def _rdoq_levels(self, co, scale, qbits, qp, log2n, offset,
+                     is_luma=True):
+        """Batched HM-style RDOQ (replaces the context-free base model):
+
+        1. per-coefficient level choice among {0, l-1, l} priced with
+           sig_coeff_flag / greater1 / greater2 / golomb fractional-bit
+           costs at context init states, with the significance contexts
+           derived (spec 9.3.4.2.5) from a provisional coded-sub-block
+           map — the batched analog of kvz_get_ic_rate/get_coded_level
+           (ref src/rdo.c:346-462);
+        2. an exact last-significant-position walk over the diagonal
+           scan (cumulative-sum formulation of the reference's :463-517
+           reverse walk): every candidate last position is priced with
+           its last_sig_x/y bits, in-span costs before it and pure
+           distortion after it, including the all-zero (cbf=0) option;
+        3. a coded-sub-block zeroing pass (the CG loop of kvz_rdoq,
+           :661) dropping groups whose coded cost exceeds their
+           distortion-only cost + csbf savings.
+
+        All decisions stay conformant (levels are just levels); the SDH
+        parity fix runs after as before."""
+        n = 1 << log2n
+        L = co.shape[0]
+        bd = getattr(self, "bd", 8)
+        absco = jnp.abs(co)
+        scale_i = jnp.asarray(scale, jnp.int32)
+        lf = ((absco * scale_i + (1 << (qbits - 1))) >> qbits) \
+            .astype(jnp.int32)
+        lam = 0.57 * 2.0 ** ((qp.astype(jnp.float32) - 12.0) / 3.0)
+        lamb = jnp.asarray(self.RDOQ_LAMBDA_SCALE * lam, jnp.float32)
+        # pixel-SSE currency: scaled-domain err^2 / (scale^2 * 4^shift)
+        scale_f = scale_i.astype(jnp.float32)
+        inv = 1.0 / (scale_f * scale_f * (4.0 ** (15 - bd - log2n)))
+
+        def D(l):
+            e = (absco * scale_i - (l << qbits)).astype(jnp.float32)
+            return e * e * inv
+
+        xx = jnp.arange(n)[None, :]
+        yy = jnp.arange(n)[:, None]
+        # --- significance-flag prices per position -------------------
+        if log2n == 2:
+            from ..tables import SIG_CTX_MAP_4X4
+            sigc = jnp.asarray(SIG_CTX_MAP_4X4, jnp.int32).reshape(4, 4)
+            if not is_luma:
+                sigc = sigc + 27
+        else:
+            cgf = (lf != 0).reshape(L, n // 4, 4, n // 4, 4) \
+                .any(axis=(2, 4))
+            right = jnp.pad(cgf[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+            below = jnp.pad(cgf[:, 1:, :], ((0, 0), (0, 1), (0, 0)))
+            prev = right.astype(jnp.int32) + 2 * below.astype(jnp.int32)
+            prev = jnp.repeat(jnp.repeat(prev, 4, 1), 4, 2)  # [L, n, n]
+            xp = xx & 3
+            yp = yy & 3
+            s0 = jnp.where(xp + yp == 0, 2, jnp.where(xp + yp < 3, 1, 0))
+            s1 = jnp.where(yp == 0, 2, jnp.where(yp == 1, 1, 0))
+            s2 = jnp.where(xp == 0, 2, jnp.where(xp == 1, 1, 0))
+            sigc = jnp.where(prev == 0, s0 + jnp.zeros_like(prev),
+                             jnp.where(prev == 1, s1,
+                                       jnp.where(prev == 2, s2, 2)))
+            if is_luma:
+                sigc = sigc + jnp.where((xx >> 2) + (yy >> 2) > 0, 3, 0)
+                sigc = sigc + (9 if log2n == 3 else 21)
+            else:
+                sigc = sigc + (9 if log2n == 3 else 12)
+            sigc = jnp.where((xx == 0) & (yy == 0), 0, sigc)
+            if not is_luma:
+                sigc = sigc + 27
+        s0b = self.sigp[sigc, 0]
+        s1b = self.sigp[sigc, 1]
+        # --- level prices (greater1/greater2 at in-CG start ctx) -----
+        cg0 = (xx < 4) & (yy < 4)
+        rowmap = (jnp.where(cg0, 0, 1) if is_luma
+                  else jnp.full((n, n), 2, jnp.int32))
+        g1b = jnp.take(self.g1p, rowmap, axis=0)       # [n, n, 2]
+        g2b = jnp.take(self.g2p, rowmap, axis=0)
+
+        def lvl_bits(l):
+            lf32 = l.astype(jnp.float32)
+            rem = jnp.maximum(lf32 - 3.0, 0.0)
+            gol = jnp.where(rem < 3.0, rem + 1.0,
+                            4.0 + 2.0 * jnp.floor(
+                                jnp.log2(jnp.maximum(rem, 1.0))))
+            b3 = g1b[..., 1] + g2b[..., 1] + 1.0 + gol
+            return jnp.where(l == 0, 0.0,
+                             jnp.where(l == 1, g1b[..., 0] + 1.0,
+                                       jnp.where(l == 2, g1b[..., 1]
+                                                 + g2b[..., 0] + 1.0, b3)))
+
+        big = jnp.float32(1e30)
+        l1 = jnp.maximum(lf - 1, 0)
+        c0 = D(0) + lamb * s0b
+        c1v = jnp.where(l1 > 0,
+                        D(l1) + lamb * (s1b + lvl_bits(l1)), big)
+        c2v = jnp.where(lf > 0,
+                        D(lf) + lamb * (s1b + lvl_bits(lf)), big)
+        A = jnp.minimum(c0, jnp.minimum(c1v, c2v))     # best in-span
+        lin = jnp.where((c1v <= c2v) & (c1v <= c0), l1,
+                        jnp.where(c2v <= c0, lf, 0))
+        ANZ = jnp.minimum(c1v, c2v)                    # best nonzero
+        lnz = jnp.where(c1v <= c2v, l1, lf)
+        B = D(0)                                       # beyond last pos
+        # --- last-position walk over the diagonal scan ----------------
+        perm, invp = self._rdoq_scan(log2n)
+        lam2 = lamb.reshape(-1, 1) if lamb.ndim == 3 else lamb
+
+        def g(x):
+            x = jnp.broadcast_to(x, (L, n, n))
+            return x.reshape(L, n * n)[:, perm]
+
+        As, ANZs, Bs = g(A), g(ANZ), g(B)
+        lins, lnzs = g(lin), g(lnz)
+        prefA = jnp.cumsum(As, axis=1) - As            # exclusive
+        sufB = (jnp.cumsum(Bs[:, ::-1], axis=1)[:, ::-1] - Bs)
+        lastv = getattr(self,
+                        f"last{'p' if is_luma else 'c'}{log2n}")
+        tot = prefA + ANZs + lam2 * lastv[None, :] + sufB
+        tot = jnp.where(g(lf > 0), tot, big)
+        p_star = jnp.argmin(tot, axis=1)               # [L]
+        tot_min = jnp.take_along_axis(tot, p_star[:, None], 1)[:, 0]
+        all_zero = Bs.sum(axis=1) <= tot_min
+        j = jnp.arange(n * n)[None, :]
+        ps = p_star[:, None]
+        lev_s = jnp.where(j < ps, lins, jnp.where(j == ps, lnzs, 0))
+        lev_s = jnp.where(all_zero[:, None], 0, lev_s)
+        # --- coded-sub-block zeroing pass ------------------------------
+        ncg = (n * n) >> 4
+        if ncg > 1:
+            cost_keep = jnp.where(j < ps, As,
+                                  jnp.where(j == ps, ANZs, Bs))
+            keep_cg = cost_keep.reshape(L, ncg, 16).sum(2)
+            zero_cg = Bs.reshape(L, ncg, 16).sum(2)
+            ci = 1 + (0 if is_luma else 2)   # neighbour-coded csbf ctx
+            csbf0 = self.csbfp[ci, 0]
+            csbf1 = self.csbfp[ci, 1]
+            gidx = jnp.arange(ncg)[None, :]
+            cg_of_p = (p_star >> 4)[:, None]
+            zmask = (zero_cg + lam2 * csbf0 < keep_cg + lam2 * csbf1) \
+                & (gidx != 0) & (gidx != cg_of_p)
+            lev_s = jnp.where(jnp.repeat(zmask, 16, axis=1), 0, lev_s)
+        lev = lev_s[:, invp].reshape(L, n, n)
+        return (jnp.sign(co) * lev).astype(jnp.int32)
 
     def _partition(self, src_y, src_cb, src_cr, lam):
         """Returns (size_map8 [R8,C8] in {4,8,16,32,64} — 4 marks an
@@ -1305,7 +1503,8 @@ class MdIntraPipeline(IntraPipeline):
                     jnp.where((modes >= 22) & (modes <= 30), 1, 0))
             try:
                 levels, r2 = self._transform_quant(
-                    resi, tm, qp, n, mats=self._mats_for(n, is_luma))
+                    resi, tm, qp, n, mats=self._mats_for(n, is_luma),
+                    is_luma=is_luma)
             finally:
                 self._sdh_scan_sel = None
             cbf = jnp.any(levels != 0, axis=(1, 2))

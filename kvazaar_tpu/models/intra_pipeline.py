@@ -434,7 +434,7 @@ class IntraPipeline:
         return jnp.moveaxis(out, 2, 3).reshape(L, n, n)
 
     def _rdoq_levels(self, co: jax.Array, scale, qbits, qp, log2n: int,
-                     offset) -> jax.Array:
+                     offset, is_luma: bool = True) -> jax.Array:
         """Rate-distortion optimized quantization, batched (replaces
         kvazaar src/rdo.c kvz_rdoq's sequential coefficient walk with an
         independent per-coefficient choice): pick |level| among
@@ -474,11 +474,13 @@ class IntraPipeline:
             best_c = jnp.where(take, c, best_c)
         return (jnp.sign(co) * best).astype(jnp.int32)
 
-    def _quant_levels(self, co, scale, qbits, offset, qp, log2n):
+    def _quant_levels(self, co, scale, qbits, offset, qp, log2n,
+                      is_luma=True):
         """Quantize: RDOQ when enabled, else the standard offset rule;
         then the SDH parity fix."""
         if self.rdoq:
-            levels = self._rdoq_levels(co, scale, qbits, qp, log2n, offset)
+            levels = self._rdoq_levels(co, scale, qbits, qp, log2n, offset,
+                                       is_luma=is_luma)
         else:
             absq = (jnp.abs(co) * scale + offset) >> qbits
             levels = (jnp.sign(co) * absq).astype(jnp.int32)
@@ -488,7 +490,8 @@ class IntraPipeline:
         return levels
 
     def _transform_quant(self, resi: jax.Array, t: jax.Array, qp: int,
-                         n: int, mats=None) -> tuple[jax.Array, jax.Array]:
+                         n: int, mats=None,
+                         is_luma: bool = True) -> tuple[jax.Array, jax.Array]:
         """Forward transform + quant + dequant + inverse; exact int32.
         resi [L, n, n] -> (levels, recon_resi). qp: traced device scalar
         or a per-block [L] vector (delta-QP paths) in the Qp' domain
@@ -518,7 +521,8 @@ class IntraPipeline:
             # per-position forward scale: [n, n] or [L, n, n]
             scale = jnp.take(mats[0], qp % 6, axis=0)
         offset = jnp.left_shift(171, qbits - 9)
-        levels = self._quant_levels(co, scale, qbits, offset, qb, log2n)
+        levels = self._quant_levels(co, scale, qbits, offset, qb, log2n,
+                                    is_luma=is_luma)
         # dequant
         if mats is None:
             dscale = jnp.left_shift(

@@ -147,6 +147,18 @@ def test_inter_md_long_range_motion(rng):
     stream, infos = encode_sequence(cfg, frames)
     dec = HEVCDecoder().decode(stream)
     assert all(f.hash_ok for f in dec)
-    # P frame must be tiny relative to the IDR (pure translation)
-    assert infos[1]["bytes"] < 0.25 * infos[0]["bytes"], \
+    # P frame must be tiny relative to the IDR. Content floor: np.roll
+    # wraps, so the left 40-px band (40/256 = 15.6% of the frame) is new
+    # content that must be coded fresh (intra/residual at IDR-like cost)
+    # — no <=64-pel ME can predict it; add signalling for the skipped
+    # 84%. Broken long-range ME shows up as ~0.5x (whole-frame residual).
+    # Diagnostics (see IMPLEMENTATION_STATUS): residual must be confined
+    # to the wrap band, which the second assert checks directly.
+    assert infos[1]["bytes"] < 0.27 * infos[0]["bytes"], \
         f"long-range ME failed: {infos[1]['bytes']} vs {infos[0]['bytes']}"
+    # the clean region (x >= 80) must be fully skipped: zero coefficients
+    enc = Encoder(cfg)
+    for f in frames:
+        enc.encode_frame(*f)
+    ly = np.asarray(enc._last_decisions["levels_y"])
+    assert (ly[:, 80:] == 0).all(), "residual outside the wrap band"
