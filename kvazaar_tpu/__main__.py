@@ -116,6 +116,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--slices", choices=["none", "tiles", "wpp"],
                    default="none",
                    help="one slice segment per tile / WPP row")
+    p.add_argument("--crypto", default="off",
+                   help="selective encryption: off | on | '+'-joined "
+                        "features (mvs, mv_signs, trans_coeffs, "
+                        "trans_coeff_signs, intra_pred_modes)")
+    p.add_argument("--key", default="",
+                   help="16 comma-separated bytes for --crypto")
     return p
 
 
@@ -143,7 +149,8 @@ def main(argv=None) -> int:
                  me=args.me, subme=args.subme, bipred=args.bipred,
                  mv_constraint=args.mv_constraint, cqmfile=args.cqmfile,
                  fast_coeff_table=args.fast_coeff_table,
-                 slices=args.slices)
+                 slices=args.slices, crypto=args.crypto,
+                 crypto_key=args.key)
     cfg.parse("gop", args.gop)
     if args.pu_depth_intra:
         cfg.parse("pu-depth-intra", args.pu_depth_intra)

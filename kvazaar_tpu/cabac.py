@@ -65,7 +65,7 @@ class CabacEncoder:
     """HEVC binary arithmetic encoder (low/range with buffered-byte carry)."""
 
     __slots__ = ("low", "range", "bits_left", "num_buffered", "buffered",
-                 "bw", "ctx", "only_count", "frac_bits")
+                 "bw", "ctx", "only_count", "frac_bits", "crypto_res")
 
     def __init__(self, bw: BitWriter | None = None,
                  ctx: ContextSet | None = None) -> None:
@@ -73,6 +73,9 @@ class CabacEncoder:
         self.ctx = ctx
         self.only_count = False
         self.frac_bits = 0  # in 1/32768 bit units, for RD search
+        # optional selective-encryption state: (CryptoHandle, features)
+        # attached per entropy stream (extras/crypto.py)
+        self.crypto_res = None
         self.reset()
 
     def reset(self) -> None:
@@ -228,11 +231,12 @@ class CabacEncoder:
 class CabacDecoder:
     """HEVC binary arithmetic decoder (spec 9.3.4.3)."""
 
-    __slots__ = ("range", "offset", "br", "ctx")
+    __slots__ = ("range", "offset", "br", "ctx", "crypto_res")
 
     def __init__(self, br: BitReader, ctx: ContextSet) -> None:
         self.br = br
         self.ctx = ctx
+        self.crypto_res = None   # (CryptoHandle, features) or None
         self.range = 510
         self.offset = br.u(9)
 

@@ -114,6 +114,16 @@ class Config:
     # An explicit "no-rc" always means constant QP.
     target_bitrate: int = 0
     rc_algorithm: str = "auto"
+    # --intra-bits (cfg.c:1390): Hadamard-cost driven I-frame bit
+    # allocation + the intra R-lambda model (rate_control.c:352-377)
+    intra_bits: bool = False
+
+    # selective encryption (kvazaar --crypto, src/extras/crypto.cpp):
+    # "off" | "on" | '+'-joined features (mvs, mv_signs, trans_coeffs,
+    # trans_coeff_signs, intra_pred_modes); --key = 16 comma-separated
+    # bytes (cfg.c:1207-1212)
+    crypto: str = "off"
+    crypto_key: str = ""
 
     # stream metadata
     hash: str = "checksum"          # checksum | md5 | none
@@ -185,6 +195,7 @@ class Config:
         "pu-depth-inter": ("pu_depth_inter", "range"),
         "source-scan-type": ("source_scan_type", str),
         "rc-algorithm": ("rc_algorithm", str),
+        "intra-bits": ("intra_bits", bool),
         "owf": ("owf", int),
         "threads": ("threads", int),
         "rd": ("rd", int),
@@ -198,6 +209,8 @@ class Config:
         "amp": ("amp_enable", bool),
         "slices": ("slices", str),
         "bitrate": ("target_bitrate", int),
+        "crypto": ("crypto", str),
+        "key": ("crypto_key", str),
         "hash": ("hash", str),
         "aud": ("aud_enable", bool),
         "info": ("info", bool),

@@ -694,6 +694,9 @@ class SliceDecoder:
 
     def _decode_mvd(self) -> np.ndarray:
         cab = self.cab
+        crypto = cab.crypto_res
+        if crypto is not None:
+            from ..extras import crypto as _cr
         g0x = cab.decode_bin(ContextSet.idx("mvd", 0))
         g0y = cab.decode_bin(ContextSet.idx("mvd", 0))
         g1x = cab.decode_bin(ContextSet.idx("mvd", 1)) if g0x else 0
@@ -711,8 +714,14 @@ class SliceDecoder:
                     if q > 30:
                         raise ValueError("mvd overflow")
                 suffix = cab.decode_bins_ep(q + 1)
+                if crypto is not None and \
+                        crypto[1] & _cr.CRYPTO_MVS:
+                    suffix = _cr.decrypt_ep_suffix(crypto[0], suffix,
+                                                   q + 1)
                 v = 2 + (((1 << q) - 1) << 1) + suffix
             sign = cab.decode_bin_ep()
+            if crypto is not None and crypto[1] & _cr.CRYPTO_MV_SIGNS:
+                sign = _cr.xor_bits(crypto[0], sign, 1)
             out.append(-v if sign else v)
         return np.array(out, dtype=np.int32)
 
@@ -1014,12 +1023,19 @@ class SliceDecoder:
                     if rem >= cand:
                         rem += 1
                 mode = rem
-            modes.append(mode)
-            # record the mode before the next PU's MPM derivation
+            # record the signalled mode before the next PU's MPM
+            # derivation (with selective encryption the MPM chain runs
+            # on the encrypted modes, ref encode_coding_tree.c:545-560)
             self.fs.intra_mode[py >> 2:(py + pu_size) >> 2,
                                px >> 2:(px + pu_size) >> 2] = mode
             self.fs.coded[py >> 2:(py + pu_size) >> 2,
                           px >> 2:(px + pu_size) >> 2] = True
+            crypto = self.cab.crypto_res
+            if crypto is not None:
+                from ..extras import crypto as _cr
+                if crypto[1] & _cr.CRYPTO_INTRA_MODE:
+                    mode = _cr.decrypt_intra_mode(crypto[0], mode)
+            modes.append(mode)
         # chroma mode
         if self.cab.decode_bin(ContextSet.idx("intra_chroma_pred_mode", 0)):
             idx = self.cab.decode_bins_ep(2)
@@ -1133,13 +1149,19 @@ class SliceDecoder:
 class HEVCDecoder:
     """Annex-B stream decoder for the intra subset."""
 
-    def __init__(self) -> None:
+    def __init__(self, crypto: str = "off",
+                 crypto_key: bytes | None = None) -> None:
         self.sps: SPS | None = None
         self.pps_map: dict[int, PPS] = {}
         self.frames: list[DecodedFrame] = []
         self._pending_frame: DecodedFrame | None = None
         self.dpb: list[dict] = []
         self.prev_poc = 0
+        # selective-encryption decryption (extras/crypto.py): a fresh
+        # keystream per picture, shared by all its substreams/segments
+        from ..extras.crypto import parse_crypto_spec
+        self.crypto_features = parse_crypto_spec(crypto)
+        self.crypto_key = crypto_key
 
     def decode(self, stream: bytes) -> list[DecodedFrame]:
         # a picture may span several slice-segment NALs (dependent slice
@@ -1266,7 +1288,14 @@ class HEVCDecoder:
                     "independent mid-picture slices not supported")
             sub_data += seg_substreams(sh2, rbsp2, pos2, br2, ebsp2)
 
+        crypto_hdl = None
+        if self.crypto_features:
+            from ..extras.crypto import CryptoHandle
+            crypto_hdl = CryptoHandle(self.crypto_key)
+
         def make_sd(cab: CabacDecoder, tile_id: int = 0) -> SliceDecoder:
+            if crypto_hdl is not None:
+                cab.crypto_res = (crypto_hdl, self.crypto_features)
             sd = SliceDecoder(fs, cab)
             sd.cur_tile = tile_id
             sd.poc = poc

@@ -162,6 +162,9 @@ class PSliceWriter:
             cab.encode_bin(ContextSet.idx("mvd", 1), g1[0])
         if g0[1]:
             cab.encode_bin(ContextSet.idx("mvd", 1), g1[1])
+        crypto = cab.crypto_res
+        if crypto is not None:
+            from ..extras import crypto as _cr
         for v, has0, has1 in zip(mvd, g0, g1):
             if not has0:
                 continue
@@ -175,8 +178,17 @@ class PSliceWriter:
                     cab.encode_bin_ep(1)
                     q += 1
                 cab.encode_bin_ep(0)
+                if crypto is not None and \
+                        crypto[1] & _cr.CRYPTO_MVS:
+                    # scramble the EG1 suffix = the codeword's low half
+                    # (ref src/cabac.c:576-583)
+                    val = _cr.encrypt_ep_suffix(crypto[0], val, q + 1)
                 cab.encode_bins_ep(val, q + 1)
-            cab.encode_bin_ep(1 if v < 0 else 0)
+            sign = 1 if v < 0 else 0
+            if crypto is not None and crypto[1] & _cr.CRYPTO_MV_SIGNS:
+                # ref src/encode_coding_tree.c:1091-1107
+                sign = _cr.xor_bits(crypto[0], sign, 1)
+            cab.encode_bin_ep(sign)
 
     def _write_ref_idx(self, ridx: int, n_act: int) -> None:
         """Mirror of decoder.py _decode_ref_idx binarization."""

@@ -366,7 +366,13 @@ class MdPSliceWriter(PSliceWriter):
         cab.encode_bin(ContextSet.idx("pred_mode_flag", 0), 1)
         if log2_size == self.sps.log2_min_cb_size:
             cab.encode_bin(ContextSet.idx("part_mode", 0), 1)  # 2Nx2N
-        mode = int(self.mode8[y0 >> 3, x0 >> 3])
+        true_mode = int(self.mode8[y0 >> 3, x0 >> 3])
+        mode = true_mode
+        crypto = getattr(cab, "crypto_res", None)
+        if crypto is not None:
+            from ..extras import crypto as _cr
+            if crypto[1] & _cr.CRYPTO_INTRA_MODE:
+                mode = _cr.encrypt_intra_mode(crypto[0], true_mode)
         mpm = h.mpm_list(x0, y0)
         if mode in mpm:
             cab.encode_bin(

@@ -56,6 +56,20 @@ class MdIntraWriter:
         self.qg_pred = sh.qp
         self.qg_coded = True
 
+    def _crypt_mode(self, mode: int) -> int:
+        """Selective encryption of the luma intra mode (reference
+        encode_coding_tree.c:423-467 intra_mode_encryption); identity
+        when crypto is off. The returned mode is what is *signalled*
+        (and propagated to MPM derivation); reconstruction uses the
+        true mode."""
+        crypto = getattr(self.cab, "crypto_res", None)
+        if crypto is None:
+            return mode
+        from ..extras import crypto as _cr
+        if not crypto[1] & _cr.CRYPTO_INTRA_MODE:
+            return mode
+        return _cr.encrypt_intra_mode(crypto[0], mode)
+
     def reset_qp_chain(self) -> None:
         """qPY_PREV reset at slice / tile / WPP-row starts."""
         self.qp_prev = self.sh.qp
@@ -193,7 +207,8 @@ class MdIntraWriter:
         if nxn:
             self._coding_unit_nxn(x0, y0)
             return
-        mode = int(self.mode8[y0 >> 3, x0 >> 3])
+        true_mode = int(self.mode8[y0 >> 3, x0 >> 3])
+        mode = self._crypt_mode(true_mode)
         mpm = self.mpm_list(x0, y0)
         if mode in mpm:
             cab.encode_bin(ContextSet.idx("prev_intra_luma_pred_flag", 0),
@@ -212,12 +227,14 @@ class MdIntraWriter:
                 if rem > cand:
                     rem -= 1
             cab.encode_bins_ep(rem, 5)
+        # the (possibly encrypted) mode feeds later MPM derivations so
+        # writer and decoder stay in sync (ref encode_coding_tree.c:560)
         self.mode4[y0 >> 2:(y0 + size) >> 2,
                    x0 >> 2:(x0 + size) >> 2] = mode
         self.coded[y0 >> 2:(y0 + size) >> 2,
                    x0 >> 2:(x0 + size) >> 2] = True
         cab.encode_bin(ContextSet.idx("intra_chroma_pred_mode", 0), 0)
-        self.transform_unit(x0, y0, log2_size, mode)
+        self.transform_unit(x0, y0, log2_size, true_mode)
 
     def _coding_unit_nxn(self, x0: int, y0: int) -> None:
         """NxN intra CU: four 4x4 PUs with independent modes, forced TU
@@ -230,7 +247,8 @@ class MdIntraWriter:
         modes, flags, payloads = [], [], []
         for dx, dy in offs:
             x, y = x0 + dx, y0 + dy
-            mode = int(self.mode4d[y >> 2, x >> 2])
+            true_mode = int(self.mode4d[y >> 2, x >> 2])
+            mode = self._crypt_mode(true_mode)
             mpm = self.mpm_list(x, y)
             if mode in mpm:
                 flags.append(1)
@@ -244,7 +262,7 @@ class MdIntraWriter:
                 payloads.append(("rem", rem))
             self.mode4[y >> 2, x >> 2] = mode
             self.coded[y >> 2, x >> 2] = True
-            modes.append(mode)
+            modes.append(true_mode)
         for f in flags:
             cab.encode_bin(
                 ContextSet.idx("prev_intra_luma_pred_flag", 0), f)

@@ -120,8 +120,18 @@ def decode_last_position(cab: CabacDecoder, log2_size: int, c_idx: int,
 def encode_residual(cab: CabacEncoder, coeffs: np.ndarray, log2_size: int,
                     c_idx: int, scan_idx: int, sign_hiding: bool,
                     transform_skip: bool = False,
-                    transform_skip_enabled: bool = False) -> None:
-    """Encode one TU's quantized coefficients. coeffs is [y][x] int."""
+                    transform_skip_enabled: bool = False,
+                    crypto=None) -> None:
+    """Encode one TU's quantized coefficients. coeffs is [y][x] int.
+
+    crypto: optional (CryptoHandle, features) for selective encryption
+    of coefficient signs / level-remaining suffixes (reference
+    src/strategies/generic/encode_coding_tree-generic.c:243-265,
+    src/cabac.c kvz_cabac_write_coeff_remain_encry). Defaults to the
+    ``crypto_res`` attribute of the CABAC engine, so the handle rides
+    the entropy stream it scrambles."""
+    if crypto is None:
+        crypto = getattr(cab, "crypto_res", None)
     size = 1 << log2_size
     scan = get_scan(scan_idx, log2_size)  # (N*N, 2) of (x, y)
     flat = coeffs[scan[:, 1], scan[:, 0]]
@@ -226,6 +236,11 @@ def encode_residual(cab: CabacEncoder, coeffs: np.ndarray, log2_size: int,
             pattern = 0
             for s in signs[:n_signs]:
                 pattern = (pattern << 1) | s
+            if crypto is not None:
+                from ..extras import crypto as _cr
+                hdl, feats = crypto
+                if feats & _cr.CRYPTO_TRANSF_COEFF_SIGNS:
+                    pattern = _cr.xor_bits(hdl, pattern, n_signs)
             cab.encode_bins_ep(pattern, n_signs)
         # remaining levels
         rice = 0
@@ -233,18 +248,65 @@ def encode_residual(cab: CabacEncoder, coeffs: np.ndarray, log2_size: int,
         for i, lev in enumerate(abs_levels):
             base_level = (2 + first_coeff2) if i < 8 else 1
             if lev >= base_level:
-                cab.encode_remaining_golomb(lev - base_level, rice)
+                _write_remaining(cab, lev - base_level, rice, base_level,
+                                 crypto)
                 if lev > 3 * (1 << rice):
                     rice = min(rice + 1, 4)
             if lev >= 2:
                 first_coeff2 = 0
 
 
+def _write_remaining(cab: CabacEncoder, value: int, rice: int,
+                     base_level: int, crypto) -> None:
+    """coeff_abs_level_remaining, optionally with the suffix-window
+    encryption of cabac.c kvz_cabac_write_coeff_remain_encry."""
+    if crypto is not None and rice > 0 and (value >> rice) < 3:
+        from ..extras import crypto as _cr
+        hdl, feats = crypto
+        if feats & _cr.CRYPTO_TRANSF_COEFFS:
+            length = value >> rice
+            cab.encode_bins_ep((1 << (length + 1)) - 2, length + 1)
+            cab.encode_bins_ep(
+                _cr.encrypt_golomb_suffix(hdl, value, rice, base_level),
+                rice)
+            return
+    cab.encode_remaining_golomb(value, rice)
+
+
+def _read_remaining(cab: CabacDecoder, rice: int, base_level: int,
+                    crypto) -> int:
+    """Inverse of _write_remaining: decrypts the rice-suffix window."""
+    if crypto is None or rice == 0:
+        return cab.decode_remaining_golomb(rice)
+    from ..extras import crypto as _cr
+    hdl, feats = crypto
+    if not feats & _cr.CRYPTO_TRANSF_COEFFS:
+        return cab.decode_remaining_golomb(rice)
+    prefix = 0
+    while prefix < 32 and cab.decode_bin_ep():
+        prefix += 1
+    if prefix < 3:
+        hi = prefix << rice
+        recv = cab.decode_bins_ep(rice)
+        return hi | _cr.decrypt_golomb_suffix(hdl, recv, rice,
+                                              base_level + hi)
+    # escape path (never encrypted)
+    length = prefix - 3 + rice
+    return ((((1 << (prefix - 3)) + 3 - 1) << rice)
+            + cab.decode_bins_ep(length))
+
+
 def decode_residual(cab: CabacDecoder, log2_size: int, c_idx: int,
                     scan_idx: int, sign_hiding: bool,
-                    transform_skip_enabled: bool = False) \
-        -> tuple[np.ndarray, bool]:
-    """Decode one TU's coefficients. Returns (coeffs [y][x], transform_skip)."""
+                    transform_skip_enabled: bool = False,
+                    crypto=None) -> tuple[np.ndarray, bool]:
+    """Decode one TU's coefficients. Returns (coeffs [y][x], transform_skip).
+
+    crypto: optional (CryptoHandle, features) — inverts the selective
+    encryption applied by encode_residual. Defaults to the CABAC
+    engine's ``crypto_res`` attribute."""
+    if crypto is None:
+        crypto = getattr(cab, "crypto_res", None)
     size = 1 << log2_size
     transform_skip = False
     if transform_skip_enabled and log2_size == 2:
@@ -331,7 +393,16 @@ def decode_residual(cab: CabacDecoder, log2_size: int, c_idx: int,
         last_sig = sig_positions[0]
         hide = sign_hiding and (last_sig - first_sig > 3)
         n_signs = nsig - 1 if hide else nsig
-        signs = [cab.decode_bin_ep() for _ in range(n_signs)]
+        if n_signs and crypto is not None:
+            from ..extras import crypto as _cr
+            hdl, feats = crypto
+            pattern = cab.decode_bins_ep(n_signs)
+            if feats & _cr.CRYPTO_TRANSF_COEFF_SIGNS:
+                pattern = _cr.xor_bits(hdl, pattern, n_signs)
+            signs = [(pattern >> (n_signs - 1 - i)) & 1
+                     for i in range(n_signs)]
+        else:
+            signs = [cab.decode_bin_ep() for _ in range(n_signs)]
         # levels
         levels = [0] * nsig
         rice = 0
@@ -343,7 +414,8 @@ def decode_residual(cab: CabacDecoder, log2_size: int, c_idx: int,
                 lev = 1
             base_level = (2 + first_coeff2) if i < 8 else 1
             if lev >= base_level:
-                lev = base_level + cab.decode_remaining_golomb(rice)
+                lev = base_level + _read_remaining(cab, rice, base_level,
+                                                   crypto)
                 if lev > 3 * (1 << rice):
                     rice = min(rice + 1, 4)
             levels[i] = lev
