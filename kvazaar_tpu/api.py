@@ -151,6 +151,13 @@ class Encoder:
             raise NotImplementedError(
                 "10-bit requires the quadtree device path (ctu-size 64) "
                 "in this round")
+        if cfg.trskip_enable and not self.use_md:
+            raise NotImplementedError(
+                "--transform-skip requires the quadtree device path "
+                "(ctu-size 64)")
+        if cfg.trskip_enable and tuple(cfg.tiles) != (1, 1):
+            raise NotImplementedError(
+                "--transform-skip with tiles is not wired up yet")
         self.use_device = (dev_ok and cfg.ctu_size == 16) or self.use_md
         if self.crypto_features:
             from .extras.crypto import CRYPTO_INTRA_MODE
@@ -279,7 +286,8 @@ class Encoder:
                     rd=cfg.rd, subme=cfg.subme, bipred=cfg.bipred,
                     smp=cfg.smp_enable or cfg.amp_enable,
                     amp=cfg.amp_enable,
-                    fast_coeff_table=cfg.fast_coeff_table)
+                    fast_coeff_table=cfg.fast_coeff_table,
+                    trskip=cfg.trskip_enable)
                 self._pipeline = self._inter_pipeline
             elif self.inter_enabled:
                 from .models.inter_pipeline import InterPipeline
@@ -309,7 +317,8 @@ class Encoder:
                                    bit_depth=cfg.input_bitdepth,
                                    pu_depth=tuple(cfg.pu_depth_intra),
                                    rd=cfg.rd,
-                                   fast_coeff_table=cfg.fast_coeff_table)
+                                   fast_coeff_table=cfg.fast_coeff_table,
+                                   trskip=cfg.trskip_enable)
                     if cfg.scaling_list != "off":
                         from .hevc.scaling import (ScalingLists,
                                                    load_cqmfile)
@@ -859,7 +868,7 @@ class Encoder:
                 and "part8" not in decisions
                 and self.tile_grid is None and not self.dqp_enabled
                 and not cfg.lossless and lcu_bits is None and not seg_mode
-                and crypto_res is None
+                and crypto_res is None and not cfg.trskip_enable
                 and (sao_w is not None or not self.sps.sao_enabled)):
             # P/B quadtree slices in C++ (VERDICT r3 #2: the inter host
             # entropy bottleneck) — bit-identical to MdPSliceWriter,
@@ -888,7 +897,7 @@ class Encoder:
         if (writer is not None and self.use_md and slice_type == 2
                 and self.tile_grid is None and not self.dqp_enabled
                 and not cfg.lossless and lcu_bits is None and not seg_mode
-                and crypto_res is None
+                and crypto_res is None and not cfg.trskip_enable
                 and (sao_w is not None or not self.sps.sao_enabled)):
             from . import native
             if native.available():
@@ -979,7 +988,7 @@ class Encoder:
         elif decisions is not None and not native_done:
             from . import native
             if native.available() and sao_w is None and not seg_mode \
-                    and crypto_res is None:
+                    and crypto_res is None and not cfg.trskip_enable:
                 data, sizes = native.encode_intra_grid(
                     decisions["modes"], decisions["levels_y"],
                     decisions["levels_cb"], decisions["levels_cr"],

@@ -408,6 +408,7 @@ class MdPSliceWriter(PSliceWriter):
         cab.encode_bin(ContextSet.idx("cbf_chroma", 0), cbf_cr)
         cab.encode_bin(ContextSet.idx("cbf_luma", 1), cbf_y)
         c_log2 = log2_size - 1
+        tse = bool(self.pps.transform_skip_enabled)
         if cbf_y:
             encode_residual(cab, ly, log2_size, 0,
                             intra_mode_scan_idx(mode, log2_size, False),
@@ -415,8 +416,8 @@ class MdPSliceWriter(PSliceWriter):
         if cbf_cb:
             encode_residual(cab, lcb, c_log2, 1,
                             intra_mode_scan_idx(mode, c_log2, True),
-                            self.sdh)
+                            self.sdh, transform_skip_enabled=tse)
         if cbf_cr:
             encode_residual(cab, lcr, c_log2, 2,
                             intra_mode_scan_idx(mode, c_log2, True),
-                            self.sdh)
+                            self.sdh, transform_skip_enabled=tse)

@@ -42,6 +42,11 @@ class MdIntraWriter:
         self.cab: CabacEncoder | None = None
         self.sao_w = None
         self.sdh = bool(pps.sign_data_hiding_enabled)
+        # --transform-skip: per-8-cell skip decisions from the device
+        # ([r8, c8, 6]: 4 NxN luma sub-TU bits in z order + cb + cr)
+        self.tse = bool(pps.transform_skip_enabled)
+        _ts = decisions.get("ts8") if hasattr(decisions, "get") else None
+        self.ts8 = np.asarray(_ts, np.int8) if _ts is not None else None
         # tiles: availability never crosses tile boundaries (spec 6.4.1)
         self.tile_ctb = None   # [ctbs_y, ctbs_x] tile ids
         self.tile4 = None      # per-4x4 tile ids
@@ -69,6 +74,13 @@ class MdIntraWriter:
         if not crypto[1] & _cr.CRYPTO_INTRA_MODE:
             return mode
         return _cr.encrypt_intra_mode(crypto[0], mode)
+
+    def _ts_flag(self, x0: int, y0: int, bit: int) -> bool:
+        """Device transform_skip decision for the 8-cell at (x0, y0):
+        bit 0-3 = NxN luma sub-TU (z order), 4 = cb, 5 = cr."""
+        if self.ts8 is None:
+            return False
+        return bool(self.ts8[y0 >> 3, x0 >> 3, bit])
 
     def reset_qp_chain(self) -> None:
         """qPY_PREV reset at slice / tile / WPP-row starts."""
@@ -296,19 +308,27 @@ class MdIntraWriter:
                 self._write_qp_delta()
             if cbf_y:
                 scan = intra_mode_scan_idx(modes[i], 2, False)
-                encode_residual(cab, lv_y, 2, 0, scan, self.sdh)
+                encode_residual(cab, lv_y, 2, 0, scan, self.sdh,
+                                transform_skip=self._ts_flag(x0, y0, i),
+                                transform_skip_enabled=self.tse)
             if i == 3:
                 # chroma scan follows the chroma (DM = PU0) mode
                 if cbf_cb:
                     scan = intra_mode_scan_idx(modes[0], 2, True)
                     encode_residual(cab, self.lvl[1][cy0:cy0 + 4,
                                                      cx0:cx0 + 4],
-                                    2, 1, scan, self.sdh)
+                                    2, 1, scan, self.sdh,
+                                    transform_skip=self._ts_flag(
+                                        x0, y0, 4),
+                                    transform_skip_enabled=self.tse)
                 if cbf_cr:
                     scan = intra_mode_scan_idx(modes[0], 2, True)
                     encode_residual(cab, self.lvl[2][cy0:cy0 + 4,
                                                      cx0:cx0 + 4],
-                                    2, 2, scan, self.sdh)
+                                    2, 2, scan, self.sdh,
+                                    transform_skip=self._ts_flag(
+                                        x0, y0, 5),
+                                    transform_skip_enabled=self.tse)
 
     def transform_unit(self, x0: int, y0: int, log2_size: int,
                        mode: int) -> None:
@@ -363,7 +383,11 @@ class MdIntraWriter:
             encode_residual(cab, lv_y, log2_size, 0, scan, self.sdh)
         if cbf_cb:
             scan = intra_mode_scan_idx(mode, c_log2, True)
-            encode_residual(cab, lv_cb, c_log2, 1, scan, self.sdh)
+            encode_residual(cab, lv_cb, c_log2, 1, scan, self.sdh,
+                            transform_skip=self._ts_flag(x0, y0, 4),
+                            transform_skip_enabled=self.tse)
         if cbf_cr:
             scan = intra_mode_scan_idx(mode, c_log2, True)
-            encode_residual(cab, lv_cr, c_log2, 2, scan, self.sdh)
+            encode_residual(cab, lv_cr, c_log2, 2, scan, self.sdh,
+                            transform_skip=self._ts_flag(x0, y0, 5),
+                            transform_skip_enabled=self.tse)

@@ -1516,10 +1516,17 @@ class MdInterPipeline(MdIntraPipeline):
         init = self._inter_recon_batch(src_y, src_cb, src_cr, refs_y,
                                        refs_cb, refs_cr, size_map8,
                                        inter8, mv8, ref8, part8=part8)
-        state = self._recon_md(src_y, src_cb, src_cr, size_map8,
-                               mode_map8, init_state=init,
-                               exclude8=init[2])
-        luma, chroma, _ = state
+        # the P/B writers do not signal transform_skip on intra cells
+        # (no 4x4 luma TUs there); keep the device recon in lockstep
+        saved_ts = self.trskip
+        self.trskip = False
+        try:
+            state = self._recon_md(src_y, src_cb, src_cr, size_map8,
+                                   mode_map8, init_state=init,
+                                   exclude8=init[2])
+        finally:
+            self.trskip = saved_ts
+        luma, chroma, _, _ts = state
         h, w = self.h, self.w
         ry = luma[0, 1:1 + h, 1:1 + w]
         rcb = chroma[0, 1:1 + h // 2, 1:1 + w // 2]
@@ -1615,10 +1622,17 @@ class MdInterPipeline(MdIntraPipeline):
                                        l0[1], l0[2], size_map8, inter8,
                                        mv8, ref8, l1=l1, dir8=dir8,
                                        mv8b=mv8b, ref8b=ref8b)
-        state = self._recon_md(src_y, src_cb, src_cr, size_map8,
-                               mode_map8, init_state=init,
-                               exclude8=init[2])
-        luma, chroma, _ = state
+        # the P/B writers do not signal transform_skip on intra cells
+        # (no 4x4 luma TUs there); keep the device recon in lockstep
+        saved_ts = self.trskip
+        self.trskip = False
+        try:
+            state = self._recon_md(src_y, src_cb, src_cr, size_map8,
+                                   mode_map8, init_state=init,
+                                   exclude8=init[2])
+        finally:
+            self.trskip = saved_ts
+        luma, chroma, _, _ts = state
         h, w = self.h, self.w
         ry = luma[0, 1:1 + h, 1:1 + w]
         rcb = chroma[0, 1:1 + h // 2, 1:1 + w // 2]

@@ -105,10 +105,15 @@ class MdIntraPipeline(IntraPipeline):
                  scaling=None, lossless: bool = False,
                  bit_depth: int = 8,
                  pu_depth: tuple[int, int] = (1, 3),
-                 rd: int = 0, fast_coeff_table: str = "") -> None:
+                 rd: int = 0, fast_coeff_table: str = "",
+                 trskip: bool = False) -> None:
         assert height % self.CTB == 0 and width % self.CTB == 0
         self.bd = bit_depth
         self.maxv = (1 << bit_depth) - 1
+        # --transform-skip: per-4x4-TU RD competition of the shifted
+        # (non-transformed) residual vs the DST/DCT path (reference
+        # transform.c:163-196 + search_intra.c:94-152)
+        self.trskip = bool(trskip) and not lossless
         # allowed leaf sizes from the depth range (0=64, 1=32, 2=16,
         # 3=8, 4=NxN, kvazaar's --pu-depth-intra scale, ref cfg.c:1017);
         # at least one size must remain. A 64 leaf is one CU whose TU
@@ -253,6 +258,8 @@ class MdIntraPipeline(IntraPipeline):
             setattr(self, f"spos{n}", jnp.asarray(scanpos_map(n)))
         # learned fast-cost weights at this QP, [4 sizes, 8 features]
         self.fcw = jnp.asarray(self._fcw_matrix(qp), jnp.float32)
+        if self.trskip:
+            self.tsp = jnp.asarray(self._tsp_vec(qp), jnp.float32)
         # RDOQ ctx-init price pack (sig/csbf/g1/g2 + last-pos vectors)
         for k, v in self._rdoq_consts(qp).items():
             setattr(self, k, v)
@@ -320,9 +327,19 @@ class MdIntraPipeline(IntraPipeline):
                 c["cbf_c0_d1"], c["cbf_c1_d1"], c["chroma_dm"],
                 c["part_2nx2n"], c["part_nxn"]]
 
+    def _tsp_vec(self, qp: int) -> list[float]:
+        """transform_skip_flag fractional-bit prices at ctx init:
+        [luma0, luma1, chroma0, chroma1]."""
+        from ..engine.bit_cost import ctx_bits
+        ly = ctx_bits("transform_skip_flag", self.INIT_TYPE, qp, 0)
+        lc = ctx_bits("transform_skip_flag", self.INIT_TYPE, qp, 1)
+        return [ly[0], ly[1], lc[0], lc[1]]
+
     def const_keys(self):
         keys = self.CONST_KEYS + (("qpmap_y", "qpmap_c", "lammap")
                                   if self.delta_qp else ())
+        if self.trskip:
+            keys = keys + ("tsp",)
         if self.use_scaling:
             keys = keys + ("qt4", "qt8", "qt16", "qt32", "dm4", "dm8",
                            "dm16", "dm32",
@@ -349,6 +366,8 @@ class MdIntraPipeline(IntraPipeline):
         consts["mode_cost"] = jnp.asarray(
             mode_cost_vec(qp, self.INIT_TYPE), jnp.float32)
         consts["fcw"] = jnp.asarray(self._fcw_matrix(qp), jnp.float32)
+        if self.trskip:
+            consts["tsp"] = jnp.asarray(self._tsp_vec(qp), jnp.float32)
         consts.update(self._rdoq_consts(qp))
         if self.delta_qp:
             rc, cc = self.h // self.CTB, self.w // self.CTB
@@ -806,6 +825,30 @@ class MdIntraPipeline(IntraPipeline):
             return resi, resi
         return super()._transform_quant(resi, t, qp, n, mats=mats,
                                         is_luma=is_luma)
+
+    def _tq_4x4_rd(self, resi, t, qp, lam, mats=None, is_luma=True):
+        """4x4 T/Q with the transform-skip RD competition (reference
+        search_intra.c:94-152 heuristic made exact: both paths are
+        quantized and priced). Returns (levels, recon_resi,
+        use_skip [L] bool); identity competition when trskip is off."""
+        levels, r2 = self._transform_quant(resi, t, qp, 4, mats=mats,
+                                           is_luma=is_luma)
+        if not self.trskip:
+            return levels, r2, jnp.zeros((resi.shape[0],), bool)
+        lv_s, r2_s = self._transform_quant_skip(resi, qp, 4, mats=mats,
+                                                is_luma=is_luma)
+        rf = resi.astype(jnp.float32)
+        d_t = ((rf - r2) ** 2).sum(axis=(1, 2))
+        d_s = ((rf - r2_s) ** 2).sum(axis=(1, 2))
+        p0, p1 = (self.tsp[0], self.tsp[1]) if is_luma \
+            else (self.tsp[2], self.tsp[3])
+        c_t = d_t + lam * (self._rate_tu(levels, 4) + p0)
+        c_s = d_s + lam * (self._rate_tu(lv_s, 4) + p1)
+        # a zero-cbf TU never codes the flag: never force skip there
+        use = (c_s < c_t) & jnp.any(lv_s != 0, axis=(1, 2))
+        u3 = use[:, None, None]
+        return (jnp.where(u3, lv_s, levels),
+                jnp.where(u3, r2_s, r2), use)
 
     def _transform_quant_plain(self, resi, t, qp, n, mats=None):
         """T/Q/IT with plain deadzone quant (search-time costing — the
@@ -1411,7 +1454,9 @@ class MdIntraPipeline(IntraPipeline):
         zero = jnp.zeros((L,), jnp.int32)
         z4 = jnp.zeros((L, 4), jnp.int32)
         mats4 = self._mats_for(4, True)
-        recs, lvls = [], []
+        lam_ts = 0.57 * 2.0 ** ((jnp.asarray(qp_y, jnp.float32) - 12.0)
+                                / 3.0) if self.trskip else None
+        recs, lvls, tss = [], [], []
         # (dy, dx, per-sub ref construction) in z order
         for i, (dy, dx) in enumerate(((0, 0), (0, 4), (4, 0), (4, 4))):
             mode = modes4[:, i]
@@ -1446,8 +1491,14 @@ class MdIntraPipeline(IntraPipeline):
                 (mode >= 6) & (mode <= 14), 2,
                 jnp.where((mode >= 22) & (mode <= 30), 1, 0))
             try:
-                levels, r2 = self._transform_quant(
-                    resi, self.dst4, qp_y, 4, mats=mats4)
+                if self.trskip:
+                    levels, r2, ts = self._tq_4x4_rd(
+                        resi, self.dst4, qp_y, lam_ts, mats=mats4,
+                        is_luma=True)
+                else:
+                    levels, r2 = self._transform_quant(
+                        resi, self.dst4, qp_y, 4, mats=mats4)
+                    ts = None
             finally:
                 self._sdh_scan_sel = None
             cbf = jnp.any(levels != 0, axis=(1, 2))
@@ -1455,12 +1506,14 @@ class MdIntraPipeline(IntraPipeline):
                 pred + jnp.where(cbf[:, None, None], r2, 0),
                 0, self.maxv))
             lvls.append(jnp.where(cbf[:, None, None], levels, 0))
+            tss.append(ts)
 
         def asm(parts):
             top = jnp.concatenate([parts[0], parts[1]], axis=2)
             bot = jnp.concatenate([parts[2], parts[3]], axis=2)
             return jnp.concatenate([top, bot], axis=1)
-        return asm(recs), asm(lvls)
+        return (asm(recs), asm(lvls),
+                jnp.stack(tss, axis=1) if self.trskip else None)
 
     def _class_apply(self, stores, s, c_star, valid, st, pre):
         """Reconstruct the fired TUs of size s (slot r fires column
@@ -1486,6 +1539,10 @@ class MdIntraPipeline(IntraPipeline):
             32: (self.g32l, self.f32, self.g16c, self.t32, self.t16),
         }[s]
         bidx = jnp.arange(rs) * cs + jnp.clip(c_star, 0, cs - 1)
+        # lambda for the trskip RD competition (luma-QP derived, like
+        # the reference's state->lambda)
+        lam_ts = 0.57 * 2.0 ** ((jnp.asarray(qp_y, jnp.float32) - 12.0)
+                                / 3.0) if self.trskip else None
 
         def plane(R, C, blocks_flat, n, cell_px, qp, tm, is_luma):
             refs = self._refs_from_stores(R, C, n, rs, cs, c_star, valid,
@@ -1496,24 +1553,34 @@ class MdIntraPipeline(IntraPipeline):
             pred = pred.reshape(-1, n, n)
             srcb = jnp.take(blocks_flat, bidx, axis=0)
             resi = srcb - pred
+            # None (not a traced zeros array) when trskip is off, so the
+            # trskip-off jaxpr — and its compile-cache key — is unchanged
+            ts = (jnp.zeros((pred.shape[0],), bool) if self.trskip
+                  else None)
             if (is_luma and n == 8) or (not is_luma and n == 4):
                 # mode-dependent coefficient scan (spec 7.4.9.11)
                 self._sdh_scan_sel = jnp.where(
                     (modes >= 6) & (modes <= 14), 2,
                     jnp.where((modes >= 22) & (modes <= 30), 1, 0))
             try:
-                levels, r2 = self._transform_quant(
-                    resi, tm, qp, n, mats=self._mats_for(n, is_luma),
-                    is_luma=is_luma)
+                if self.trskip and n == 4 and not is_luma:
+                    levels, r2, ts = self._tq_4x4_rd(
+                        resi, tm, qp, lam_ts,
+                        mats=self._mats_for(n, is_luma), is_luma=False)
+                else:
+                    levels, r2 = self._transform_quant(
+                        resi, tm, qp, n, mats=self._mats_for(n, is_luma),
+                        is_luma=is_luma)
             finally:
                 self._sdh_scan_sel = None
             cbf = jnp.any(levels != 0, axis=(1, 2))
             rec_blk = jnp.clip(
                 pred + jnp.where(cbf[:, None, None], r2, 0), 0, self.maxv)
             lvl_blk = jnp.where(cbf[:, None, None], levels, 0)
-            return rec_blk, lvl_blk
+            return rec_blk, lvl_blk, ts
 
-        rb, lb = plane(Rl, Cl, pre["by"], s, 8, qp_y, t, True)
+        rb, lb, _ = plane(Rl, Cl, pre["by"], s, 8, qp_y, t, True)
+        ts_nxn = None
         if s == 8 and "nxn" in pre:
             # NxN cells: replace the 2Nx2N recon with the four-4x4-TU
             # sequential recon (chroma below is untouched — its DM mode
@@ -1523,19 +1590,21 @@ class MdIntraPipeline(IntraPipeline):
                 "lc,lcm->lm", oh, pre["modes4"].astype(jnp.float32)) \
                 .astype(jnp.int32)
             srcb8 = jnp.take(pre["by"], bidx, axis=0)
-            rb_n, lb_n = self._nxn_apply(
+            rb_n, lb_n, ts_n = self._nxn_apply(
                 Rl, Cl, rs, cs, c_star, valid, has_left, has_top,
                 nbl, ntr, m4sel, qp_y, srcb8)
             sel3 = nxnf[:, None, None]
             rb = jnp.where(sel3, rb_n, rb)
             lb = jnp.where(sel3, lb_n, lb)
+            if self.trskip:
+                ts_nxn = ts_n & nxnf[:, None]
         Rl, Cl = self._store_updates(Rl, Cl, rb, c_star, valid, rs, cs,
                                      s, k)
         sc = s // 2
-        rbc, lbc = plane(Rc[0], Cc[0], pre["bcb"], sc, 4, qp_c, tc,
-                         False)
-        rbr, lbr = plane(Rc[1], Cc[1], pre["bcr"], sc, 4, qp_c, tc,
-                         False)
+        rbc, lbc, tscb = plane(Rc[0], Cc[0], pre["bcb"], sc, 4, qp_c, tc,
+                               False)
+        rbr, lbr, tscr = plane(Rc[1], Cc[1], pre["bcr"], sc, 4, qp_c, tc,
+                               False)
         R0, C0 = self._store_updates(Rc[0], Cc[0], rbc, c_star, valid,
                                      rs, cs, sc, k)
         R1, C1 = self._store_updates(Rc[1], Cc[1], rbr, c_star, valid,
@@ -1545,7 +1614,15 @@ class MdIntraPipeline(IntraPipeline):
         yblocks = jnp.stack([rb, lb], axis=1).astype(jnp.int16)
         cblocks = jnp.stack([rbc, rbr, lbc, lbr], axis=1) \
             .astype(jnp.int16)
-        return (Rl, Cl, Rc, Cc), yblocks, cblocks
+        tsb = None
+        if self.trskip and s == 8:
+            # [L, 6]: 4 NxN luma sub-TU skip bits (z order) + cb + cr
+            if ts_nxn is None:
+                ts_nxn = jnp.zeros((rb.shape[0], 4), bool)
+            tsb = jnp.concatenate(
+                [ts_nxn, tscb[:, None], tscr[:, None]],
+                axis=1).astype(jnp.int8)
+        return (Rl, Cl, Rc, Cc), yblocks, cblocks, tsb
 
     def _assemble_class(self, logy, logc, wv, s):
         """Post-loop: gather each class position's logged blocks into
@@ -1641,6 +1718,9 @@ class MdIntraPipeline(IntraPipeline):
             logs[s] = (jnp.zeros((cap, rs, 2, s, s), jnp.int16),
                        jnp.zeros((cap, rs, 4, s // 2, s // 2),
                                  jnp.int16))
+            if self.trskip and s == 8:
+                # per-wave transform_skip bits: 4 NxN luma + cb + cr
+                logs[s] = logs[s] + (jnp.zeros((cap, rs, 6), jnp.int8),)
             wvs[s] = jnp.zeros((rs, cs), jnp.int32)
 
         def cond(state):
@@ -1670,7 +1750,7 @@ class MdIntraPipeline(IntraPipeline):
                     fired_mask[:, None, :, None],
                     (rs, k, cs, k)).reshape(self.r8, self.c8)
                 new_written = new_written | up
-                ylog, clog = logs[s]
+                slogs = logs[s]
 
                 # skip the whole class when no row is ready this wave
                 # (TPU lax.cond executes one branch): waves typically
@@ -1678,20 +1758,23 @@ class MdIntraPipeline(IntraPipeline):
                 # the loop body's serial op chain substantially
                 def fire(args, s=s, c_star=c_star, row_has=row_has,
                          fired_mask=fired_mask, wave=wave):
-                    stores_, ylog_, clog_, wv_ = args
-                    stores_, yb, cb = self._class_apply(
+                    stores_, slogs_, wv_ = args
+                    stores_, yb, cb, tsb = self._class_apply(
                         stores_, s, c_star, row_has, statics[s], pres[s])
-                    ylog_ = jax.lax.dynamic_update_slice(
-                        ylog_, yb[None], (wave, 0, 0, 0, 0))
-                    clog_ = jax.lax.dynamic_update_slice(
-                        clog_, cb[None], (wave, 0, 0, 0, 0))
+                    out = (jax.lax.dynamic_update_slice(
+                               slogs_[0], yb[None], (wave, 0, 0, 0, 0)),
+                           jax.lax.dynamic_update_slice(
+                               slogs_[1], cb[None], (wave, 0, 0, 0, 0)))
+                    if tsb is not None:
+                        out = out + (jax.lax.dynamic_update_slice(
+                            slogs_[2], tsb[None], (wave, 0, 0)),)
                     wv_ = jnp.where(fired_mask, wave, wv_)
-                    return stores_, ylog_, clog_, wv_
+                    return stores_, out, wv_
 
-                stores, ylog, clog, wv = jax.lax.cond(
+                stores, slogs, wv = jax.lax.cond(
                     row_has.any(), fire, lambda a: a,
-                    (stores, ylog, clog, wvs[s]))
-                new_logs[s] = (ylog, clog)
+                    (stores, slogs, wvs[s]))
+                new_logs[s] = slogs
                 new_wvs[s] = wv
             return (wave + 1, new_written, stores, new_logs, new_wvs)
 
@@ -1708,25 +1791,34 @@ class MdIntraPipeline(IntraPipeline):
         rcr = chroma0[1, 1:1 + h // 2, 1:1 + w // 2]
         lcb_ = chroma0[2, 1:1 + h // 2, 1:1 + w // 2]
         lcr_ = chroma0[3, 1:1 + h // 2, 1:1 + w // 2]
+        ts_maps = None
         for s in self.SIZES:
             k = s // 8
             sel = jnp.repeat(jnp.repeat(
                 statics[s]["leaf"], k, 0), k, 1)
             selp = jnp.repeat(jnp.repeat(sel, 8, 0), 8, 1)
             selc = jnp.repeat(jnp.repeat(sel, 4, 0), 4, 1)
-            a = self._assemble_class(*logs[s], wvs[s], s)
+            a = self._assemble_class(logs[s][0], logs[s][1], wvs[s], s)
             ry = jnp.where(selp, a[0], ry)
             ly_ = jnp.where(selp, a[1], ly_)
             rcb = jnp.where(selc, a[2], rcb)
             rcr = jnp.where(selc, a[3], rcr)
             lcb_ = jnp.where(selc, a[4], lcb_)
             lcr_ = jnp.where(selc, a[5], lcr_)
+            if self.trskip and s == 8:
+                # gather the per-8-cell transform_skip bits by fire wave
+                slot = wvs[s] * (self.r8) + jnp.arange(self.r8)[:, None]
+                ts8 = jnp.take(logs[s][2].reshape(-1, 6),
+                               slot.reshape(-1),
+                               axis=0).reshape(self.r8, self.c8, 6)
+                ts8 = ts8 * sel[:, :, None].astype(jnp.int8)
+                ts_maps = ts8
         luma = jnp.zeros_like(luma0)
         luma = luma.at[:, 1:1 + h, 1:1 + w].set(jnp.stack([ry, ly_]))
         chroma = jnp.zeros_like(chroma0)
         chroma = chroma.at[:, 1:1 + h // 2, 1:1 + w // 2].set(
             jnp.stack([rcb, rcr, lcb_, lcr_]))
-        return luma, chroma, written
+        return luma, chroma, written, ts_maps
 
     # ------------------------------------------------------------------
     # full frame
@@ -1781,7 +1873,7 @@ class MdIntraPipeline(IntraPipeline):
             src_y, src_cb, src_cr, lam)
         state = self._recon_md(src_y, src_cb, src_cr, size_map8,
                                mode_map8, mode_map4=mode_map4)
-        luma, chroma, _ = state
+        luma, chroma, _, ts_maps = state
         h, w = self.h, self.w
         ry = luma[0, 1:1 + h, 1:1 + w]
         rcb = chroma[0, 1:1 + h // 2, 1:1 + w // 2]
@@ -1855,6 +1947,10 @@ class MdIntraPipeline(IntraPipeline):
         }
         if fq is not None:
             out["qp_ctb"] = fq.astype(jnp.int8)
+        if ts_maps is not None:
+            # transform_skip decisions per 8-cell: [r8, c8, 6] =
+            # 4 NxN luma sub-TU bits (z order) + cb + cr
+            out["ts8"] = ts_maps.astype(jnp.int8)
         ovf = jnp.bool_(False)
         for name, lv in (("y", lvl_y), ("cb", lvl_cb), ("cr", lvl_cr)):
             mask_u8, vals, o = self._sparse_pack(lv)

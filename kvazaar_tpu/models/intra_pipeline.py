@@ -558,6 +558,49 @@ class IntraPipeline:
         r2 = jnp.clip((r2 + (1 << (ishift2 - 1))) >> ishift2, -32768, 32767)
         return levels, r2
 
+    def _transform_quant_skip(self, resi: jax.Array, qp, n: int,
+                              mats=None, is_luma: bool = True
+                              ) -> tuple[jax.Array, jax.Array]:
+        """transform_skip T/Q/IT (reference transform.c:163-196
+        kvz_transformskip / kvz_itransformskip): the DCT/DST is replaced
+        by a pure shift of the residual into the coefficient dynamic
+        range; quant/dequant are the normal paths (incl. RDOQ/SDH)."""
+        log2n = int(np.log2(n))
+        bd = getattr(self, "bd", 8)
+        tshift = 15 - bd - log2n
+        co = resi.astype(jnp.int32) << tshift
+        qp = jnp.asarray(qp) + 6 * (bd - 8)
+        qb = qp if qp.ndim == 0 else qp[:, None, None]
+        qbits = 14 + qb // 6 + tshift
+        if mats is None:
+            scale = jnp.asarray(QUANT_SCALES, jnp.int32)[qb % 6]
+        else:
+            scale = jnp.take(mats[0], qp % 6, axis=0)
+        offset = jnp.left_shift(171, qbits - 9)
+        levels = self._quant_levels(co, scale, qbits, offset, qb, log2n,
+                                    is_luma=is_luma)
+        if mats is None:
+            dscale = jnp.left_shift(
+                jnp.asarray(INV_QUANT_SCALES, jnp.int32)[qb % 6],
+                qb // 6)
+            dshift = bd + log2n - 9
+            deq = (levels * dscale + (1 << (dshift - 1))) >> dshift
+        else:
+            ils = jnp.asarray(INV_QUANT_SCALES, jnp.int32)[qb % 6]
+            x = levels * mats[1] * ils
+            dshift = bd + log2n - 5
+            s_fold = dshift - qb // 6
+            pos = jnp.maximum(s_fold, 0)
+            bias = jnp.where(pos > 0,
+                             jnp.left_shift(1, jnp.maximum(pos - 1, 0)),
+                             0)
+            d_rs = (x + bias) >> pos
+            d_ls = jnp.clip(x, -40000, 40000) << jnp.maximum(-s_fold, 0)
+            deq = jnp.where(s_fold > 0, d_rs, d_ls)
+        deq = jnp.clip(deq, -32768, 32767).astype(jnp.int32)
+        r2 = (deq + (1 << (tshift - 1))) >> tshift
+        return levels, jnp.clip(r2, -32768, 32767)
+
     def _gather_recon_refs(self, rec: jax.Array, bids: jax.Array,
                            n: int, cols: int) -> jax.Array:
         """Normative refs with substitution from a padded recon plane.

@@ -104,7 +104,8 @@ def bd_rate(r1, p1, r2, p2) -> float:
 def encode_ours(frames, w, h, qp, tools) -> tuple[int, float]:
     from kvazaar_tpu.api import encode_sequence
     from kvazaar_tpu.cfg import Config
-    cfg = Config(width=w, height=h, qp=qp, ctu_size=64, **tools)
+    cfg = Config(width=w, height=h, qp=qp,
+                 **{"ctu_size": 64, **tools})
     stream, infos = encode_sequence(cfg, frames)
     # reorder to display order (B pyramids emit in coding order)
     infos = sorted(infos, key=lambda i: i["poc"])
@@ -157,8 +158,9 @@ MODES = {
     "lowdelay": (dict(intra_period=0, gop_len=4, gop_lowdelay=True,
                       gop_lp=(3, 1), ref_frames=1),
                  ("-p", "0", "--gop", "lp-g4d3t1")),
-    # random access GOP8 B pyramid (driver config 3)
-    "gop8": (dict(intra_period=16, gop_len=8, ctu_size=16),
+    # random access GOP8 B pyramid (driver config 3) on the quadtree
+    # B path (r3 flagship; the 16-grid fallback measured worse)
+    "gop8": (dict(intra_period=16, gop_len=8),
              ("-p", "16", "--gop", "8")),
 }
 
