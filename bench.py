@@ -122,9 +122,14 @@ def bench_ours(frames, cfg_extra=None):
     kw.update(cfg_extra or {})
     cfg = Config(**kw)
     enc = Encoder(cfg)
-    # warmup (compile) — timed so compile cost is visible in the output
+    # warmup (compile) — timed so compile cost is visible in the output.
+    # The warmup must cover EVERY device program variant (I, P and B
+    # slices), or the timed run below pays a ~400 s compile mid-stream:
+    # a B pyramid needs a full GOP (+1 to flush the anchor) to reach
+    # its first B frame
+    n_warm = 2 if cfg.gop_len <= 1 else min(len(frames), cfg.gop_len + 2)
     t0 = time.time()
-    out0, _ = encode_sequence(cfg, frames[:2], encoder=enc)
+    out0, _ = encode_sequence(cfg, frames[:n_warm], encoder=enc)
     compile_s = time.time() - t0
     enc2 = Encoder(cfg)
     t0 = time.time()
@@ -213,6 +218,10 @@ def main():
         RES["allintra_error"] = f"{type(e).__name__}: {e}"[:300]
         _checkpoint("ours_allintra_failed")
 
+    # Stage 1b: the headline quality number FIRST (bd-intra), so a
+    # driver timeout during the expensive inter stages still leaves it
+    _bd_one("intra", "bd_rate_vs_medium_pct", fast, ref_fps)
+
     # Stage 2: low-delay P on the quadtree inter path (driver config 2)
     try:
         if _over_budget():
@@ -252,22 +261,25 @@ def main():
         RES["gop8_error"] = f"{type(e).__name__}: {e}"[:200]
     _checkpoint("gop8")
 
-    # Stage 4: BD-rate vs the reference at matched configurations
-    if "--no-bd" not in sys.argv and not fast and ref_fps is not None:
-        from tools.bd_rate import measure
-        for mode, key in (("intra", "bd_rate_vs_medium_pct"),
-                          ("lowdelay", "bd_rate_lowdelay_pct"),
-                          ("gop8", "bd_rate_gop8_pct")):
-            try:
-                if _over_budget():
-                    raise TimeoutError("bench budget spent")
-                RES[key] = measure("medium", 8, mode=mode)["bd_rate_pct"]
-            except Exception as e:
-                RES[key] = None
-                RES[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
-            _checkpoint(f"bd_{mode}")
+    # Stage 4: remaining BD-rates at matched configurations
+    _bd_one("lowdelay", "bd_rate_lowdelay_pct", fast, ref_fps)
+    _bd_one("gop8", "bd_rate_gop8_pct", fast, ref_fps)
 
     _emit_final()
+
+
+def _bd_one(mode, key, fast, ref_fps):
+    if "--no-bd" in sys.argv or fast or ref_fps is None:
+        return
+    from tools.bd_rate import measure
+    try:
+        if _over_budget():
+            raise TimeoutError("bench budget spent")
+        RES[key] = measure("medium", 8, mode=mode)["bd_rate_pct"]
+    except Exception as e:
+        RES[key] = None
+        RES[key + "_error"] = f"{type(e).__name__}: {e}"[:200]
+    _checkpoint(f"bd_{mode}")
 
 
 if __name__ == "__main__":
