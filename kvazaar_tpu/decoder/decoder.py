@@ -114,6 +114,9 @@ class SliceDecoder:
         self.qg_pred = fs.sh.qp
         self.qg_delta_coded = True
         self.qg_rect = None
+        # optional per-frame mode statistics (tools/stream_stats.py):
+        # filled only when the HEVCDecoder enables collection
+        self.stats = getattr(fs, "stats", None)
 
     # -- helpers -------------------------------------------------------------
 
@@ -829,6 +832,9 @@ class SliceDecoder:
                 mvd = np.zeros(2, np.int32)
             else:
                 mvd = self._decode_mvd()
+            if self.stats is not None:
+                self.stats["mvd_abs"] = (self.stats.get("mvd_abs", 0)
+                                         + int(np.abs(mvd).sum()))
             mvp_flag = cab.decode_bin(ContextSet.idx("mvp_flag", 0))
             mvp = self.amvp_candidates(px, py, pw, ph, lx,
                                        pocs[lx])[mvp_flag]
@@ -847,6 +853,12 @@ class SliceDecoder:
             ctx_off += 1
         skip = cab.decode_bin(ContextSet.idx("cu_skip_flag", ctx_off))
         max_merge = 5 - sh.five_minus_max_num_merge_cand
+        st = self.stats
+        if st is not None:
+            px_cu = size * size
+            st["px"] = st.get("px", 0) + px_cu
+            if skip:
+                st["px_skip"] = st.get("px_skip", 0) + px_cu
         if skip:
             midx = self._decode_merge_idx(max_merge)
             motion = self.merge_candidates(x0, y0, size, size,
@@ -855,6 +867,8 @@ class SliceDecoder:
             self._mark_inter(x0, y0, size, size, motion, True)
             return
         if cab.decode_bin(ContextSet.idx("pred_mode_flag", 0)):
+            if st is not None:
+                st["px_intra"] = st.get("px_intra", 0) + size * size
             self._coding_unit_intra(x0, y0, log2_size)
             return
         part = self._parse_part_mode_inter(log2_size)
@@ -867,6 +881,9 @@ class SliceDecoder:
             excl_b1 = i == 1 and part in ("2NxN", "2NxnU", "2NxnD")
             motion, was_merge = self._parse_pu(px, py, pw, ph,
                                                excl_a1, excl_b1)
+            if st is not None:
+                k = "pu_merge" if was_merge else "pu_amvp"
+                st[k] = st.get(k, 0) + 1
             all_merge = all_merge and was_merge
             self._inter_pred(px, py, pw, ph, motion)
             self._mark_inter(px, py, pw, ph, motion, False)
@@ -1246,6 +1263,8 @@ class HEVCDecoder:
                 n1 = sh.num_ref_idx_l1_active_minus1 + 1
                 ref_list1 = [l1[i % len(l1)] for i in range(n1)]
         fs = _FrameState(self.sps, pps, sh)
+        if getattr(self, "collect_stats", False):
+            fs.stats = {"slice_type": sh.slice_type}
         if sps.scaling_list_enabled:
             from ..hevc.scaling import ScalingLists
             fs.scaling = (pps.scaling_lists or sps.scaling_lists
@@ -1447,6 +1466,7 @@ class HEVCDecoder:
                                      cbp.astype(np.uint16),
                                      crp.astype(np.uint16)],
                              full_planes=full)
+        frame.stats = getattr(fs, "stats", None)
         self.frames.append(frame)
         self._pending_frame = frame
         # store the decoded picture + motion field in the DPB

@@ -19,11 +19,12 @@ import jax
 # the remote compile service unless the platform is also set via config.
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the multi-depth pipeline is expensive to
-# compile; repeated test runs hit the cache (keys include platform, so
-# sharing the directory with TPU runs is safe)
-jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".jax_cache"))
+# compile; repeated test runs hit the cache. CPU-backend executables
+# are NOT portable across hosts (XLA:CPU AOT embeds the build host's
+# CPU features; loading a foreign one segfaults), so the CPU cache
+# lives in a host-fingerprinted subdirectory.
+from kvazaar_tpu.utils.cache import cpu_cache_dir
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
@@ -58,4 +59,5 @@ def scrubbed_multidevice_env(n_devices: int = 8) -> dict:
     env.pop("PYTHONPATH", None)  # drops the axon sitecustomize
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    env["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir()
     return env
