@@ -45,7 +45,10 @@ TOOLS = dict(deblock_enable=True, sao_type="full", rdoq_enable=True,
 # the budget is spent, so the bench emits its JSON line instead of
 # overrunning the driver. The CORE stage is also guarded: it runs only
 # if enough budget remains for a cold compile.
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+# the driver's recorded runs were SIGTERMed at ~1800 s wall
+# (BENCH_r04.json killed_by_signal=15 at 1798 s): budget must land the
+# final JSON line before that
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 _T_START = time.time()
 
 RES = {
@@ -227,7 +230,7 @@ def main():
         if _over_budget():
             raise TimeoutError("bench budget spent")
         ld_cfg = dict(intra_period=0, gop_len=4, gop_lowdelay=True,
-                      gop_lp=(3, 1), ref_frames=1)
+                      gop_lp=(3, 1), ref_frames=2)
         ld_fps, ld_bytes, _enc, comp_s = bench_ours(frames, ld_cfg)
         del _enc
         ld_ref_fps, ld_ref_bytes = bench_reference(

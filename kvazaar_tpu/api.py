@@ -275,7 +275,13 @@ class Encoder:
                     MdInterPipeline,
                     self.sps.height, self.sps.width, cfg.qp,
                     n_refs=self.n_refs,
-                    b_slices=self.gop_enabled,
+                    # B everywhere inter runs: B pyramids AND low-delay
+                    # generalized-B (both lists past; bi-averaging two
+                    # hypotheses is a large gain on noisy content —
+                    # the reference's lp GOPs are B slices too,
+                    # src/cfg.c:1433). The jit is lazy: configs that
+                    # never submit a B frame never trace it.
+                    b_slices=cfg.intra_period != 1,
                     pu_depth_inter=tuple(cfg.pu_depth_inter),
                     deblock=cfg.deblock_enable,
                     deblock_beta=cfg.deblock_beta,
@@ -601,20 +607,30 @@ class Encoder:
             keys = sorted((p for p in dpb_pocs if p % g == 0),
                           reverse=True)[:cfg.ref_frames]
             keep = set(keys) | set(l0) | set(dpb_pocs[:1])
+            use_b = (self.inter_md and cfg.bipred
+                     and getattr(self._inter_pipeline, "b_slices",
+                                 False))
+            l0 = l0[:max(1, cfg.ref_frames)]
             spec = FrameSpec(disp_idx=self.frame_num, poc=self.poc,
                              is_idr=False, is_ref=bool(ent["is_ref"]),
-                             slice_type=1, layer=ent["layer"],
+                             slice_type=0 if use_b else 1,
+                             layer=ent["layer"],
                              qp_offset=ent["qp_offset"],
-                             l0=l0[:max(1, cfg.ref_frames)], keep=keep)
+                             l0=l0, l1=list(l0) if use_b else [],
+                             keep=keep)
         else:
             from .engine.gop import intra_qp_offset
+            use_b = (not is_idr and self.inter_md and cfg.bipred
+                     and getattr(self._inter_pipeline, "b_slices",
+                                 False))
+            l0 = [] if is_idr else [e["poc"] for e in self._dpb]
             spec = FrameSpec(
                 disp_idx=self.frame_num, poc=self.poc,
                 is_idr=is_idr, is_ref=True,
-                slice_type=2 if is_idr else 1,
+                slice_type=2 if is_idr else (0 if use_b else 1),
                 qp_offset=(intra_qp_offset(cfg.gop_len)
                            if is_idr and lp is not None else 0),
-                l0=[] if is_idr else [e["poc"] for e in self._dpb],
+                l0=l0, l1=list(l0) if use_b else [],
                 keep=None)
         self.frame_num += 1
         self.poc += 1
@@ -711,10 +727,23 @@ class Encoder:
         return []
 
     def flush(self) -> list[tuple[bytes, dict]]:
-        """Encode any buffered tail (shorter dyadic pyramid)."""
+        """Encode any buffered tail as a run of power-of-two pyramids
+        (7 leftover frames -> spans of 4+2+1). One big span would put
+        the tail anchor a full tail-length away from its reference —
+        beyond the motion-search range and a worse predictor (the
+        reference's GOP table structures tails the same way)."""
         if not self.gop_enabled or not self._gop_buf:
             return []
-        return self._encode_span()
+        out: list[tuple[bytes, dict]] = []
+        while self._gop_buf:
+            k = 1
+            while k * 2 <= len(self._gop_buf):
+                k *= 2
+            rest = self._gop_buf[k:]
+            self._gop_buf = self._gop_buf[:k]
+            out.extend(self._encode_span())
+            self._gop_buf = rest
+        return out
 
     def _encode_span(self) -> list[tuple[bytes, dict]]:
         cfg = self.cfg

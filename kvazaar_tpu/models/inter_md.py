@@ -43,7 +43,7 @@ class MdInterPipeline(MdIntraPipeline):
     """P-slice quadtree encoder compute path for one frame size."""
 
     COARSE = 4          # downsample factor of the wide sweep
-    COARSE_RANGE = 16   # coarse integer range (=> +-64 full-res)
+    COARSE_RANGE = 24   # coarse integer range (=> +-96 full-res)
     REFINE = 3          # full-res integer refine window around the field
     SUBPEL_PAD = 4 + 3      # refine window + 8-tap reach
     INIT_TYPE = 1           # P-slice context init for the DP bit costs
@@ -87,6 +87,12 @@ class MdInterPipeline(MdIntraPipeline):
         lo, hi = pu_depth_inter
         self.allow_inter = {64: lo <= 0, 32: lo <= 1 <= hi,
                             16: lo <= 2 <= hi, 8: hi >= 3}
+        # merge-aware search: align block MVs with neighbour/zero merge
+        # candidates when RD-better (the batched analog of the
+        # reference's merge-candidate RD loop, src/search_inter.c
+        # kvz_search_cu_inter) — the dominant BD-rate lever on P/B
+        # slices (without it nearly every CU pays AMVP+MVD bits)
+        self.merge_search = True
         self._full_inter = jax.jit(self._with_consts(self._inter_full_impl))
         self.b_slices = b_slices
         if b_slices:
@@ -150,48 +156,47 @@ class MdInterPipeline(MdIntraPipeline):
     def _coarse_field(self, src_y, ref_y):
         """Dense 16x16-block integer motion field via an exhaustive
         sweep at 1/4 resolution: returns mv16 [r16, c16, 2] full-res
-        integer pels in [-64, 64]."""
+        integer pels in [-64, 64].
+
+        TPU form: shift-and-boxsum — each displacement is a STATIC
+        slice of the padded reference plane (no gathers; the original
+        per-block window gather ran ~100M elem/s on TPU and dominated
+        the whole P-frame search). Tie-breaking matches the original
+        (first minimum in (dy, dx) scan order)."""
         C, R = self.COARSE, self.COARSE_RANGE
         h, w = self.h // C, self.w // C
         sc = src_y.reshape(h, C, w, C).sum(axis=(1, 3))
         rc = ref_y.reshape(h, C, w, C).sum(axis=(1, 3))
         n = 16 // C                       # coarse block = 4x4
         rows, cols = h // n, w // n
-        nb = rows * cols
-        bid = jnp.arange(nb)
-        y0 = (bid // cols) * n
-        x0 = (bid % cols) * n
-        blocks = jnp.moveaxis(sc.reshape(rows, n, cols, n), 1, 2) \
-            .reshape(nb, n, n)
         rpad = jnp.pad(rc, R, mode="edge")
+        ndx = 2 * R + 1
 
         def row_scan(carry, dy):
-            best_sad, best_mv = carry
-            iy = (y0 + dy)[:, None] + jnp.arange(n)[None, :]
-            ix = x0[:, None] + jnp.arange(n + 2 * R)[None, :]
-            strip = rpad[iy[:, :, None], ix[:, None, :]]
-
-            def dx_sad(dx):
-                cand = jax.lax.dynamic_slice_in_dim(strip, dx, n, axis=2)
-                return jnp.abs(cand - blocks).sum(axis=(1, 2))
-            sads = jnp.stack([dx_sad(dx) for dx in range(2 * R + 1)],
-                             axis=1)
-            dx_best = jnp.argmin(sads, axis=1)
-            sad_best = jnp.take_along_axis(sads, dx_best[:, None],
-                                           axis=1)[:, 0]
+            best_sad, best_code = carry
+            strip = jax.lax.dynamic_slice_in_dim(rpad, dy, h, axis=0)
+            # all dx displacements of this dy as one stacked tensor
+            cands = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(strip, dx, w, axis=1)
+                 for dx in range(ndx)])              # [ndx, h, w]
+            d = jnp.abs(cands - sc[None])
+            sads = d.reshape(ndx, rows, n, cols, n) \
+                .sum(axis=(2, 4))                    # [ndx, rows, cols]
+            dx_best = jnp.argmin(sads, axis=0).astype(jnp.int32)
+            sad_best = jnp.min(sads, axis=0)
             better = sad_best < best_sad
-            mvc = jnp.stack([dx_best.astype(jnp.int32) - R,
-                             jnp.full_like(dx_best, dy, jnp.int32) - R],
-                            axis=1)
-            best_mv = jnp.where(better[:, None], mvc, best_mv)
+            code = dy * 64 + dx_best
+            best_code = jnp.where(better, code, best_code)
             best_sad = jnp.where(better, sad_best, best_sad)
-            return (best_sad, best_mv), None
+            return (best_sad, best_code), None
 
-        init = (jnp.full((nb,), 1 << 30, jnp.int32),
-                jnp.zeros((nb, 2), jnp.int32))
-        (_, best_mv), _ = jax.lax.scan(row_scan, init,
-                                       jnp.arange(2 * R + 1))
-        return (best_mv * C).reshape(rows, cols, 2)
+        init = (jnp.full((rows, cols), 1 << 30, jnp.int32),
+                jnp.zeros((rows, cols), jnp.int32))
+        (_, best_code), _ = jax.lax.scan(row_scan, init,
+                                         jnp.arange(ndx))
+        mv = jnp.stack([(best_code % 64) - R, (best_code // 64) - R],
+                       axis=-1)
+        return mv * C
 
     def _field_for(self, mv16, n):
         """Candidate integer MV per aligned n-block from the 16-field."""
@@ -264,16 +269,22 @@ class MdInterPipeline(MdIntraPipeline):
         return jnp.moveaxis(plane.reshape(rows, n, cols, n), 1, 2) \
             .reshape(rows * cols, n, n), rows, cols
 
-    def _refine_int(self, blocks, rpad, y0, x0, cand_mvs, pad):
+    def _refine_int(self, blocks, rpad, y0, x0, cand_mvs, pad,
+                    lam64=None):
         """+-REFINE integer sweep around each candidate; returns best
         (mv [L,2], sad [L]). cand_mvs: [L, K, 2]; blocks may be
-        rectangular [L, nh, nw] (SMP PUs)."""
+        rectangular [L, nh, nw] (SMP PUs). With lam64 the SADs carry
+        the MV-cost prior (ops/pallas_me.py PRIOR_INT — keeps motion
+        fields coherent on flat-cost content; identical integer math
+        to the TPU kernel)."""
+        from ..ops.pallas_me import prior_int_table
+        pi_tab = prior_int_table() if lam64 is not None else None
         W = self.REFINE
         nh, n = blocks.shape[-2], blocks.shape[-1]
         best_sad = jnp.full((blocks.shape[0],), 1 << 30, jnp.int32)
         best_mv = jnp.zeros((blocks.shape[0], 2), jnp.int32)
         for k in range(cand_mvs.shape[1]):
-            mvk = jnp.clip(cand_mvs[:, k], -64, 64)
+            mvk = jnp.clip(cand_mvs[:, k], -96, 96)
             iy = (y0 + mvk[:, 1] + pad - W)[:, None] + \
                 jnp.arange(nh + 2 * W)[None, :]
             ix = (x0 + mvk[:, 0] + pad - W)[:, None] + \
@@ -288,6 +299,8 @@ class MdInterPipeline(MdIntraPipeline):
                                                         axis=2)
                     sad = jnp.abs(cand - blocks).sum(axis=(1, 2)) \
                         .astype(jnp.int32)
+                    if pi_tab is not None:
+                        sad = sad + ((lam64 * pi_tab[dy * 7 + dx]) >> 8)
                     mvc = mvk + jnp.asarray([dx - W, dy - W], jnp.int32)
                     better = sad < best_sad
                     best_sad = jnp.where(better, sad, best_sad)
@@ -298,7 +311,7 @@ class MdInterPipeline(MdIntraPipeline):
         """Half then quarter pel refinement by SATD around mv_int
         (--subme gates the steps: 0 = none, 1-2 = half, 3-4 = quarter)."""
         nh, nw = blocks.shape[-2], blocks.shape[-1]
-        mv = jnp.clip(mv_int, -64, 64) * 4
+        mv = jnp.clip(mv_int, -96, 96) * 4
         best = self._satd_tiles(blocks - self._mc_luma(
             ypad, mv, y0, x0, nw, pad, nh=nh))
         steps = ((2, 1) if self.subme >= 3
@@ -435,11 +448,178 @@ class MdInterPipeline(MdIntraPipeline):
                         jnp.where(better, satd, bsatd))
         return best[1], best[2], best[4], best[3]
 
+    def _me_xla_one(self, src_y, ref_y, cands, n, lam64):
+        """XLA twin of the pallas refine kernel for one (size, ref):
+        same algorithm (int +-3 SAD refine with (cand, dy, dx) strict-<
+        tie-break, then SATD at all 49 qpel deltas in (qy, qx) order),
+        bit-identical results — the non-TPU backends (test suite,
+        multichip dryrun) run this; pallas interpret mode is far too
+        slow for per-block grids."""
+        blocks, rows, cols = self._blocks_of(src_y, n)
+        nb = rows * cols
+        bid = jnp.arange(nb)
+        y0 = (bid // cols) * n
+        x0 = (bid % cols) * n
+        rpad = jnp.pad(ref_y, self.REFINE, mode="edge")
+        mv_int, _ = self._refine_int(blocks, rpad, y0, x0, cands,
+                                     self.REFINE, lam64=lam64)
+        # one window gather per block (rows/cols [base-4, base+n+4)),
+        # then every qpel delta is static slices + a fixed-phase filter
+        # — the same evaluation structure as the kernel
+        P = self.SUBPEL_PAD
+        ypad = jnp.pad(ref_y, P, mode="edge")
+        wy = (y0 + mv_int[:, 1] + P - 4)[:, None] + \
+            jnp.arange(n + 8)[None, :]
+        wx = (x0 + mv_int[:, 0] + P - 4)[:, None] + \
+            jnp.arange(n + 8)[None, :]
+        wy = jnp.clip(wy, 0, ypad.shape[0] - 1)
+        wx = jnp.clip(wx, 0, ypad.shape[1] - 1)
+        win = ypad[wy[:, :, None], wx[:, None, :]]   # [L, n+8, n+8]
+        from ..ops.mc import LUMA_FILTERS as LF
+        # all 49 qpel deltas as ONE scanned body (the unrolled form
+        # compiles ~50x slower); phase-0 rides the generic 8-tap path
+        # (LUMA_FILTERS[0] = [0,0,0,64,...] makes it identical)
+        from ..ops.pallas_me import prior_qpel_table
+        deltas = [(qy, qx) for qy in range(-3, 4) for qx in range(-3, 4)]
+        pqv = jnp.asarray(prior_qpel_table(), jnp.int32)
+        r0v = jnp.asarray([1 + (qy >> 2) for qy, _ in deltas])
+        c0v = jnp.asarray([1 + (qx >> 2) for _, qx in deltas])
+        cyv = jnp.asarray([LF[qy & 3] for qy, _ in deltas], jnp.int32)
+        cxv = jnp.asarray([LF[qx & 3] for _, qx in deltas], jnp.int32)
+        dmv = jnp.asarray([(qx, qy) for qy, qx in deltas], jnp.int32)
+        nb_l = win.shape[0]
+
+        def body(carry, t):
+            best_s, best_raw, best_mv, best_p = carry
+            r0, c0, cy, cx, dq, pq = t
+            h14 = sum(cx[k] * jax.lax.dynamic_slice(
+                win, (0, r0, c0 + k), (nb_l, n + 7, n))
+                for k in range(8))
+            v = sum(cy[k] * jax.lax.dynamic_slice(
+                h14, (0, k, 0), (nb_l, n, n)) for k in range(8)) >> 6
+            p = jnp.clip((v + 32) >> 6, 0, self.maxv)
+            raw = self._satd_tiles(blocks - p)
+            s = raw + ((lam64 * pq) >> 8)
+            mv = mv_int * 4 + dq[None, :]
+            take = s < best_s
+            carry = (jnp.where(take, s, best_s),
+                     jnp.where(take, raw, best_raw),
+                     jnp.where(take[:, None], mv, best_mv),
+                     jnp.where(take[:, None, None], p, best_p))
+            return carry, None
+
+        init = (jnp.full((nb_l,), 1 << 30, jnp.int32),
+                jnp.zeros((nb_l,), jnp.int32),
+                jnp.zeros((nb_l, 2), jnp.int32),
+                jnp.zeros((nb_l, n, n), jnp.int32))
+        (_, satd, mv_q, pred), _ = jax.lax.scan(
+            body, init, (r0v, c0v, cyv, cxv, dmv, pqv))
+        return mv_q, satd, pred
+
+    def _kernel_planes(self, refs_y):
+        """Padded kernel planes per ref (None on non-TPU backends —
+        the XLA twins read refs_y directly)."""
+        if jax.default_backend() != "tpu":
+            return None
+        from ..ops.pallas_me import pad_plane
+        return [pad_plane(refs_y[k]) for k in range(refs_y.shape[0])]
+
+    def _lam64(self):
+        """Integer sqrt-lambda scale for the refine MV-cost prior."""
+        return jnp.floor(jnp.sqrt(self.lam2[0]) * 64.0 + 0.5) \
+            .astype(jnp.int32)
+
+    def _me_kernel_sizes(self, src_y, refs_y, fields, planes=None):
+        """Per-size, per-ref ME via the pallas refine kernels
+        (ops/pallas_me.py): returns {n: [(mv_q [L,2], satd [L],
+        pred [L,n,n]) per ref]}. Candidate sets match the XLA path it
+        replaces (_field_for): 16/8 = own/parent field + zero, 32/64 =
+        four spread field samples + zero."""
+        from ..ops.pallas_me import me_refine, pack_info
+        if planes is None:
+            return self._me_sizes_xla(src_y, refs_y, fields)
+        lam64 = self._lam64().reshape(1)
+        out = {8: [], 16: [], 32: [], 64: []}
+        for k in range(refs_y.shape[0]):
+            plane = planes[k]
+            f16 = fields[k]
+            for n in (16, 32, 64):
+                blocks, rows, cols = self._blocks_of(src_y, n)
+                bid = jnp.arange(rows * cols)
+                y0 = (bid // cols) * n
+                x0 = (bid % cols) * n
+                if n == 16:
+                    cands = jnp.stack(
+                        [f16.reshape(-1, 2),
+                         jnp.zeros((rows * cols, 2), jnp.int32)], axis=1)
+                else:
+                    cands = jnp.concatenate(
+                        [self._field_for(f16, n),
+                         jnp.zeros((rows * cols, 1, 2), jnp.int32)],
+                        axis=1)
+                info = pack_info(y0[:, None], x0[:, None],
+                                 cands[..., 1], cands[..., 0])
+                res = me_refine(plane, blocks, info, lam64, n=n,
+                                cols=cols, children=(n == 16),
+                                maxv=self.maxv)
+                par, pred = res[0], res[1]
+                out[n].append((par[:, 0:2], par[:, 2], pred,
+                               cands[:, 0] if n == 16
+                               else cands[:, 0, :]))
+                if n == 16:
+                    ch, chpred = res[2], res[3]
+                    # children TL,TR,BL,BR per 16-block -> raster 8-grid
+                    r8, c8 = rows * 2, cols * 2
+                    mv8 = ch[:, :, 0:2].reshape(rows, cols, 2, 2, 2)
+                    mv8 = jnp.moveaxis(mv8, 2, 1).reshape(r8 * c8, 2)
+                    satd8 = ch[:, :, 2].reshape(rows, cols, 2, 2)
+                    satd8 = jnp.moveaxis(satd8, 2, 1).reshape(r8 * c8)
+                    p8 = chpred.reshape(rows, cols, 2, 8, 2, 8)
+                    p8 = jnp.moveaxis(p8, 2, 1)       # rows,2,cols,8,2,8
+                    p8 = jnp.moveaxis(p8, 4, 3)       # rows,2,cols,2,8,8
+                    p8 = p8.reshape(r8 * c8, 8, 8)
+                    c8f = jnp.repeat(jnp.repeat(
+                        f16, 2, axis=0), 2, axis=1).reshape(-1, 2)
+                    out[8].append((mv8, satd8, p8, c8f))
+        return out
+
+    def _me_sizes_xla(self, src_y, refs_y, fields):
+        """Non-TPU twin of _me_kernel_sizes (same candidates, same
+        algorithm via _me_xla_one)."""
+        lam64 = self._lam64()
+        out = {8: [], 16: [], 32: [], 64: []}
+        for k in range(refs_y.shape[0]):
+            f16 = fields[k]
+            for n in (8, 16, 32, 64):
+                rows, cols = self.h // n, self.w // n
+                if n == 8:
+                    c0 = jnp.repeat(jnp.repeat(f16, 2, axis=0), 2,
+                                    axis=1).reshape(-1, 2)
+                    cands = jnp.stack(
+                        [c0, jnp.zeros_like(c0)], axis=1)
+                elif n == 16:
+                    c0 = f16.reshape(-1, 2)
+                    cands = jnp.stack(
+                        [c0, jnp.zeros_like(c0)], axis=1)
+                else:
+                    cands = jnp.concatenate(
+                        [self._field_for(f16, n),
+                         jnp.zeros((rows * cols, 1, 2), jnp.int32)],
+                        axis=1)
+                    c0 = cands[:, 0, :]
+                mv_q, satd, pred = self._me_xla_one(src_y, refs_y[k],
+                                                    cands, n, lam64)
+                out[n].append((mv_q, satd, pred, c0))
+        return out
+
     def _inter_leaf(self, src_y, src_cb, src_cr, refs_y, refs_cb,
-                    refs_cr, fields, n, t, tc, lam):
+                    refs_cr, fields, n, t, tc, lam, me=None,
+                    planes=None):
         """Best inter candidate for every aligned n-block across the
         reference stack. Returns (mv qpel [B,2], ref [B], cost [B],
-        pred_y, pred_cb, pred_cr)."""
+        pred_y, pred_cb, pred_cr). With `me` (the per-ref pallas kernel
+        results for this size) the luma search+MC is precomputed;
+        otherwise the XLA search path runs (SMP, non-kernel callers)."""
         qp_y, qp_c, lam_n = self._qp_lam_for(n)
         if self.delta_qp:
             lam = lam_n
@@ -449,13 +629,23 @@ class MdInterPipeline(MdIntraPipeline):
         y0 = (bid // cols) * n
         x0 = (bid % cols) * n
         P = self.SUBPEL_PAD
-        mv_q, ref, _, mv_bits = self._best_uni_leaf(
-            blocks, refs_y, fields, y0, x0, n, lam)
-
-        # exact RD cost of the chosen candidate (same currency as the
-        # intra leaf costs: T/Q distortion + rate bins)
-        ypad_all = jnp.pad(refs_y, ((0, 0), (P, P), (P, P)), mode="edge")
-        pred_y = self._mc_luma_sel(ypad_all, ref, mv_q, y0, x0, n, P)
+        use_merge = None
+        merge_delta = jnp.float32(0.0)
+        if me is not None:
+            lam_satd = jnp.sqrt(lam).astype(jnp.float32)
+            mv_q, ref, satd, mv_bits, pred_y = self._pick_ref_me(
+                me, lam_satd, nb)
+            if self.merge_search:
+                (mv_q, ref, mv_bits, pred_y, use_merge,
+                 merge_delta) = self._merge_align_p(
+                    planes, refs_y, blocks, rows, cols, n, mv_q, ref,
+                    satd, mv_bits, pred_y, lam_satd)
+        else:
+            mv_q, ref, _, mv_bits = self._best_uni_leaf(
+                blocks, refs_y, fields, y0, x0, n, lam)
+            ypad_all = jnp.pad(refs_y, ((0, 0), (P, P), (P, P)),
+                               mode="edge")
+            pred_y = self._mc_luma_sel(ypad_all, ref, mv_q, y0, x0, n, P)
         resi = blocks - pred_y
         saved = (self.rdoq, self.sign_hiding)
         self.rdoq = self.sign_hiding = False
@@ -522,20 +712,32 @@ class MdInterPipeline(MdIntraPipeline):
             ccost = ccost + cdist + lam * crate
         # three-tier mode pricing matching the write-time resolution
         # (engine/md_inter_writer.py): skip / merge+resi / AMVP
-        merge_ok = self._merge_proxy(mv_q, ref, rows, cols)
         ref_b = sum(jnp.where(ref == k, self._ref_cost(k), 0.0)
                     for k in range(self.n_refs)) if self.n_refs > 1 \
             else jnp.float32(0.0)
         amvp_bits = (self.dpc[self.DPC_AMVP] + mv_bits + ref_b
                      + jnp.where(cbf_any, self.dpc[self.DPC_RQT1],
                                  self.dpc[self.DPC_RQT0]))
-        mode_bits = jnp.where(
-            merge_ok,
-            jnp.where(cbf_any,
-                      jnp.minimum(self.dpc[self.DPC_MERGE]
-                                  + self.dpc[self.DPC_RQT1], amvp_bits),
-                      self.dpc[self.DPC_SKIP]),
-            amvp_bits)
+        if use_merge is None:
+            # no alignment pass ran: price with the neighbour-equality
+            # proxy as before
+            merge_ok = self._merge_proxy(mv_q, ref, rows, cols)
+            mode_bits = jnp.where(
+                merge_ok,
+                jnp.where(cbf_any,
+                          jnp.minimum(self.dpc[self.DPC_MERGE]
+                                      + self.dpc[self.DPC_RQT1],
+                                      amvp_bits),
+                          self.dpc[self.DPC_SKIP]),
+                amvp_bits)
+        else:
+            mode_bits = jnp.where(
+                use_merge,
+                jnp.where(cbf_any,
+                          self.dpc[self.DPC_MERGE] + merge_delta
+                          + self.dpc[self.DPC_RQT1],
+                          self.dpc[self.DPC_SKIP] + merge_delta),
+                amvp_bits)
         cost = dist + lam * (rate + mode_bits) + ccost
         # with no residual anywhere the writer codes no cbf flags at all
         # (skip, or AMVP with rqt_root_cbf=0): refund the cbf-0 prices
@@ -766,8 +968,266 @@ class MdInterPipeline(MdIntraPipeline):
     def _uni_round(v, maxv):
         return jnp.clip((v + 32) >> 6, 0, maxv)
 
+    @staticmethod
+    def _left_of(g, fill=None):
+        """Value of the left same-size neighbour per grid cell."""
+        first = g[:, :1] if fill is None else jnp.full_like(g[:, :1],
+                                                            fill)
+        return jnp.concatenate([first, g[:, :-1]], axis=1)
+
+    @staticmethod
+    def _top_of(g, fill=None):
+        first = g[:1] if fill is None else jnp.full_like(g[:1], fill)
+        return jnp.concatenate([first, g[:-1]], axis=0)
+
+    def _eval_exact(self, planes, refs_y, blocks, y0, x0, mvs, refsel,
+                    n, want_pred=False, hi=False):
+        """SATD (+ optionally pred) of exact qpel MVs per block, ref
+        selected per block. mvs [L, 2]; refsel [L]. planes: padded
+        kernel planes (TPU) or None (XLA fallback)."""
+        if planes is not None:
+            from ..ops.pallas_me import me_eval, pack_eval_info
+            info = pack_eval_info(y0[:, None], x0[:, None],
+                                  mvs[:, None, 0], mvs[:, None, 1])
+            satd = None
+            pred = None
+            for rk in range(len(planes)):
+                res = me_eval(planes[rk], blocks, info, n=n,
+                              maxv=self.maxv, want_pred=want_pred,
+                              hi=hi)
+                s_k = res[0][:, 0]
+                take = refsel == rk
+                satd = s_k if satd is None else jnp.where(take, s_k,
+                                                          satd)
+                if want_pred:
+                    p_k = res[1]
+                    pred = p_k if pred is None else jnp.where(
+                        take[:, None, None], p_k, pred)
+            return (satd, pred) if want_pred else satd
+        P = self.SUBPEL_PAD
+        ypad_all = jnp.pad(refs_y, ((0, 0), (P, P), (P, P)),
+                           mode="edge")
+        pred = self._mc_luma_sel(ypad_all, refsel, mvs, y0, x0, n, P,
+                                 hi=hi)
+        pr = self._uni_round(pred, self.maxv) if hi else pred
+        satd = self._satd_tiles(blocks - pr)
+        return (satd, pred) if want_pred else satd
+
+    # merge-candidate merge_idx estimate deltas (bits): left ~ idx 0,
+    # top ~ idx 1, region/global ~ mid, zero ~ late idx
+    _MERGE_IDX_DELTA = (0.0, 0.8, 1.2, 1.2, 1.6)
+
+    def _region_cand(self, mvg, refg, rows, cols, n):
+        """Per-CTB broadcast candidate: every block in a CTB offers the
+        CTB's top-left block's first-pass motion. Value-based (all
+        adopters share one value), so merge chains resolve without the
+        conservative disable rule — only the corner block itself must
+        keep its motion (checked by the caller)."""
+        k = max(1, self.CTB // n)
+        ri = (jnp.arange(rows) // k) * k
+        ci = (jnp.arange(cols) // k) * k
+        mvs = mvg[ri[:, None], ci[None, :]]
+        refs = refg[ri[:, None], ci[None, :]]
+        corner = (jnp.arange(rows)[:, None] % k == 0) \
+            & (jnp.arange(cols)[None, :] % k == 0)
+        return mvs, refs, corner, (ri, ci)
+
+    @staticmethod
+    def _global_mv(field):
+        """Dominant full-pel MV of a coarse field: per-component
+        median (panning content's one-candidate-fits-most)."""
+        f = field.reshape(-1, 2)
+        return jnp.median(f, axis=0).astype(jnp.int32)
+
+    def _merge_align_p(self, planes, refs_y, blocks, rows, cols, n,
+                       mv_q, ref, satd, mv_bits, pred_y, lam_satd):
+        """Merge-aware alignment: adopt a neighbour/zero merge
+        candidate when SATD+bins beat the AMVP winner. Chain-safe: a
+        block may adopt from a neighbour only if that neighbour keeps
+        its own first-pass motion, so every adopted MV equals its
+        source's final MV and the writer's real candidate derivation
+        finds it. Returns (mv_q, ref, mv_bits, pred_y, use_merge,
+        merge_delta)."""
+        nb = rows * cols
+        bid = jnp.arange(nb)
+        y0 = (bid // cols) * n
+        x0 = (bid % cols) * n
+        mvg = mv_q.reshape(rows, cols, 2)
+        refg = ref.reshape(rows, cols)
+        ci = jnp.broadcast_to(jnp.arange(cols)[None, :], (rows, cols))
+        ri = jnp.broadcast_to(jnp.arange(rows)[:, None], (rows, cols))
+        mvS, refS, corner, (rS, cS) = self._region_cand(
+            mvg, refg, rows, cols, n)
+        gmv = self._global_mv(self._merge_field0) * 4
+        cands = [
+            (self._left_of(mvg).reshape(-1, 2),
+             self._left_of(refg).reshape(-1), (ci > 0).reshape(-1)),
+            (self._top_of(mvg).reshape(-1, 2),
+             self._top_of(refg).reshape(-1), (ri > 0).reshape(-1)),
+            (mvS.reshape(-1, 2), refS.reshape(-1),
+             jnp.ones((nb,), bool)),
+            (jnp.broadcast_to(gmv, (nb, 2)),
+             jnp.zeros((nb,), jnp.int32), jnp.ones((nb,), bool)),
+            (jnp.zeros((nb, 2), jnp.int32),
+             jnp.zeros((nb,), jnp.int32),
+             jnp.ones((nb,), bool)),
+        ]
+        big = jnp.float32(1e18)
+        best = None
+        for c, (cmv, cref, valid) in enumerate(cands):
+            s_c = self._eval_exact(planes, refs_y, blocks, y0, x0,
+                                   cmv, cref, n)
+            cost_c = s_c.astype(jnp.float32) + lam_satd * (
+                self.dpc[self.DPC_MERGE] + self._MERGE_IDX_DELTA[c])
+            cost_c = jnp.where(valid, cost_c, big)
+            cur = (cost_c, cmv, cref, jnp.full((nb,), c, jnp.int32))
+            if best is None:
+                best = cur
+            else:
+                better = cost_c < best[0]
+                best = (jnp.where(better, cost_c, best[0]),
+                        jnp.where(better[:, None], cmv, best[1]),
+                        jnp.where(better, cref, best[2]),
+                        jnp.where(better, c, best[3]))
+        mcost, mmv, mref, mpick = best
+        ref_b = sum(jnp.where(ref == k, self._ref_cost(k), 0.0)
+                    for k in range(self.n_refs)) if self.n_refs > 1 \
+            else jnp.float32(0.0)
+        acost = satd.astype(jnp.float32) + lam_satd * (
+            self.dpc[self.DPC_AMVP] + mv_bits + ref_b)
+        use = mcost < acost
+        changed = use & (jnp.any(mmv != mv_q, axis=-1) | (mref != ref))
+        chg = changed.reshape(rows, cols)
+        srcL = self._left_of(chg, fill=False).reshape(-1)
+        srcT = self._top_of(chg, fill=False).reshape(-1)
+        srcC = chg[rS[:, None], cS[None, :]].reshape(-1)
+        use = use & ~(((mpick == 0) & srcL) | ((mpick == 1) & srcT)
+                      | ((mpick == 2) & srcC))
+        changed = use & (jnp.any(mmv != mv_q, axis=-1) | (mref != ref))
+        mv_f = jnp.where(use[:, None], mmv, mv_q)
+        ref_f = jnp.where(use, mref, ref)
+        delta = sum(jnp.where(mpick == c,
+                              jnp.float32(self._MERGE_IDX_DELTA[c]),
+                              0.0) for c in range(len(cands)))
+        pred_m = self._eval_exact(planes, refs_y, blocks, y0, x0, mv_f,
+                                  ref_f, n, want_pred=True)[1]
+        pred_f = jnp.where(changed[:, None, None], pred_m, pred_y)
+        mv_bits_f = jnp.where(use, 0.0, mv_bits)
+        return mv_f, ref_f, mv_bits_f, pred_f, use, delta
+
+    def _pick_ref_me(self, me, lam_satd, nb):
+        """Best ref from per-ref kernel ME results: returns
+        (mv [nb,2], ref [nb], satd [nb], bits [nb], pred)."""
+        best = None
+        for k, (mv_k, satd_k, pred_k, cand0) in enumerate(me):
+            bits_k = self._mv_bins(mv_k - cand0 * 4)
+            cost_k = satd_k.astype(jnp.float32) + lam_satd * (
+                bits_k + self._ref_cost(k, n_list=len(me)))
+            cur = (cost_k, mv_k, jnp.full((nb,), k, jnp.int32),
+                   satd_k, bits_k, pred_k)
+            if best is None:
+                best = cur
+            else:
+                better = cost_k < best[0]
+                best = (jnp.where(better, cost_k, best[0]),
+                        jnp.where(better[:, None], mv_k, best[1]),
+                        jnp.where(better, k, best[2]),
+                        jnp.where(better, satd_k, best[3]),
+                        jnp.where(better, bits_k, best[4]),
+                        jnp.where(better[:, None, None], pred_k,
+                                  best[5]))
+        return best[1], best[2], best[3], best[4], best[5]
+
+    def _merge_align_b(self, planes0, planes1, l0_y, l1_y, blocks,
+                       rows, cols, n, y0, x0, mv0, r0, mv1, r1, dirn,
+                       acost, lam_satd):
+        """B-slice merge-aware alignment: neighbour full-motion tuples
+        + the zero-L0 candidate, exact-SATD-evaluated (exact 14-bit
+        bi), chain-safe like _merge_align_p."""
+        nb = rows * cols
+
+        def grid(a):
+            return a.reshape(rows, cols, *a.shape[1:])
+        fields = (mv0, r0, mv1, r1, dirn)
+        candL = tuple(self._left_of(grid(f)).reshape(f.shape)
+                      for f in fields)
+        candT = tuple(self._top_of(grid(f)).reshape(f.shape)
+                      for f in fields)
+        k = max(1, self.CTB // n)
+        rS = (jnp.arange(rows) // k) * k
+        cS = (jnp.arange(cols) // k) * k
+        candS = tuple(
+            grid(f)[rS[:, None], cS[None, :]].reshape(f.shape)
+            for f in fields)
+        cand0 = (jnp.zeros_like(mv0), jnp.zeros_like(r0),
+                 jnp.zeros_like(mv1), jnp.zeros_like(r1),
+                 jnp.ones_like(dirn))
+        ci = jnp.broadcast_to(jnp.arange(cols)[None, :],
+                              (rows, cols)).reshape(-1)
+        ri = jnp.broadcast_to(jnp.arange(rows)[:, None],
+                              (rows, cols)).reshape(-1)
+        valids = (ci > 0, ri > 0, jnp.ones((nb,), bool),
+                  jnp.ones((nb,), bool))
+        deltas = (self._MERGE_IDX_DELTA[0], self._MERGE_IDX_DELTA[1],
+                  self._MERGE_IDX_DELTA[2], self._MERGE_IDX_DELTA[4])
+        big = jnp.float32(1e18)
+        best = None
+        for c, (cand, valid) in enumerate(zip((candL, candT, candS,
+                                               cand0), valids)):
+            cmv0, cr0, cmv1, cr1, cdir = cand
+            s0, p0 = self._eval_exact(planes0, l0_y, blocks, y0, x0,
+                                      cmv0, cr0, n, want_pred=True,
+                                      hi=True)
+            s1, p1 = self._eval_exact(planes1, l1_y, blocks, y0, x0,
+                                      cmv1, cr1, n, want_pred=True,
+                                      hi=True)
+            sbi = self._satd_tiles(
+                blocks - self._bi_avg(p0, p1, self.maxv))
+            s_c = jnp.where(cdir == 3, sbi,
+                            jnp.where(cdir == 1, s0, s1))
+            cost_c = s_c.astype(jnp.float32) + lam_satd * (
+                self.dpc[self.DPC_MERGE] + deltas[c])
+            cost_c = jnp.where(valid, cost_c, big)
+            cur = (cost_c,) + cand + (jnp.full((nb,), c, jnp.int32),)
+            if best is None:
+                best = cur
+            else:
+                better = cost_c < best[0]
+
+                def sel(a, b):
+                    bb = better
+                    while bb.ndim < a.ndim:
+                        bb = bb[..., None]
+                    return jnp.where(bb, a, b)
+                best = tuple(sel(a, b) for a, b in zip(cur, best))
+        mcost, bm0, br0, bm1, br1, bdir, mpick = best
+        use = mcost < acost
+        same = (jnp.all(bm0 == mv0, axis=-1) & (br0 == r0)
+                & jnp.all(bm1 == mv1, axis=-1) & (br1 == r1)
+                & (bdir == dirn))
+        changed = use & ~same
+        chg = changed.reshape(rows, cols)
+        srcL = self._left_of(chg, fill=False).reshape(-1)
+        srcT = self._top_of(chg, fill=False).reshape(-1)
+        srcC = chg[rS[:, None], cS[None, :]].reshape(-1)
+        use = use & ~(((mpick == 0) & srcL) | ((mpick == 1) & srcT)
+                      | ((mpick == 2) & srcC))
+
+        def pick(a, b):
+            u = use
+            while u.ndim < a.ndim:
+                u = u[..., None]
+            return jnp.where(u, a, b)
+        mv0f, r0f = pick(bm0, mv0), pick(br0, r0)
+        mv1f, r1f = pick(bm1, mv1), pick(br1, r1)
+        dirf = pick(bdir, dirn)
+        delta = sum(jnp.where(mpick == c, jnp.float32(deltas[c]), 0.0)
+                    for c in range(len(deltas)))
+        return mv0f, r0f, mv1f, r1f, dirf, use, delta
+
     def _inter_leaf_b(self, src_y, src_cb, src_cr, l0, l1, fields0,
-                      fields1, n, t, tc, lam):
+                      fields1, n, t, tc, lam, me0=None, me1=None,
+                      planes0=None, planes1=None):
         """Best B-slice inter candidate per aligned n-block: per-list
         SATD-best uni candidates + their exact bi-prediction, direction
         chosen by SATD + signalling bins (reference picks bipred the
@@ -784,18 +1244,32 @@ class MdInterPipeline(MdIntraPipeline):
         y0 = (bid // cols) * n
         x0 = (bid % cols) * n
         P = self.SUBPEL_PAD
-        mv0, r0, satd0, bits0 = self._best_uni_leaf(
-            blocks, l0_y, fields0, y0, x0, n, lam)
-        mv1, r1, satd1, bits1 = self._best_uni_leaf(
-            blocks, l1_y, fields1, y0, x0, n, lam)
-        sp = ((0, 0), (P, P), (P, P))
-        y0pad = jnp.pad(l0_y, sp, mode="edge")
-        y1pad = jnp.pad(l1_y, sp, mode="edge")
-        v0 = self._mc_luma_sel(y0pad, r0, mv0, y0, x0, n, P, hi=True)
-        v1 = self._mc_luma_sel(y1pad, r1, mv1, y0, x0, n, P, hi=True)
+        lam_satd = jnp.sqrt(lam).astype(jnp.float32)
+        if me0 is not None:
+            mv0, r0, satd0, bits0, _ = self._pick_ref_me(
+                me0, lam_satd, nb)
+            mv1, r1, satd1, bits1, _ = self._pick_ref_me(
+                me1, lam_satd, nb)
+            _, v0 = self._eval_exact(planes0, l0_y, blocks, y0, x0,
+                                     mv0, r0, n, want_pred=True,
+                                     hi=True)
+            _, v1 = self._eval_exact(planes1, l1_y, blocks, y0, x0,
+                                     mv1, r1, n, want_pred=True,
+                                     hi=True)
+        else:
+            mv0, r0, satd0, bits0 = self._best_uni_leaf(
+                blocks, l0_y, fields0, y0, x0, n, lam)
+            mv1, r1, satd1, bits1 = self._best_uni_leaf(
+                blocks, l1_y, fields1, y0, x0, n, lam)
+            sp = ((0, 0), (P, P), (P, P))
+            y0pad = jnp.pad(l0_y, sp, mode="edge")
+            y1pad = jnp.pad(l1_y, sp, mode="edge")
+            v0 = self._mc_luma_sel(y0pad, r0, mv0, y0, x0, n, P,
+                                   hi=True)
+            v1 = self._mc_luma_sel(y1pad, r1, mv1, y0, x0, n, P,
+                                   hi=True)
         pred_bi = self._bi_avg(v0, v1, self.maxv)
         satd_bi = self._satd_tiles(blocks - pred_bi)
-        lam_satd = jnp.sqrt(lam).astype(jnp.float32)
         nl0, nl1 = l0_y.shape[0], l1_y.shape[0]
 
         def refb(r, nl):
@@ -812,12 +1286,69 @@ class MdInterPipeline(MdIntraPipeline):
             bits1 + refb(r1, nl1) + idc_u)
         cbi = satd_bi.astype(jnp.float32) + lam_satd * (
             bits0 + bits1 + refb(r0, nl0) + refb(r1, nl1) + idc_b)
+        # cross-ref bi candidate: the per-ref winners of DIFFERENT
+        # pictures (both lists pick the same best ref independently,
+        # so the plain bi averages one picture with itself — averaging
+        # two pictures is where bi-prediction's noise gain lives;
+        # ref search_inter.c:1442 explores such pairs via merge cands)
+        cross = None
+        if (me0 is not None and self.bipred and len(me0) >= 2
+                and len(me1) >= 2):
+            mvA, satdA, predA, candA = me0[0]
+            mvB, satdB, predB, candB = me1[1]
+            px = (predA + predB + 1) >> 1      # rounded-pred estimate
+            satd_x = self._satd_tiles(blocks - px)
+            bitsA = self._mv_bins(mvA - candA * 4)
+            bitsB = self._mv_bins(mvB - candB * 4)
+            cx_cost = satd_x.astype(jnp.float32) + lam_satd * (
+                bitsA + bitsB + self._ref_cost(0, n_list=nl0)
+                + self._ref_cost(1, n_list=nl1) + idc_b)
+            cross = (cx_cost, mvA, mvB)
         uni = jnp.where(c0 <= c1, 1, 2)
         if self.bipred:
             dirn = jnp.where((cbi <= c0) & (cbi <= c1), 3,
                              uni).astype(jnp.int32)
         else:   # --no-bipred: per-list uni candidates only
             dirn = uni.astype(jnp.int32)
+        if cross is not None:
+            cx_cost, mvA, mvB = cross
+            cur_cost = jnp.where(
+                dirn == 3, cbi, jnp.where(dirn == 1, c0, c1))
+            take = cx_cost < cur_cost
+            dirn = jnp.where(take, 3, dirn)
+            mv0 = jnp.where(take[:, None], mvA, mv0)
+            r0 = jnp.where(take, 0, r0)
+            mv1 = jnp.where(take[:, None], mvB, mv1)
+            r1 = jnp.where(take, 1, r1)
+            # exact pred for blocks that switched rides the post-align
+            # re-evaluation below; without the alignment pass, refresh
+            # the hi hypotheses here
+            if not (self.merge_search and me0 is not None):
+                _, v0 = self._eval_exact(planes0, l0_y, blocks, y0, x0,
+                                         mv0, r0, n, want_pred=True,
+                                         hi=True)
+                _, v1 = self._eval_exact(planes1, l1_y, blocks, y0, x0,
+                                         mv1, r1, n, want_pred=True,
+                                         hi=True)
+                pred_bi = self._bi_avg(v0, v1, self.maxv)
+        use_merge = None
+        merge_delta = jnp.float32(0.0)
+        if me0 is not None and self.merge_search:
+            acost = jnp.minimum(jnp.minimum(c0, c1), cbi)
+            if cross is not None:
+                acost = jnp.minimum(acost, cross[0])
+            acost = acost + lam_satd * self.dpc[self.DPC_AMVP]
+            (mv0, r0, mv1, r1, dirn, use_merge,
+             merge_delta) = self._merge_align_b(
+                planes0, planes1, l0_y, l1_y, blocks, rows, cols, n,
+                y0, x0, mv0, r0, mv1, r1, dirn, acost, lam_satd)
+            _, v0 = self._eval_exact(planes0, l0_y, blocks, y0, x0,
+                                     mv0, r0, n, want_pred=True,
+                                     hi=True)
+            _, v1 = self._eval_exact(planes1, l1_y, blocks, y0, x0,
+                                     mv1, r1, n, want_pred=True,
+                                     hi=True)
+            pred_bi = self._bi_avg(v0, v1, self.maxv)
         sel = dirn[:, None, None]
         pred_y = jnp.where(sel == 3, pred_bi,
                            jnp.where(sel == 1,
@@ -853,6 +1384,7 @@ class MdInterPipeline(MdIntraPipeline):
         cy0 = (bid // cols) * nc
         cx0 = (bid % cols) * nc
         ccost = jnp.zeros_like(dist)
+        cpreds = []
         for srcp, p0, p1 in ((src_cb, l0_cb, l1_cb),
                              (src_cr, l0_cr, l1_cr)):
             c0p = jnp.pad(p0, cp, mode="edge")
@@ -865,6 +1397,7 @@ class MdInterPipeline(MdIntraPipeline):
                               jnp.where(sel == 1,
                                         self._uni_round(w0, self.maxv),
                                         self._uni_round(w1, self.maxv)))
+            cpreds.append(cpred)
             cblocks, _, _ = self._blocks_of(srcp, nc)
             cresi = cblocks - cpred
             saved = (self.rdoq, self.sign_hiding)
@@ -902,18 +1435,28 @@ class MdInterPipeline(MdIntraPipeline):
         # three-tier mode pricing (skip / merge+resi / AMVP) with the
         # same neighbour-equality merge proxy as the P path, extended to
         # both lists + the direction
-        merge_ok = self._merge_proxy(mv0, r0, rows, cols,
-                                     extra=(mv1, r1, dirn))
         amvp_bits = (self.dpc[self.DPC_AMVP] + mv_bits + ref_bits
                      + jnp.where(cbf_any, self.dpc[self.DPC_RQT1],
                                  self.dpc[self.DPC_RQT0]))
-        mode_bits = jnp.where(
-            merge_ok,
-            jnp.where(cbf_any,
-                      jnp.minimum(self.dpc[self.DPC_MERGE]
-                                  + self.dpc[self.DPC_RQT1], amvp_bits),
-                      self.dpc[self.DPC_SKIP]),
-            amvp_bits)
+        if use_merge is None:
+            merge_ok = self._merge_proxy(mv0, r0, rows, cols,
+                                         extra=(mv1, r1, dirn))
+            mode_bits = jnp.where(
+                merge_ok,
+                jnp.where(cbf_any,
+                          jnp.minimum(self.dpc[self.DPC_MERGE]
+                                      + self.dpc[self.DPC_RQT1],
+                                      amvp_bits),
+                          self.dpc[self.DPC_SKIP]),
+                amvp_bits)
+        else:
+            mode_bits = jnp.where(
+                use_merge,
+                jnp.where(cbf_any,
+                          self.dpc[self.DPC_MERGE] + merge_delta
+                          + self.dpc[self.DPC_RQT1],
+                          self.dpc[self.DPC_SKIP] + merge_delta),
+                amvp_bits)
         cost = dist + lam * (rate + mode_bits) + ccost
         if n == 64:
             refund = (4.0 * self.dpc[self.DPC_CBF_Y0_D1]
@@ -922,7 +1465,8 @@ class MdInterPipeline(MdIntraPipeline):
             refund = (self.dpc[self.DPC_CBF_Y0]
                       + 2.0 * self.dpc[self.DPC_CBF_C0])
         cost = cost - lam * jnp.where(cbf_any, 0.0, refund)
-        return mv0, r0, mv1, r1, dirn, cost
+        return (mv0, r0, mv1, r1, dirn, cost, pred_y, cpreds[0],
+                cpreds[1])
 
     def _partition_inter_b(self, src_y, src_cb, src_cr, l0, l1, lam):
         """B-slice quadtree DP: per-size inter-B vs intra competition,
@@ -932,6 +1476,11 @@ class MdInterPipeline(MdIntraPipeline):
                    for k in range(l0[0].shape[0])]
         fields1 = [self._coarse_field(src_y, l1[0][k])
                    for k in range(l1[0].shape[0])]
+        planes0 = self._kernel_planes(l0[0])
+        planes1 = self._kernel_planes(l1[0])
+        me_l0 = self._me_kernel_sizes(src_y, l0[0], fields0, planes0)
+        me_l1 = self._me_kernel_sizes(src_y, l1[0], fields1, planes1)
+        leaf_preds = {}
         per_size = {}
         big = jnp.float32(1e18)
         for n, g, f, gc, t, tc in (
@@ -946,9 +1495,12 @@ class MdInterPipeline(MdIntraPipeline):
             icost = icost + lam * self.dpc[self.DPC_INTRA_PM]
             if n == 8:
                 icost = icost + lam * self.dpc[self.DPC_PART_2NX2N]
-            mv0, r0, mv1, r1, dirn, ecost = self._inter_leaf_b(
+            (mv0, r0, mv1, r1, dirn, ecost, p_y, p_cb,
+             p_cr) = self._inter_leaf_b(
                 src_y, src_cb, src_cr, l0, l1, fields0, fields1, n, t,
-                tc, lam)
+                tc, lam, me0=me_l0[n], me1=me_l1[n],
+                planes0=planes0, planes1=planes1)
+            leaf_preds[n] = (p_y, p_cb, p_cr)
             if not self.allow_inter[n]:
                 ecost = ecost + big
             use_inter = ecost < icost
@@ -956,9 +1508,12 @@ class MdInterPipeline(MdIntraPipeline):
             per_size[n] = dict(modes=imodes, mv=mv0, ref=r0, mvb=mv1,
                                refb=r1, dir=dirn, inter=use_inter,
                                cost=cost)
-        mv64, r64_, mv64b, r64b, dir64, ecost64 = self._inter_leaf_b(
+        (mv64, r64_, mv64b, r64b, dir64, ecost64, p_y, p_cb,
+         p_cr) = self._inter_leaf_b(
             src_y, src_cb, src_cr, l0, l1, fields0, fields1, 64,
-            self.t32, self.t16, lam)
+            self.t32, self.t16, lam, me0=me_l0[64], me1=me_l1[64],
+            planes0=planes0, planes1=planes1)
+        leaf_preds[64] = (p_y, p_cb, p_cr)
         r64, c64n = self.h // 64, self.w // 64
         per_size[64] = dict(
             modes=jnp.ones((r64 * c64n,), jnp.int32),
@@ -975,7 +1530,7 @@ class MdInterPipeline(MdIntraPipeline):
         ref8b = sel8("refb").astype(jnp.int32)
         dir8 = sel8("dir").astype(jnp.int32)
         return (size_map8, mode_map8, inter8, dir8, mv8, ref8, mv8b,
-                ref8b)
+                ref8b, leaf_preds)
 
     # ------------------------------------------------------------------
     # partition with inter/intra competition
@@ -985,6 +1540,10 @@ class MdInterPipeline(MdIntraPipeline):
                          refs_cr, lam):
         fields = [self._coarse_field(src_y, refs_y[k])
                   for k in range(self.n_refs)]
+        planes = self._kernel_planes(refs_y)
+        self._merge_field0 = fields[0]   # global-MV merge candidate
+        me_all = self._me_kernel_sizes(src_y, refs_y, fields, planes)
+        leaf_preds = {}
         per_size = {}
         big = jnp.float32(1e18)
         for n, g, f, gc, t, tc in (
@@ -999,9 +1558,10 @@ class MdInterPipeline(MdIntraPipeline):
             icost = icost + lam * self.dpc[self.DPC_INTRA_PM]
             if n == 8:
                 icost = icost + lam * self.dpc[self.DPC_PART_2NX2N]
-            mv_q, ref, ecost, _, _, _ = self._inter_leaf(
+            mv_q, ref, ecost, p_y, p_cb, p_cr = self._inter_leaf(
                 src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr, fields,
-                n, t, tc, lam)
+                n, t, tc, lam, me=me_all[n], planes=planes)
+            leaf_preds[n] = (p_y, p_cb, p_cr)
             if not self.allow_inter[n]:
                 ecost = ecost + big
             use_inter = ecost < icost
@@ -1035,9 +1595,10 @@ class MdInterPipeline(MdIntraPipeline):
         # 64x64: inter-only leaves (intra max CU is 32; the reference
         # presets likewise keep intra min-depth >= 1, cfg.c:484-766,
         # while pu-depth-inter 0-3 codes inter 64 at medium+)
-        mv64, ref64, ecost64, _, _, _ = self._inter_leaf(
+        mv64, ref64, ecost64, p_y, p_cb, p_cr = self._inter_leaf(
             src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr, fields,
-            64, self.t32, self.t16, lam)
+            64, self.t32, self.t16, lam, me=me_all[64], planes=planes)
+        leaf_preds[64] = (p_y, p_cb, p_cr)
         r64, c64n = self.h // 64, self.w // 64
         per_size[64] = dict(
             modes=jnp.ones((r64 * c64n,), jnp.int32),
@@ -1081,7 +1642,11 @@ class MdInterPipeline(MdIntraPipeline):
                                                             False))))))
             mv8 = jnp.where(pu1[..., None], mv8p1, mv8)
             ref8 = jnp.where(pu1, ref8p1, ref8)
-        return size_map8, mode_map8, inter8, mv8, ref8, part8
+        # aligned-merge MVs may differ from the leaf predictions ONLY
+        # for SMP second PUs (handled by the cell-granular recon); the
+        # 2Nx2N leaf preds are exact for their final motion
+        return (size_map8, mode_map8, inter8, mv8, ref8, part8,
+                leaf_preds)
 
     def _dp_merge(self, per_size, lam):
         """Bottom-up split DP over per-size leaf costs -> size_map8."""
@@ -1157,7 +1722,7 @@ class MdInterPipeline(MdIntraPipeline):
     def _inter_recon_batch(self, src_y, src_cb, src_cr, refs_y, refs_cb,
                            refs_cr, size_map8, inter8, mv8, ref8,
                            l1=None, dir8=None, mv8b=None, ref8b=None,
-                           part8=None):
+                           part8=None, preds=None):
         """Reconstruct every inter leaf of every size in one batch.
         With l1/dir8/mv8b/ref8b set (B slices), each block predicts
         uni-L0 / uni-L1 / exact bipred per its inter_dir.
@@ -1198,7 +1763,11 @@ class MdInterPipeline(MdIntraPipeline):
             mv = mv8[::k, ::k].reshape(-1, 2)
             ref = ref8[::k, ::k].reshape(-1)
             qp_y, qp_c, _ = self._qp_lam_for(n)
-            if l1 is None:
+            if preds is not None and n in preds:
+                # the DP leaf already predicted every block of this
+                # size with its final motion — no second MC
+                pred_y = preds[n][0]
+            elif l1 is None:
                 pred_y = self._mc_luma_sel(ypad, ref, mv, y0, x0, n, P)
             else:
                 dirn = dir8[::k, ::k].reshape(-1)
@@ -1240,7 +1809,9 @@ class MdInterPipeline(MdIntraPipeline):
             cpads1 = (cb1pad, cr1pad) if l1 is not None else (None, None)
             for ci, (cpad, srcp) in enumerate(((cbpad, src_cb),
                                                (crpad, src_cr))):
-                if l1 is None:
+                if preds is not None and n in preds:
+                    cpred = preds[n][1 + ci]
+                elif l1 is None:
                     cpred = self._mc_chroma_sel(cpad, ref, mv, cy0, cx0,
                                                 nc, CPW)
                 else:
@@ -1511,11 +2082,12 @@ class MdInterPipeline(MdIntraPipeline):
         refs_cr = refs_cr_u8.astype(jnp.int32)
         lam = self.lam2[0]
         (size_map8, mode_map8, inter8, mv8, ref8,
-         part8) = self._partition_inter(
+         part8, leaf_preds) = self._partition_inter(
             src_y, src_cb, src_cr, refs_y, refs_cb, refs_cr, lam)
         init = self._inter_recon_batch(src_y, src_cb, src_cr, refs_y,
                                        refs_cb, refs_cr, size_map8,
-                                       inter8, mv8, ref8, part8=part8)
+                                       inter8, mv8, ref8, part8=part8,
+                                       preds=leaf_preds)
         # the P/B writers do not signal transform_skip on intra cells
         # (no 4x4 luma TUs there); keep the device recon in lockstep
         saved_ts = self.trskip
@@ -1616,12 +2188,13 @@ class MdInterPipeline(MdIntraPipeline):
               l1_cr_u8.astype(jnp.int32))
         lam = self.lam2[0]
         (size_map8, mode_map8, inter8, dir8, mv8, ref8, mv8b,
-         ref8b) = self._partition_inter_b(src_y, src_cb, src_cr, l0, l1,
-                                          lam)
+         ref8b, leaf_preds) = self._partition_inter_b(
+            src_y, src_cb, src_cr, l0, l1, lam)
         init = self._inter_recon_batch(src_y, src_cb, src_cr, l0[0],
                                        l0[1], l0[2], size_map8, inter8,
                                        mv8, ref8, l1=l1, dir8=dir8,
-                                       mv8b=mv8b, ref8b=ref8b)
+                                       mv8b=mv8b, ref8b=ref8b,
+                                       preds=leaf_preds)
         # the P/B writers do not signal transform_skip on intra cells
         # (no 4x4 luma TUs there); keep the device recon in lockstep
         saved_ts = self.trskip

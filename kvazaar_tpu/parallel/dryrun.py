@@ -17,9 +17,16 @@ What it validates, end to end:
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
+
+# the persistent-cache location must reflect THIS process's backend and
+# ISA cap (see utils/cache.py) — decide it here, not in the launcher
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    from ..utils.cache import cpu_cache_dir
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir()
 
 
 def run(n_devices: int) -> None:

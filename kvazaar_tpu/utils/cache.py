@@ -30,7 +30,13 @@ def host_fingerprint() -> str:
                     break
     except OSError:
         pass
-    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    # the ISA cap changes codegen: capped and uncapped executables
+    # must not share a namespace
+    isa = ""
+    for tok in os.environ.get("XLA_FLAGS", "").split():
+        if tok.startswith("--xla_cpu_max_isa"):
+            isa = tok
+    return hashlib.sha1((flags + "|" + isa).encode()).hexdigest()[:12]
 
 
 def cpu_cache_dir() -> str:

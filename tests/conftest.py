@@ -6,10 +6,14 @@ import sys
 # any XLA_FLAGS customisation routes compilation through the remote
 # compile service (minutes per program instead of seconds).
 os.environ["JAX_PLATFORMS"] = "cpu"
-# note: do NOT set XLA_FLAGS here — with the axon plugin registered,
-# custom XLA_FLAGS route compilation through the remote compile service.
-# Multi-device tests run in a subprocess with a scrubbed environment
-# (see scrubbed_multidevice_env).
+# Cap XLA:CPU codegen at AVX2: the AVX512/AMX paths SEGFAULT compiling
+# (and serializing) the large inter-search programs on some hosts —
+# verified: the same suite crashes without the cap and passes with it.
+# (With jax_platforms=cpu the axon plugin does not reroute compilation,
+# so setting XLA_FLAGS here is safe; TPU runs never load this file.)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_cpu_max_isa" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_cpu_max_isa=AVX2").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,6 +30,36 @@ jax.config.update("jax_platforms", "cpu")
 from kvazaar_tpu.utils.cache import cpu_cache_dir
 jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# XLA:CPU executable.serialize() segfaults for some large (inter)
+# programs on some hosts, killing the whole test run from inside the
+# cache-write path. Sandbox every cache write in a forked child: a
+# crash there only loses that cache entry. (Reads are safe: entries
+# that were never written are recompiled.)
+import signal as _signal  # noqa: E402
+import jax._src.compilation_cache as _jcc  # noqa: E402
+
+_orig_put = _jcc.put_executable_and_time
+
+
+def _safe_put(cache_key, module_name, executable, backend,
+              compile_time):
+    pid = os.fork()
+    if pid == 0:
+        try:
+            _signal.alarm(120)   # serialize can hang post-fork: bail
+            _orig_put(cache_key, module_name, executable, backend,
+                      compile_time)
+        except BaseException:
+            pass
+        finally:
+            os._exit(0)
+    os.waitpid(pid, 0)
+
+
+_jcc.put_executable_and_time = _safe_put
+# compiler.py binds the module, not the function, so the patch takes
+from jax._src import compiler as _jcompiler  # noqa: E402,F401
 
 import numpy as np
 import pytest
@@ -58,6 +92,7 @@ def scrubbed_multidevice_env(n_devices: int = 8) -> dict:
            if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
     env.pop("PYTHONPATH", None)  # drops the axon sitecustomize
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                        f"{n_devices} --xla_cpu_max_isa=AVX2")
     env["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir()
     return env

@@ -156,7 +156,7 @@ MODES = {
     "intra": (dict(intra_period=1), ("-p", "1")),
     # low-delay P: one IDR, 4-frame lp-gop, 1 ref (driver config 2)
     "lowdelay": (dict(intra_period=0, gop_len=4, gop_lowdelay=True,
-                      gop_lp=(3, 1), ref_frames=1),
+                      gop_lp=(3, 1), ref_frames=2),
                  ("-p", "0", "--gop", "lp-g4d3t1")),
     # random access GOP8 B pyramid (driver config 3) on the quadtree
     # B path (r3 flagship; the 16-grid fallback measured worse)
